@@ -1,0 +1,110 @@
+"""Partition coarsening + clustering quality measures.
+
+Reference:
+  - ParallelPartitionCoarsening: /root/reference/networkit/cpp/coarsening/
+    ParallelPartitionCoarsening.cpp:19-44+ — quotient graph: compact the
+    partition's subset ids, sum parallel edge weights, intra-cluster
+    edges become self-loops; returns fine->coarse mapping.
+  - Modularity: /root/reference/networkit/cpp/community/Modularity.cpp:23-60+
+    — Q = coverage - expected coverage = (intra-weight / total) -
+    sum(cluster volume^2) / (2m)^2, volumes counting self-loops twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def coarsen(g: Graph, labels: DataFrame) -> tuple[Graph, DataFrame]:
+    """Quotient graph over an (id, label) partition.
+
+    Returns (coarse graph, fine->coarse mapping (id, coarse_id)).
+    Coarse ids are dense 0..k-1 ordered by label value (the reference
+    compacts via Partition::compact, GenericPartition.hpp:200).
+    """
+    compacted = (
+        labels.select("label")
+        .distinct()
+        .withColumn("coarse_id", F.dense_rank().over(Window.orderBy("label")) - 1)
+    )
+    mapping = labels.join(compacted, "label").select("id", "coarse_id")
+    e = (
+        g.edges.join(
+            mapping.select(F.col("id").alias("src"), F.col("coarse_id").alias("csrc")),
+            "src",
+        )
+        .join(
+            mapping.select(F.col("id").alias("dst"), F.col("coarse_id").alias("cdst")),
+            "dst",
+        )
+    )
+    if not g.directed:
+        # canonicalize so (a,b) and (b,a) coarse edges merge
+        e = e.select(
+            F.least("csrc", "cdst").alias("csrc"),
+            F.greatest("csrc", "cdst").alias("cdst"),
+            "weight",
+        )
+    coarse_edges = (
+        e.groupBy("csrc", "cdst")
+        .agg(F.sum("weight").alias("weight"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"), "weight")
+    )
+    coarse_vertices = compacted.select(F.col("coarse_id").alias("id"))
+    return (
+        Graph(coarse_edges, coarse_vertices, g.directed, True),
+        mapping,
+    )
+
+
+def modularity(g: Graph, labels: DataFrame) -> float:
+    """Modularity.cpp:23-60: Q = intra/total - sum(vol_c^2)/(2m)^2.
+
+    total edge weight counts self-loops once in "2m" denominators? The
+    reference uses totalEdgeWeight = sum of stored edge weights (loops
+    once) and volume(c) = sum of weighted degrees + self-loop weights
+    (loops twice). We mirror that.
+    """
+    loops = g.edges.filter(F.col("src") == F.col("dst"))
+    total = g.total_edge_weight()
+    if total == 0:
+        return 0.0
+
+    lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    e = g.edges.join(lab_src, "src").join(lab_dst, "dst")
+    intra = float(
+        e.filter(F.col("lsrc") == F.col("ldst"))
+        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    coverage = intra / total
+
+    # volume per cluster: weighted degree with self-loops twice
+    deg = (
+        g.adj()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("wdeg"))
+    )
+    loop_w = (
+        loops.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("lw"))
+    )
+    vol = (
+        labels.join(deg, "id", "left")
+        .join(loop_w, "id", "left")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.coalesce("wdeg", F.lit(0.0)) + F.coalesce("lw", F.lit(0.0))
+            ).alias("vol")
+        )
+    )
+    sum_vol_sq = float(
+        vol.agg(F.sum(F.col("vol") * F.col("vol"))).collect()[0][0] or 0.0
+    )
+    expected = sum_vol_sq / (4.0 * total * total)
+    return coverage - expected

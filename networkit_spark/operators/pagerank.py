@@ -1,0 +1,287 @@
+"""PageRank — synchronous power iteration, reference-exact semantics.
+
+Reference: /root/reference/networkit/cpp/centrality/PageRank.cpp:21-128
+(signature include/networkit/centrality/PageRank.hpp:61-88). Semantics
+reproduced exactly:
+
+  - init ``score = 1/n``; denominators ``deg[v] = weightedDegree(v)``
+    (out-direction for directed graphs) (PageRank.cpp:26-32);
+  - superstep ``pr[u] = damp * sum_{(v,u) in E_in} score[v]*w/deg[v]
+    + (1-damp)/n`` — gather over INCOMING edges; for undirected graphs
+    the in-edge view is all neighbors (PageRank.cpp:68-78);
+  - sink (dangling) redistribution when directed AND (DISTRIBUTE_SINKS or
+    normalized): every node gains ``damp/n * sum_sinks score[sink]``
+    (PageRank.cpp:84-91);
+  - convergence AFTER the update, before swap: ``iterations >=
+    max_iterations`` or ``norm(old - new) <= tol`` with L2 =
+    sqrt(sum d^2) / L1 = sum |d| (PageRank.cpp:46-63,93-96);
+  - post-processing: ``normalized`` divides by normFactor; directed +
+    NO_SINK_HANDLING rescales to sum 1 (PageRank.cpp:100-123).
+
+Two physical engines, identical results:
+
+  - ``engine="dataframe"`` (default): the superstep is one shuffle-light
+    plan — ``scores ⋈ flow_edges on id=src`` then ``groupBy(dst)`` hash
+    aggregation (partial aggregation = the reference's per-thread OMP
+    accumulation). The O(m) flow-edge table is normalized (w/deg
+    precomputed), repartitioned on src ONCE and cached; each superstep
+    shuffles only the O(n) score table. At cluster scale this is the
+    plan you want: edges never move after iteration 0.
+  - ``engine="csr"``: per-partition CSR gather-scatter as grouped pandas
+    UDFs (north-star shape): edges are blocked by ``pmod(src, P)``; a
+    cogrouped applyInPandas receives (edge block, score block) per key,
+    computes partial dst-sums in numpy (Arrow-batched, no per-row
+    Python), and only (dst, partial) rows are shuffled for the final
+    combine.
+
+Degree skew: hub sources concentrate flow rows in one block; the
+optional ``salt`` knob splits flow on ``(src, pmod(dst, salt))`` and
+replicates the score side ``salt`` ways — the Spark analogue of the
+reference's ``balancedParallelForNodes`` guided scheduling
+(AdjListGraphImpl.hpp:60-69). AQE skew-join splitting is on by default.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import Checkpointer, SuperstepResult
+
+NO_SINK_HANDLING = "no_sink_handling"
+DISTRIBUTE_SINKS = "distribute_sinks"
+
+
+@dataclass
+class PageRankResult:
+    """scores: (id: long, score: double); info mirrors numberOfIterations()
+    (PageRank.hpp:79) and maximum() (PageRank.cpp:130)."""
+
+    scores: DataFrame
+    info: SuperstepResult = field(default=None)
+
+    def ranking(self, k: int | None = None) -> DataFrame:
+        """Centrality::ranking() — desc by score, asc by id on ties
+        (/root/reference/networkit/cpp/centrality/Centrality.cpp:27-39)."""
+        r = self.scores.orderBy(F.desc("score"), F.asc("id"))
+        return r.limit(k) if k is not None else r
+
+    def maximum(self) -> float:
+        return float(self.scores.agg(F.max("score")).collect()[0][0])
+
+
+def _flow_edges(g: Graph) -> DataFrame:
+    """Mass-flow table: one row per (v -> u) transfer with the fraction
+    w(v,u)/weightedDegree(v) precomputed (loop-invariant, so hoisted out
+    of the iteration — the reference recomputes ``w/deg[v]`` every
+    superstep, PageRank.cpp:74)."""
+    out = g.adj() if not g.directed else g.edges
+    deg = (
+        out.groupBy(F.col("src").alias("v"))
+        .agg(F.sum("weight").alias("wdeg"))
+    )
+    return (
+        out.join(deg, out.src == deg.v)
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
+    )
+
+
+def _csr_contribs(flow_parts: DataFrame, scores: DataFrame, num_blocks: int) -> DataFrame:
+    """Per-partition CSR gather-scatter (grouped pandas UDFs).
+
+    ``flow_parts`` carries a precomputed ``part = pmod(src, P)`` column.
+    Scores are routed to the single block owning their vertex as source;
+    inside each block numpy computes the partial dst-sums (the map-side
+    combine), so the shuffle after this stage carries only
+    (dst, partial_mass) — one row per distinct dst per block.
+    """
+    import numpy as np  # noqa: F401  (executor-side)
+
+    scores_parts = scores.withColumn("part", F.pmod(F.col("id"), F.lit(num_blocks)))
+
+    def gather_scatter(key, edges_pdf: pd.DataFrame, scores_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if edges_pdf.empty or scores_pdf.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "mass": pd.Series(dtype="float64")})
+        # CSR-ish block: factorize dst, map src->score via pandas merge
+        score_map = pd.Series(
+            scores_pdf["score"].values, index=scores_pdf["id"].values
+        )
+        src_scores = score_map.reindex(edges_pdf["src"].values).to_numpy()
+        contrib = src_scores * edges_pdf["frac"].to_numpy()
+        codes, uniq = pd.factorize(edges_pdf["dst"].values)
+        partial = np.bincount(codes, weights=contrib, minlength=len(uniq))
+        return pd.DataFrame({"dst": uniq.astype("int64"), "mass": partial})
+
+    cg = flow_parts.groupby("part").cogroup(scores_parts.groupby("part"))
+    partials = cg.applyInPandas(gather_scatter, schema="dst long, mass double")
+    return partials.groupBy("dst").agg(F.sum("mass").alias("mass"))
+
+
+def pagerank(
+    g: Graph,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    normalized: bool = False,
+    distribute_sinks: str = NO_SINK_HANDLING,
+    max_iterations: int | None = None,
+    norm: str = "l2",
+    engine: str = "dataframe",
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+    num_blocks: int = 32,
+    salt: int = 1,
+) -> PageRankResult:
+    """Run PageRank to convergence. Defaults match the reference
+    (PageRank.hpp:61-62: damp=0.85, tol=1e-8, L2, no sink handling,
+    unbounded iterations)."""
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+
+    nodes = g.nodes().localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return PageRankResult(
+            scores=nodes.withColumn("score", F.lit(0.0)),
+            info=SuperstepResult(iterations=0),
+        )
+    teleport = (1.0 - damp) / n
+    factor = damp / n
+
+    flow = _flow_edges(g)
+    if salt > 1:
+        flow = flow.withColumn("salt", F.pmod(F.col("dst"), F.lit(salt)))
+        flow = flow.repartition("src", "salt")
+    elif engine == "dataframe":
+        flow = flow.repartition("src")
+    if engine == "csr":
+        flow = flow.withColumn("part", F.pmod(F.col("src"), F.lit(num_blocks)))
+        flow = flow.repartition(num_blocks, "part")
+    flow = flow.localCheckpoint(eager=True)  # materialize once; cuts the deg-join
+
+    handle_sinks = g.directed and (
+        distribute_sinks == DISTRIBUTE_SINKS or normalized
+    )
+    sinks = None
+    n_sinks = 0
+    if handle_sinks:
+        # out-degree-0 nodes (PageRank.cpp:34-41); small at web scale ->
+        # broadcast for the per-superstep semi-join
+        out_nodes = (g.edges if g.directed else g.adj()).select(
+            F.col("src").alias("id")
+        ).distinct()
+        sinks = nodes.join(out_nodes, "id", "left_anti").localCheckpoint(eager=True)
+        n_sinks = sinks.count()
+
+    # init (PageRank.cpp:28)
+    scores = nodes.select("id", F.lit(1.0 / n).alias("score"))
+    start_iter = 0
+    if resume and checkpointer is not None:
+        latest = checkpointer.latest()
+        if latest is not None:
+            start_iter, scores = latest
+    scores = ckpt.cut(scores, start_iter) if start_iter == 0 else scores
+
+    metrics: list[dict] = []
+    iterations = start_iter
+    converged = False
+    max_it = max_iterations if max_iterations is not None else 2**31
+
+    if salt > 1:
+        salt_ids = spark.range(salt).select(F.col("id").cast("int").alias("salt"))
+
+    while not converged:
+        t0 = time.time()
+        if engine == "csr":
+            contribs = _csr_contribs(flow, scores, num_blocks)
+        else:
+            s = scores
+            if salt > 1:
+                s = s.crossJoin(F.broadcast(salt_ids))
+                joined = s.join(flow, (s.id == flow.src) & (s.salt == flow.salt))
+            else:
+                joined = s.join(flow, s.id == flow.src)
+            contribs = (
+                joined.groupBy("dst")
+                .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
+            )
+
+        sink_contrib = 0.0
+        if handle_sinks and n_sinks > 0:
+            row = (
+                scores.join(sinks, "id", "left_semi")
+                .agg(F.sum("score").alias("s"))
+                .collect()[0]
+            )
+            sink_contrib = factor * float(row["s"] or 0.0)
+
+        new_scores = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
+                    + F.lit(teleport)
+                    + F.lit(sink_contrib)
+                ).alias("score"),
+            )
+        )
+        iterations += 1
+        new_scores = ckpt.cut(new_scores, iterations)
+
+        # convergence on old vs new, after sink add, before swap
+        # (PageRank.cpp:53-63,93-96)
+        diff_col = scores.alias("o").join(new_scores.alias("p"), "id").select(
+            (F.col("o.score") - F.col("p.score")).alias("d")
+        )
+        if norm == "l2":
+            delta = float(
+                diff_col.agg(F.sqrt(F.sum(F.col("d") * F.col("d")))).collect()[0][0]
+            )
+        else:
+            delta = float(diff_col.agg(F.sum(F.abs(F.col("d")))).collect()[0][0])
+        converged = iterations >= max_it or delta <= tol
+        metrics.append(
+            ckpt.log(
+                iterations,
+                state=new_scores,
+                delta=delta,
+                norm=norm,
+                sink_contrib=sink_contrib,
+                wall_sec=time.time() - t0,
+                engine=engine,
+            )
+        )
+        scores = new_scores
+
+    # post-processing (PageRank.cpp:100-123)
+    if normalized:
+        if g.directed:
+            s = 0.0
+            if n_sinks > 0:
+                row = (
+                    scores.join(sinks, "id", "left_semi")
+                    .agg(F.sum("score").alias("s"))
+                    .collect()[0]
+                )
+                s = float(row["s"] or 0.0)
+            norm_factor = (1.0 / n) * ((1.0 - damp) + damp * s)
+        else:
+            norm_factor = teleport
+        scores = scores.select("id", (F.col("score") / F.lit(norm_factor)).alias("score"))
+    elif g.directed and distribute_sinks == NO_SINK_HANDLING:
+        total = float(scores.agg(F.sum("score")).collect()[0][0])
+        scores = scores.select("id", (F.col("score") / F.lit(total)).alias("score"))
+
+    return PageRankResult(
+        scores=scores,
+        info=SuperstepResult(iterations=iterations, metrics=metrics, converged=True),
+    )

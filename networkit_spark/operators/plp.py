@@ -1,0 +1,144 @@
+"""PLP — community detection by label propagation (synchronous).
+
+Reference: /root/reference/networkit/cpp/community/PLP.cpp:22-130
+(signature include/networkit/community/PLP.hpp:42-52). Semantics kept:
+
+  - init: singleton labels, or a supplied base clustering (PLP.cpp:28-32);
+  - update threshold theta defaults to ``n / 1e5`` (integer floor,
+    PLP.cpp:38-40); loop while ``nUpdated > theta`` and
+    ``nIterations < maxIterations`` (PLP.cpp:67);
+  - a node adopts the label with the largest total incident edge WEIGHT
+    among its neighbors (``labelWeights[label(w)] += w(v,w)``,
+    PLP.cpp:83-86); ties break to the SMALLEST label id — the reference
+    takes ``std::max_element`` over an ordered ``std::map``, which
+    returns the first (= smallest-key) maximal entry (PLP.cpp:89-94);
+  - isolated (degree-0) nodes are skipped and keep their singleton label
+    (PLP.cpp:76);
+  - active-set: a changed node re-activates its neighbors; an unchanged
+    node deactivates itself (PLP.cpp:96-103).
+
+The one deliberate divergence: the reference updates labels
+ASYNCHRONOUSLY in parallel (balancedParallelForNodes, PLP.cpp:75), so
+its exact output is thread-schedule-dependent and the reference's own
+tests assert properties, not labels (CommunityGTest.cpp:57-73,202-237).
+Our superstep is SYNCHRONOUS (all nodes read the previous generation),
+which makes the output deterministic; the same property fixtures
+validate it. Known sync-LP risk — 2-cycle label oscillation on
+bipartite-ish structures — is bounded by ``max_iterations``.
+
+Spark plan per superstep: ``adj ⋈ labels on neighbor`` →
+``groupBy(node, label).sum(weight)`` (partial agg = the reference's
+per-node labelWeights map) → window ``row_number over (partition by node
+order by w desc, label asc)`` = argmax with the exact tie-break.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import Checkpointer, SuperstepResult
+
+
+def plp_superstep(adj: DataFrame, labels: DataFrame, active: DataFrame | None) -> DataFrame:
+    """One synchronous label-propagation generation.
+
+    Returns (id, label, new_label) for ALL nodes (new_label = argmax
+    neighbor label, or the old label for inactive/isolated nodes).
+    """
+    edges = adj
+    if active is not None:
+        edges = edges.join(active, edges.src == active.id, "left_semi")
+    neigh = (
+        edges.join(labels, edges.dst == labels.id)
+        .select(edges.src.alias("nid"), labels.label.alias("nlabel"), edges.weight)
+    )
+    wsum = neigh.groupBy("nid", "nlabel").agg(F.sum("weight").alias("w"))
+    w = Window.partitionBy("nid").orderBy(F.desc("w"), F.asc("nlabel"))
+    best = (
+        wsum.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("nid").alias("id"), F.col("nlabel").alias("best"))
+    )
+    return labels.join(best, "id", "left").select(
+        "id", "label", F.coalesce("best", F.col("label")).alias("new_label")
+    )
+
+
+def plp(
+    g: Graph,
+    theta: int | None = None,
+    max_iterations: int | None = None,
+    base_clustering: DataFrame | None = None,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, SuperstepResult]:
+    """Returns (labels(id, label), info)."""
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    nodes = g.nodes().localCheckpoint(eager=True)
+    n = nodes.count()
+    if theta is None:
+        theta = int(n / 1e5)  # PLP.cpp:38-40
+    max_it = max_iterations if max_iterations is not None else 2**31
+
+    adj = g.adj().localCheckpoint(eager=True)
+    labels = (
+        base_clustering.select("id", "label")
+        if base_clustering is not None
+        else nodes.select("id", F.col("id").alias("label"))
+    )
+    start = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            start, labels = latest
+    labels = ckpt.cut(labels, start) if start == 0 else labels
+
+    active: DataFrame | None = None  # None = all nodes active
+    metrics: list[dict] = []
+    it = start
+    while it < max_it:
+        t0 = time.time()
+        merged = plp_superstep(adj, labels, active)
+        it += 1
+        new_labels = ckpt.cut(
+            merged.select("id", F.col("new_label").alias("label")), it
+        )
+        changed = (
+            merged.filter(F.col("new_label") != F.col("label"))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        n_updated = changed.count()
+        metrics.append(
+            ckpt.log(it, state=new_labels, updated=n_updated, wall_sec=time.time() - t0)
+        )
+        labels = new_labels
+        if n_updated <= theta:
+            break
+        # re-activate changed nodes and their neighbors (PLP.cpp:96-103)
+        active = (
+            changed.join(adj, changed.id == adj.src)
+            .select(F.col("dst").alias("id"))
+            .unionByName(changed)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return labels, SuperstepResult(iterations=it, metrics=metrics)
+
+
+def is_proper_clustering(g: Graph, labels: DataFrame) -> bool:
+    """GraphClusteringTools.isProperClustering: every node has exactly one
+    label (networkit/community.pyx:238)."""
+    n = g.nodes().count()
+    assigned = labels.select("id").distinct().count()
+    total = labels.count()
+    return n == assigned == total
+
+
+def number_of_clusters(labels: DataFrame) -> int:
+    return labels.select("label").distinct().count()

@@ -1,0 +1,13 @@
+import pytest
+
+from networkit_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="networkit_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s
