@@ -1,38 +1,100 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship link-graph pipeline on sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator for the
+sf0.01 DuckDB cross-check (see networkit_spark/contract*.py for the
+cross-engine determinism rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the deterministic link graph from sf0.001,
+    run PageRank, return the top-20 ranking with degrees joined."""
+    from networkit_spark.contract import load_graph
+    from networkit_spark.operators.pagerank import pagerank
+
+    g = load_graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(g, max_iterations=10, tol=0.0)
+    deg = g.degrees().select("id", "degree")
+    return (
+        res.scores.join(deg, "id")
+        .select("id", F.round("score", 6).alias("score"), "degree")
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from networkit_spark import contract as c
+    from networkit_spark import contract_docs as d
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph kernels (SURVEY.md §2.5-2.6)
+        "graph_degree": c.q_degree,
+        "graph_top_degree": c.q_top_degree,
+        "graph_scalars": c.q_scalars,
+        "graph_cc": c.q_connected_components,
+        "graph_cc_sizes": c.q_component_sizes,
+        "graph_pagerank": c.q_pagerank,
+        "graph_plp": c.q_plp,
+        "graph_triangles": c.q_triangles,
+        "graph_lcc": c.q_lcc,
+        "graph_coarsen_cc": c.q_coarsen_cc,
+        # training-data pipeline: dedup
+        "dedup_exact": d.q_dedup_exact,
+        "dedup_minhash_sig": d.q_minhash_sig,
+        "dedup_minhash_candidates": d.q_minhash_candidates,
+        "dedup_jaccard_pairs": d.q_jaccard_pairs,
+        # text analysis
+        "text_token_count": d.q_token_count,
+        "text_quality": d.q_quality,
+        "text_langid": d.q_langid,
+        "text_fingerprint": d.q_fingerprint,
+        # similarity search
+        "sim_cosine_pairs": d.q_cosine_pairs,
+        "sim_cosine_topk": d.q_cosine_topk,
+        # events OLAP
+        "events_agg": d.q_events_agg,
+        "events_top_per_user": d.q_events_top_per_user,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from networkit_spark import contract as c
+    from networkit_spark import contract_docs as d
+
+    return {
+        "graph_degree": c.SQL_DEGREE,
+        "graph_top_degree": c.SQL_TOP_DEGREE,
+        "graph_scalars": c.SQL_SCALARS,
+        "graph_cc": c.SQL_CC,
+        "graph_cc_sizes": c.SQL_CC_SIZES,
+        "graph_pagerank": c.SQL_PAGERANK,
+        "graph_plp": c.SQL_PLP,
+        "graph_triangles": c.SQL_TRIANGLES,
+        "graph_lcc": c.SQL_LCC,
+        "graph_coarsen_cc": c.SQL_COARSEN_CC,
+        "dedup_exact": d.SQL_DEDUP_EXACT,
+        "dedup_minhash_sig": d.SQL_MINHASH_SIG,
+        "dedup_minhash_candidates": d.SQL_MINHASH_CANDIDATES,
+        "dedup_jaccard_pairs": d.SQL_JACCARD_PAIRS,
+        "text_token_count": d.SQL_TOKEN_COUNT,
+        "text_quality": d.SQL_QUALITY,
+        "text_langid": d.SQL_LANGID,
+        "text_fingerprint": d.SQL_FINGERPRINT,
+        "sim_cosine_pairs": d.SQL_COSINE_PAIRS,
+        "sim_cosine_topk": d.SQL_COSINE_TOPK,
+        "events_agg": d.SQL_EVENTS_AGG,
+        "events_top_per_user": d.SQL_EVENTS_TOP_PER_USER,
+    }

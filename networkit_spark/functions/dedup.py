@@ -74,21 +74,18 @@ def minhash_signatures(
     md5(i|shingle); lexicographic min over hex = a valid uniform
     min-hash, reproducible in any SQL engine."""
     sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh"))
-    sig = sh.select(
-        id_col,
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("sh"),
-                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
-                    )
-                )
-                for i in range(num_perm)
-            ]
-        ).alias("sig"),
+
+    def perm_min(i: int):
+        prefix = f"{i}|"
+        # NOTE: the lambda must take exactly ONE argument — a 2-arg lambda
+        # would be bound by F.transform as (element, index)
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return sh.select(
+        id_col, F.array(*[perm_min(i) for i in range(num_perm)]).alias("sig")
     )
-    return sig
 
 
 def minhash_lsh_candidates(

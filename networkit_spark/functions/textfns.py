@@ -97,14 +97,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(..., fp) — order-sensitive polynomial rolling hash over tokens,
-    computed JVM-side with aggregate(): fp = fold(tokens, 0,
-    (acc, t) -> acc*31 + crc32(t)) mod 2^61-1. Deterministic document
-    fingerprint for near-identical detection / provenance."""
+    computed JVM-side with aggregate():
+    ``fp = fold(tokens, 0, (acc, t) -> (acc*31 + tokval(t)) % (2^31-1))``
+    with ``tokval = len(t)*1000003 + ascii(first)*257 + ascii(last)``.
+    The token value uses only functions with identical cross-engine
+    semantics (length/ascii), so the DuckDB oracle reproduces it bit-for-
+    bit; the modulus keeps the fold inside int64 under ANSI overflow
+    checking."""
     toks = tokens_col(F.col(text_col))
-    mod = F.lit(2305843009213693951)  # 2^61 - 1
+    mod = F.lit(2147483647).cast("long")
+
+    def tokval(t):
+        return (
+            F.length(t).cast("long") * F.lit(1000003)
+            + F.ascii(t).cast("long") * F.lit(257)
+            + F.ascii(F.substring(t, -1, 1)).cast("long")
+        )
+
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(31) + F.crc32(t.cast("binary")), mod),
+        lambda acc, t: F.pmod(acc * F.lit(31) + tokval(t), mod),
     )
     return df.withColumn("fp", fp)

@@ -35,9 +35,11 @@ def read_edge_list(
     )
     parts = F.split(F.trim(F.col("value")), separator if separator != " " else r"\s+")
     raw = lines.select(
-        parts.getItem(0).cast("long").alias("src"),
-        parts.getItem(1).cast("long").alias("dst"),
-        F.coalesce(parts.getItem(2).cast("double"), F.lit(1.0)).alias("weight"),
+        # F.get (not getItem): returns NULL past the end instead of the
+        # ANSI INVALID_ARRAY_INDEX error on weightless lines
+        F.get(parts, 0).cast("long").alias("src"),
+        F.get(parts, 1).cast("long").alias("dst"),
+        F.coalesce(F.get(parts, 2).cast("double"), F.lit(1.0)).alias("weight"),
     )
     weighted = raw.filter(F.col("weight") != 1.0).limit(1).count() > 0
     if not continuous:

@@ -1,0 +1,54 @@
+from networkit_spark.graph import Graph
+from networkit_spark.sources import graphio
+
+
+def test_edge_list_roundtrip(spark, tmp_path):
+    g = Graph.from_pandas(spark, [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 1.0)], weighted=True)
+    p = str(tmp_path / "el")
+    graphio.write_edge_list(g, p)
+    g2 = graphio.read_edge_list(spark, p)
+    assert {(r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()} == {
+        (0, 1, 2.0), (1, 2, 1.0), (2, 3, 1.0)
+    }
+    assert g2.weighted
+
+
+def test_edge_list_first_node_and_comments(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("# comment\n1 2\n2 3\n")
+    g = graphio.read_edge_list(spark, str(p), first_node=1)
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (1, 2)}
+
+
+def test_edge_list_noncontinuous(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("100 200\n200 500\n")
+    g = graphio.read_edge_list(spark, str(p), continuous=False)
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (1, 2)}
+
+
+def test_metis_roundtrip(spark, tmp_path):
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2), (2, 0), (2, 3)], n=4)
+    p = str(tmp_path / "g.graph")
+    graphio.write_metis(g, p)
+    g2 = graphio.read_metis(spark, p)
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {
+        (0, 1), (1, 2), (0, 2), (2, 3)
+    }
+    assert g2.number_of_nodes() == 4
+
+
+def test_metis_reads_reference_fixture_format(spark, tmp_path):
+    # karate-club-style header: n m
+    p = tmp_path / "tiny.graph"
+    p.write_text("3 2\n2 3\n1\n1\n")  # 1-based: edges (0,1), (0,2)
+    g = graphio.read_metis(spark, str(p))
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (0, 2)}
+
+
+def test_labels_parquet_roundtrip(spark, tmp_path):
+    labels = spark.createDataFrame([(0, 5), (1, 5)], "id long, label long")
+    p = str(tmp_path / "labels")
+    graphio.write_labels_parquet(labels, p)
+    back = graphio.read_labels_parquet(spark, p)
+    assert {(r["id"], r["label"]) for r in back.collect()} == {(0, 5), (1, 5)}

@@ -1,0 +1,86 @@
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.components import number_of_components
+from networkit_spark.streaming.dynamics import (
+    DynConnectedComponents,
+    apply_events,
+)
+
+EVENT_SCHEMA = "type string, u long, v long, w double"
+
+
+def test_apply_events(spark):
+    g = Graph.from_pandas(spark, [(0, 1), (2, 3, 2.0)], weighted=True, n=4)
+    events = spark.createDataFrame(
+        [
+            ("EDGE_ADDITION", 1, 2, 1.0),
+            ("EDGE_REMOVAL", 0, 1, None),
+            ("EDGE_WEIGHT_UPDATE", 2, 3, 9.0),
+        ],
+        EVENT_SCHEMA,
+    )
+    g2 = apply_events(g, events)
+    got = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert got == {(1, 2): 1.0, (2, 3): 9.0}
+
+
+def test_apply_events_node_removal(spark):
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2)], n=3)
+    events = spark.createDataFrame(
+        [("NODE_REMOVAL", 1, None, None)], EVENT_SCHEMA
+    )
+    g2 = apply_events(g, events)
+    assert g2.number_of_edges() == 0
+    assert {r["id"] for r in g2.nodes().collect()} == {0, 2}
+
+
+def test_dyn_cc_incremental_merge(spark):
+    """Additions-only repair must equal a full recompute."""
+    g = Graph.from_pandas(spark, [(0, 1), (2, 3), (4, 5)], n=6)
+    dyn = DynConnectedComponents(g)
+    assert number_of_components(dyn.labels) == 3
+    events = spark.createDataFrame(
+        [("EDGE_ADDITION", 1, 2, 1.0)], EVENT_SCHEMA
+    )
+    labels = dyn.update_batch(events)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_dyn_cc_removal_recompute(spark):
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2)], n=3)
+    dyn = DynConnectedComponents(g)
+    assert number_of_components(dyn.labels) == 1
+    events = spark.createDataFrame(
+        [("EDGE_REMOVAL", 1, 2, None)], EVENT_SCHEMA
+    )
+    labels = dyn.update_batch(events)
+    assert number_of_components(labels) == 2
+
+
+def test_structured_streaming_windowed_agg(spark, tmp_path):
+    """Structured Streaming smoke over the events table shape:
+    watermark + tumbling-window count, memory sink."""
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [(i, f"2025-01-01 00:{i:02d}:00", "click", float(i)) for i in range(30)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory").queryName("ev_out")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql("select * from ev_out").collect()
+    q.stop()
+    assert sum(r["n"] for r in rows) == 30
+    assert len(rows) == 3  # 30 minutes / 10-minute tumble
