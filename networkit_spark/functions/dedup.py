@@ -184,7 +184,7 @@ def simhash_signatures(
     bit_cols = []
     for j in range(bits):
         nibble = F.conv(F.substring("hex", 1 + j // 4, 1), 16, 10).cast("int")
-        bit = F.shiftrightunsigned(nibble, j % 4) & F.lit(1)
+        bit = F.shiftrightunsigned(nibble, j % 4).bitwiseAND(F.lit(1))
         bit_cols.append(F.when(bit == 1, 1).otherwise(-1).alias(f"b{j}"))
     voted = h.select("doc", *bit_cols)
     agg = voted.groupBy("doc").agg(

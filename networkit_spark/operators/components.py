@@ -51,7 +51,11 @@ def _min_label_propagation(
     labels = ckpt.cut(labels, start) if start == 0 else labels
     frontier = labels  # all active in round 1 (allToSingletons, :26-27)
 
-    adj = adj.select("src", "dst").localCheckpoint(eager=True)
+    from networkit_spark.plans.superstep import materialize_partitioned
+
+    # loop-invariant adjacency: partitioned on the join key once, cached —
+    # per superstep only the (shrinking) frontier shuffles
+    adj = materialize_partitioned(adj.select("src", "dst"), "src")
     metrics: list[dict] = []
     it = start
     while True:
@@ -87,6 +91,7 @@ def _min_label_propagation(
         labels = new_labels
         if changed == 0:
             break
+    adj.unpersist()
     return labels, SuperstepResult(iterations=it, metrics=metrics)
 
 

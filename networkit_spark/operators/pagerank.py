@@ -156,16 +156,17 @@ def pagerank(
     teleport = (1.0 - damp) / n
     factor = damp / n
 
+    from networkit_spark.plans.superstep import materialize_partitioned
+
     flow = _flow_edges(g)
-    if salt > 1:
-        flow = flow.withColumn("salt", F.pmod(F.col("dst"), F.lit(salt)))
-        flow = flow.repartition("src", "salt")
-    elif engine == "dataframe":
-        flow = flow.repartition("src")
     if engine == "csr":
         flow = flow.withColumn("part", F.pmod(F.col("src"), F.lit(num_blocks)))
-        flow = flow.repartition(num_blocks, "part")
-    flow = flow.localCheckpoint(eager=True)  # materialize once; cuts the deg-join
+        flow = materialize_partitioned(flow, "part")
+    elif salt > 1:
+        flow = flow.withColumn("salt", F.pmod(F.col("dst"), F.lit(salt)))
+        flow = materialize_partitioned(flow, "src", "salt")
+    else:
+        flow = materialize_partitioned(flow, "src")
 
     handle_sinks = g.directed and (
         distribute_sinks == DISTRIBUTE_SINKS or normalized
@@ -281,6 +282,8 @@ def pagerank(
         total = float(scores.agg(F.sum("score")).collect()[0][0])
         scores = scores.select("id", (F.col("score") / F.lit(total)).alias("score"))
 
+    scores = scores.localCheckpoint(eager=True)  # detach from flow before unpersist
+    flow.unpersist()
     return PageRankResult(
         scores=scores,
         info=SuperstepResult(iterations=iterations, metrics=metrics, converged=True),

@@ -85,7 +85,12 @@ def plp(
         theta = int(n / 1e5)  # PLP.cpp:38-40
     max_it = max_iterations if max_iterations is not None else 2**31
 
-    adj = g.adj().localCheckpoint(eager=True)
+    from networkit_spark.plans.superstep import materialize_partitioned
+
+    # partition the loop-invariant adjacency on dst — the heavy per-
+    # superstep join is `adj ⋈ labels on adj.dst = labels.id`; the active
+    # semi-join on src broadcasts (the frontier shrinks fast)
+    adj = materialize_partitioned(g.adj(), "dst")
     labels = (
         base_clustering.select("id", "label")
         if base_clustering is not None
@@ -128,6 +133,7 @@ def plp(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    adj.unpersist()
     return labels, SuperstepResult(iterations=it, metrics=metrics)
 
 

@@ -35,6 +35,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def materialize_partitioned(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-partition on ``cols``, cache, and materialize.
+
+    For loop-invariant tables (the O(m) flow/adjacency relations) this is
+    strictly better than ``localCheckpoint``: an ``InMemoryRelation``
+    PRESERVES its outputPartitioning, so every superstep's
+    ``scores ⋈ edges on id=src`` sees the edge side as already
+    distributed and shuffles only the O(n) score side. A localCheckpoint
+    becomes a LogicalRDD whose partitioning Catalyst may not trust,
+    re-shuffling O(m) rows every iteration — the difference between a
+    viable and a non-viable plan at web scale.
+    """
+    out = df.repartition(*[F.col(c) for c in cols]).persist()
+    out.count()
+    return out
+
+
 @dataclass
 class SuperstepResult:
     """What an iterative kernel hands back alongside its result DataFrame."""
