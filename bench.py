@@ -119,7 +119,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     return out
 
 
-def run_scaling(levels=(8, 32), n_nodes=1 << 17, n_edges=1 << 21, iters=10) -> dict:
+def run_scaling(levels=(8, 32), n_nodes=1 << 20, n_edges=1 << 24, iters=10) -> dict:
+    """Scaling needs a compute-bound graph: at 2M edges the superstep is
+    scheduling-latency-bound and extra cores measure nothing; 16M edges
+    (~33M adjacency rows/superstep) keeps all cores busy."""
     from networkit_spark.session import get_spark
 
     results = {}

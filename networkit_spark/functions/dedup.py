@@ -110,6 +110,9 @@ def minhash_lsh_candidates(
             ).alias("bucket"),
         )
         buckets = part if buckets is None else buckets.unionByName(part)
+    # materialize: the shingle+md5 pipeline would otherwise re-run once
+    # per band AND per side of the self-join (4x at bands=2)
+    buckets = buckets.localCheckpoint(eager=True)
     left = buckets.select("band", "bucket", F.col("doc").alias("a"))
     right = buckets.select("band", "bucket", F.col("doc").alias("b"))
     return (

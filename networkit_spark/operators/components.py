@@ -41,6 +41,7 @@ def _min_label_propagation(
     nodes: DataFrame,
     ckpt: Checkpointer,
     resume: bool,
+    shortcut: bool = True,
 ) -> tuple[DataFrame, SuperstepResult]:
     labels = nodes.select("id", F.col("id").alias("label"))
     start = 0
@@ -48,6 +49,8 @@ def _min_label_propagation(
         latest = ckpt.latest()
         if latest is not None:
             start, labels = latest
+            if "new_label" in labels.columns:  # stored merged relation
+                labels = labels.select("id", F.col("new_label").alias("label"))
     labels = ckpt.cut(labels, start) if start == 0 else labels
     frontier = labels  # all active in round 1 (allToSingletons, :26-27)
 
@@ -75,14 +78,33 @@ def _min_label_propagation(
                 "label",
             )
         )
+        if shortcut:
+            # pointer-doubling: also adopt label(label), looked up in the
+            # PREVIOUS materialized state (a cheap third scan of the
+            # persisted RDD — never a duplicate of this superstep's
+            # gather subplan). Cuts superstep count from O(diameter)
+            # toward O(log diameter) on chains; fixpoint unchanged
+            # (labels stay monotone-decreasing component minima).
+            lookup = labels.select(
+                F.col("id").alias("lid"), F.col("label").alias("llabel")
+            )
+            merged = (
+                merged.join(lookup, merged.new_label == lookup.lid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("new_label"), F.coalesce("llabel", F.col("new_label"))
+                    ).alias("new_label"),
+                    "label",
+                )
+            )
         it += 1
-        new_labels = ckpt.cut(
-            merged.select("id", F.col("new_label").alias("label")), it
-        )
-        frontier = (
-            merged.filter(F.col("new_label") < F.col("label"))
-            .select("id", F.col("new_label").alias("label"))
-            .localCheckpoint(eager=True)
+        # ONE action per superstep: checkpoint the merged (id, new, old)
+        # relation; labels/frontier/changed are cheap views over it
+        merged = ckpt.cut(merged, it)
+        new_labels = merged.select("id", F.col("new_label").alias("label"))
+        frontier = merged.filter(F.col("new_label") < F.col("label")).select(
+            "id", F.col("new_label").alias("label")
         )
         changed = frontier.count()
         metrics.append(

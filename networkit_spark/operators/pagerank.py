@@ -189,6 +189,7 @@ def pagerank(
         latest = checkpointer.latest()
         if latest is not None:
             start_iter, scores = latest
+            scores = scores.select("id", "score")  # drop carried prev col
     scores = ckpt.cut(scores, start_iter) if start_iter == 0 else scores
 
     metrics: list[dict] = []
@@ -224,8 +225,12 @@ def pagerank(
             )
             sink_contrib = factor * float(row["s"] or 0.0)
 
-        new_scores = (
+        # carry the previous score alongside so the convergence norm is a
+        # cheap shuffle-free agg over the checkpointed state (one heavy
+        # action per superstep, not two)
+        new_state = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .join(scores.select("id", F.col("score").alias("prev")), "id", "left")
             .select(
                 "id",
                 (
@@ -233,22 +238,22 @@ def pagerank(
                     + F.lit(teleport)
                     + F.lit(sink_contrib)
                 ).alias("score"),
+                "prev",
             )
         )
         iterations += 1
-        new_scores = ckpt.cut(new_scores, iterations)
+        new_state = ckpt.cut(new_state, iterations)
+        new_scores = new_state.select("id", "score")
 
         # convergence on old vs new, after sink add, before swap
         # (PageRank.cpp:53-63,93-96)
-        diff_col = scores.alias("o").join(new_scores.alias("p"), "id").select(
-            (F.col("o.score") - F.col("p.score")).alias("d")
-        )
+        d = F.col("prev") - F.col("score")
         if norm == "l2":
             delta = float(
-                diff_col.agg(F.sqrt(F.sum(F.col("d") * F.col("d")))).collect()[0][0]
+                new_state.agg(F.sqrt(F.sum(d * d))).collect()[0][0]
             )
         else:
-            delta = float(diff_col.agg(F.sum(F.abs(F.col("d")))).collect()[0][0])
+            delta = float(new_state.agg(F.sum(F.abs(d))).collect()[0][0])
         converged = iterations >= max_it or delta <= tol
         metrics.append(
             ckpt.log(

@@ -101,6 +101,8 @@ def plp(
         latest = ckpt.latest()
         if latest is not None:
             start, labels = latest
+            if "new_label" in labels.columns:  # stored merged relation
+                labels = labels.select("id", F.col("new_label").alias("label"))
     labels = ckpt.cut(labels, start) if start == 0 else labels
 
     active: DataFrame | None = None  # None = all nodes active
@@ -110,14 +112,11 @@ def plp(
         t0 = time.time()
         merged = plp_superstep(adj, labels, active)
         it += 1
-        new_labels = ckpt.cut(
-            merged.select("id", F.col("new_label").alias("label")), it
-        )
-        changed = (
-            merged.filter(F.col("new_label") != F.col("label"))
-            .select("id")
-            .localCheckpoint(eager=True)
-        )
+        # one action per superstep: checkpoint (id, label, new_label);
+        # labels / changed are cheap views over the materialized state
+        merged = ckpt.cut(merged, it)
+        new_labels = merged.select("id", F.col("new_label").alias("label"))
+        changed = merged.filter(F.col("new_label") != F.col("label")).select("id")
         n_updated = changed.count()
         metrics.append(
             ckpt.log(it, state=new_labels, updated=n_updated, wall_sec=time.time() - t0)

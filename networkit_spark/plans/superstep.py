@@ -87,6 +87,7 @@ class Checkpointer:
         self.every = max(1, every)
         self.keep = max(1, keep)
         self.partition_lineage = partition_lineage
+        self._mem_handles: list[DataFrame] = []
         if path:
             os.makedirs(os.path.join(path, "state"), exist_ok=True)
 
@@ -95,14 +96,29 @@ class Checkpointer:
         return os.path.join(self.path, "state", f"step={step}")
 
     def cut(self, df: DataFrame, step: int) -> DataFrame:
-        """Return a lineage-free equivalent of ``df``."""
+        """Return a lineage-free, re-scannable equivalent of ``df``.
+
+        In-memory mode: ``localCheckpoint`` cuts the lineage, and the
+        extra ``persist()`` wraps the checkpoint RDD in an
+        InMemoryRelation. The persist is NOT redundant: a plan that scans
+        the same localCheckpoint RDD twice (e.g. an iterative kernel
+        joining the previous state to itself) re-executes it per scan in
+        Spark 4.x, which compounds to exponential superstep times after
+        ~20 iterations; the cache layer restores O(1) scans. Handles for
+        states older than ``keep`` supersteps are unpersisted.
+        """
         if self.path and step % self.every == 0:
             target = self._step_dir(step)
             df.write.mode("overwrite").parquet(target)
             out = self.spark.read.parquet(target)
             self._gc(step)
             return out
-        return df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=True).persist()
+        out.count()
+        self._mem_handles.append(out)
+        while len(self._mem_handles) > self.keep:
+            self._mem_handles.pop(0).unpersist()
+        return out
 
     def _gc(self, newest: int) -> None:
         steps = self.completed_steps()
