@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from networkit_spark import contract as c
     from networkit_spark import contract_docs as d
+    from networkit_spark import contract_ext as e
 
     return {
         # graph kernels (SURVEY.md §2.5-2.6)
@@ -67,12 +68,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events OLAP
         "events_agg": d.q_events_agg,
         "events_top_per_user": d.q_events_top_per_user,
+        # extension set: transforms, centrality, modularity, dynamics,
+        # simhash, windowed events (contract_ext.py)
+        "graph_subgraph_compact": e.q_subgraph_compact,
+        "graph_degree_centrality": e.q_degree_centrality,
+        "graph_modularity": e.q_modularity,
+        "graph_dyn_cc": e.q_dyn_cc,
+        "dedup_simhash_sig": e.q_simhash_sig,
+        "dedup_simhash_candidates": e.q_simhash_candidates,
+        "events_window": e.q_events_window,
+        # rows-only (non-SQL-expressible: seeded hyperplanes / binary
+        # payload decode) — driver records the weaker rows-only check
+        "sim_lsh_topk": e.q_lsh_topk,
+        "multimodal_features": e.q_multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from networkit_spark import contract as c
     from networkit_spark import contract_docs as d
+    from networkit_spark import contract_ext as e
 
     return {
         "graph_degree": c.SQL_DEGREE,
@@ -97,4 +112,14 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": d.SQL_COSINE_TOPK,
         "events_agg": d.SQL_EVENTS_AGG,
         "events_top_per_user": d.SQL_EVENTS_TOP_PER_USER,
+        "graph_subgraph_compact": e.SQL_SUBGRAPH_COMPACT,
+        "graph_degree_centrality": e.SQL_DEGREE_CENTRALITY,
+        "graph_modularity": e.SQL_MODULARITY,
+        "graph_dyn_cc": e.SQL_DYN_CC,
+        "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
+        "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,
+        "events_window": e.SQL_EVENTS_WINDOW,
+        # sim_lsh_topk / multimodal_features intentionally omitted:
+        # rows-only check (seeded hyperplanes / binary decode stubs are
+        # not expressible in ANSI SQL)
     }

@@ -26,27 +26,16 @@ import numpy as np
 
 
 def build_webgraph(spark, n_nodes: int, n_edges: int, seed: int = 42):
-    """Deterministic RMAT power-law digraph -> undirected Graph."""
-    from pyspark.sql import functions as F
+    """Deterministic RMAT power-law digraph -> undirected Graph.
 
-    from networkit_spark.graph import Graph
-    from networkit_spark.sources.pages import gen_webgraph_edges
+    Generated distributedly (JVM-side hash-derived draws, no driver
+    numpy/pandas materialization) — the same path a 100 TB run takes.
+    """
+    import math
 
-    import pandas as pd
+    from networkit_spark.sources.generators import rmat_graph
 
-    arr = gen_webgraph_edges(n_nodes, n_edges, seed=seed)
-    pdf = pd.DataFrame({"src": arr[:, 0], "dst": arr[:, 1]})
-    edges = (
-        spark.createDataFrame(pdf)
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("src"),
-            F.greatest("src", "dst").alias("dst"),
-        )
-        .distinct()
-        .withColumn("weight", F.lit(1.0))
-    )
-    g = Graph(edges=edges, vertices=None, directed=False, weighted=False)
+    g = rmat_graph(spark, int(math.log2(n_nodes)), n_edges, seed=seed)
     g.edges = g.edges.localCheckpoint(eager=True)
     return g
 
@@ -119,47 +108,143 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     return out
 
 
-def run_scaling(levels=(8, 32), n_nodes=1 << 20, n_edges=1 << 24, iters=10) -> dict:
-    """Scaling needs a compute-bound graph: at 2M edges the superstep is
-    scheduling-latency-bound and extra cores measure nothing; 16M edges
-    (~33M adjacency rows/superstep) keeps all cores busy."""
+SCALING_EDGES = os.environ.get(
+    "SPARK_GRAFT_SCALING_EDGES", "/dev/shm/nk_scaling_edges"
+)
+SCALING_SCALE = 22          # 2**22 vertices
+SCALING_DRAWS = 1 << 26     # 67M RMAT draws (~64M distinct edges)
+SCALING_ITERS = 10
+SCALING_REPEATS = 3         # interleaved; median per level (noisy-VM hygiene)
+
+
+def _ensure_scaling_graph() -> None:
+    """Generate + canonicalize the scaling edge table ONCE (seeded,
+    deterministic) and share it via parquet: every level reads
+    byte-identical input and the generation cost is not re-paid."""
+    if os.path.exists(os.path.join(SCALING_EDGES, "_SUCCESS")):
+        return
     from networkit_spark.session import get_spark
 
+    spark = get_spark(
+        app_name="bench_scaling_gen", master="local[32]", shuffle_partitions=64
+    )
+    g = build_webgraph(spark, 1 << SCALING_SCALE, SCALING_DRAWS)
+    g.edges.write.mode("overwrite").parquet(SCALING_EDGES)
+    spark.stop()
+
+
+def run_scaling_level(cpus: int, iters: int = SCALING_ITERS) -> dict:
+    """One parallelism level, meant to run in a FRESH process pinned to
+    ``cpus`` CPUs (sched_setaffinity below; the JVM inherits it), so GC /
+    shuffle / netty threads are confined exactly like on an N-core
+    executor host — without pinning, a local[8] JVM quietly borrows all
+    32 CPUs for its service threads and the comparison is dishonest.
+
+    Steady-state protocol: one PageRank run, per-superstep wall times
+    from the checkpointer metrics, first 2 supersteps (JIT warmup + lazy
+    cache fills) discarded. The one-time flow normalization/repartition
+    is graph *loading*, amortized over a whole convergence run on a real
+    cluster, so the metric is steady-state superstep throughput.
+    """
+    try:
+        os.sched_setaffinity(0, range(cpus))
+    except (AttributeError, OSError):
+        pass  # non-Linux; proceed unpinned
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    g = Graph(
+        edges=spark.read.parquet(SCALING_EDGES),
+        vertices=None,
+        directed=False,
+        weighted=False,
+    )
+    m = g.number_of_edges()
+    res = pagerank(g, max_iterations=iters + 2, tol=0.0)
+    walls = [mt["wall_sec"] for mt in res.info.metrics][2:]
+    sec = sum(walls)
+    spark.stop()
+    return {
+        "wall_sec": round(sec, 3),
+        "superstep_sec": round(sec / len(walls), 3),
+        "edges_per_sec": round(len(walls) * 2 * m / sec),
+        "edges": m,
+    }
+
+
+def run_scaling(
+    levels=(8, 32), iters: int = SCALING_ITERS, repeats: int = SCALING_REPEATS
+) -> dict:
+    """BASELINE.md protocol: same job, same input, two parallelism
+    levels (sandbox stand-in for N vs 4N executors), each level a fresh
+    CPU-pinned subprocess; efficiency = thr(4N) / (4 x thr(N)).
+
+    Levels are run INTERLEAVED `repeats` times and the per-level median
+    throughput is used — this box is a VM with visible minute-scale
+    noisy-neighbor variance, and interleaving decorrelates it from the
+    level being measured."""
+    import statistics
+    import subprocess
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    _ensure_scaling_graph()
+
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    here = os.path.abspath(__file__)
+    for _ in range(repeats):
+        for cpus in levels:
+            proc = subprocess.run(
+                [sys.executable, here, "--scaling-level", str(cpus), str(iters)],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(here),
+                env=os.environ,
+            )
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
     results = {}
     for cpus in levels:
-        spark = get_spark(
-            app_name=f"bench_scaling_{cpus}",
-            master=f"local[{cpus}]",
-            shuffle_partitions=cpus,
-        )
-        g = build_webgraph(spark, n_nodes, n_edges)
-        m = g.number_of_edges()
-        # warmup superstep (JIT + shuffle file init)
-        pagerank_job(spark, g, 1)
-        sec, _ = timed(lambda: pagerank_job(spark, g, iters))
+        thr = [r["edges_per_sec"] for r in runs[cpus]]
+        med = statistics.median(thr)
         results[cpus] = {
-            "wall_sec": round(sec, 3),
-            "edges_per_sec": round(iters * 2 * m / sec),
+            "edges_per_sec": med,
+            "edges_per_sec_runs": thr,
+            "superstep_sec_runs": [r["superstep_sec"] for r in runs[cpus]],
+            "edges": runs[cpus][0]["edges"],
         }
-        spark.stop()
     lo, hi = min(levels), max(levels)
     eff = results[hi]["edges_per_sec"] / (
         (hi / lo) * results[lo]["edges_per_sec"]
     )
     return {
-        "metric": f"PageRank scaling local[{lo}] -> local[{hi}]",
+        "metric": f"PageRank scaling local[{lo}] -> local[{hi}] (CPU-pinned)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "levels": results,
         "scaling_efficiency": round(eff, 3),
-        "graph": {"nodes": n_nodes, "edges": n_edges, "iters": iters},
+        "graph": {
+            "nodes": 1 << SCALING_SCALE,
+            "gen_draws": SCALING_DRAWS,
+            "iters": iters,
+        },
     }
 
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-level" in sys.argv:
+        i = sys.argv.index("--scaling-level")
+        n = int(sys.argv[i + 1])
+        it = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else SCALING_ITERS
+        print(json.dumps(run_scaling_level(n, it)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_headline(sf_dir, cpus)))

@@ -1,0 +1,318 @@
+"""Driver-contract queries, extension set: graph transforms, degree
+centrality, modularity, dynamic updates, SimHash, windowed events, and
+the rows-only (non-SQL-expressible) operators (LSH ANN, multimodal).
+
+Same cross-engine determinism rules as contract.py / contract_docs.py:
+md5 for hashing, integer arithmetic for anything order-sensitive,
+terminal ROUND(..,6) on doubles, explicit tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from networkit_spark.contract import GRAPH_CTES, load_graph
+
+# ---------------------------------------------------------------------------
+# GraphTools: induced subgraph + dense-id compaction (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+def q_subgraph_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.graphtools import subgraph_from_nodes
+
+    g = load_graph(spark, sf_dir)
+    nodes = g.nodes().filter(F.col("id") % 7 == 0)
+    sub = subgraph_from_nodes(g, nodes, compact=True)
+    return sub.edges.select("src", "dst").orderBy("src", "dst")
+
+
+SQL_SUBGRAPH_COMPACT = f"""
+WITH {GRAPH_CTES},
+ns AS (SELECT id FROM nodes WHERE id % 7 = 0),
+se AS (
+  SELECT src, dst FROM edges
+  WHERE src IN (SELECT id FROM ns) AND dst IN (SELECT id FROM ns)
+),
+m AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS new_id FROM ns)
+SELECT ms.new_id AS src, md.new_id AS dst
+FROM se JOIN m ms ON ms.id = se.src JOIN m md ON md.id = se.dst
+ORDER BY src, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# DegreeCentrality (SURVEY.md §2.6; DegreeCentrality.cpp:16-40)
+# ---------------------------------------------------------------------------
+
+def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import degree_centrality, ranking
+
+    g = load_graph(spark, sf_dir)
+    scores = degree_centrality(g, normalized=True)
+    return ranking(scores, 30).select("id", F.round("score", 6).alias("score"))
+
+
+SQL_DEGREE_CENTRALITY = f"""
+WITH {GRAPH_CTES}
+SELECT id, ROUND(degree / (SELECT MAX(degree) * 1.0 FROM deg), 6) AS score
+FROM deg ORDER BY degree / (SELECT MAX(degree) * 1.0 FROM deg) DESC, id ASC
+LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the connected-components clustering (Modularity.cpp:23-60)
+# ---------------------------------------------------------------------------
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.coarsening import modularity
+    from networkit_spark.operators.components import connected_components
+
+    g = load_graph(spark, sf_dir)
+    labels, _ = connected_components(g)
+    q = modularity(g, labels)
+    return spark.createDataFrame([(float(q),)], "q double").select(
+        F.round("q", 6).alias("modularity")
+    )
+
+
+SQL_MODULARITY = f"""
+WITH RECURSIVE {GRAPH_CTES},
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM reach r JOIN adj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+),
+cc AS (SELECT id, MIN(lbl) AS label FROM reach GROUP BY id),
+m AS (SELECT COUNT(*) * 1.0 AS m FROM edges),
+intra AS (
+  SELECT COUNT(*) * 1.0 AS w FROM edges e
+  JOIN cc cs ON cs.id = e.src JOIN cc cd ON cd.id = e.dst
+  WHERE cs.label = cd.label
+),
+vol AS (
+  SELECT cc.label, SUM(deg.degree) * 1.0 AS v
+  FROM cc JOIN deg ON deg.id = cc.id GROUP BY cc.label
+)
+SELECT ROUND((SELECT w FROM intra) / (SELECT m FROM m)
+           - (SELECT SUM(v * v) FROM vol) / POWER(2 * (SELECT m FROM m), 2),
+       6) AS modularity
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dynamic updates: GraphEvent batch -> connected components
+# (SURVEY.md §2.8; GraphEvent.hpp:21-30)
+# ---------------------------------------------------------------------------
+
+def q_dyn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.streaming.dynamics import apply_events
+
+    g = load_graph(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    adds = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.lit("EDGE_ADDITION").alias("type"),
+            (F.col("o_orderkey") * 13 + 5) % 997,
+            (F.col("o_orderkey") * 29 + 11) % 997,
+        )
+        .toDF("type", "u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .withColumn("w", F.lit(1.0))
+    )
+    removes = (
+        g.edges.filter((F.col("src") + F.col("dst")) % 7 == 0)
+        .select(
+            F.lit("EDGE_REMOVAL").alias("type"),
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.lit(None).cast("double").alias("w"),
+        )
+    )
+    g2 = apply_events(g, adds.unionByName(removes))
+    labels, _ = connected_components(g2)
+    return labels.orderBy("id")
+
+
+SQL_DYN_CC = f"""
+WITH RECURSIVE {GRAPH_CTES},
+adds AS (
+  SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM (
+    SELECT (o_orderkey * 13 + 5) % 997 AS u,
+           (o_orderkey * 29 + 11) % 997 AS v
+    FROM orders WHERE o_orderkey % 10 = 0
+  ) WHERE u <> v
+),
+removed AS (SELECT src, dst FROM edges WHERE (src + dst) % 7 = 0),
+ne AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM edges UNION SELECT src, dst FROM adds
+  ) u WHERE NOT EXISTS (
+    SELECT 1 FROM removed r WHERE r.src = u.src AND r.dst = u.dst
+  )
+),
+nadj AS (
+  SELECT src, dst FROM ne UNION ALL SELECT dst AS src, src AS dst FROM ne
+),
+nnodes AS (SELECT DISTINCT src AS id FROM nadj),
+reach(id, lbl) AS (
+  SELECT id, id FROM nnodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM reach r JOIN nadj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+)
+SELECT id, MIN(lbl) AS label FROM reach GROUP BY id ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + Hamming-band candidates (SURVEY-extension dedup)
+# ---------------------------------------------------------------------------
+
+def _simhash_sig_sql() -> str:
+    votes = ",\n         ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hex, {pos}, 1)) - 1)"
+        " >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}".format(
+            pos=1 + j // 4, sh=j % 4, j=j
+        )
+        for j in range(63)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+        for j in range(63)
+    )
+    return f"""
+tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+    FROM documents
+  )
+),
+h AS (SELECT doc_id, md5(tok) AS hex FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
+""".strip()
+
+
+def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.functions.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+SQL_SIMHASH_SIG = (
+    f"WITH {_simhash_sig_sql()} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
+)
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.functions.dedup import simhash_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_candidates(docs, max_hamming=8, bands=4).orderBy("a", "b")
+
+
+SQL_SIMHASH_CANDIDATES = f"""
+WITH {_simhash_sig_sql()},
+buckets AS (
+  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 32767 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, (simhash >> 15) & 32767 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 2 AS band, (simhash >> 30) & 32767 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 3 AS band, (simhash >> 45) & 32767 AS bucket FROM sig
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM buckets x
+JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+              AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregation (batch form of the Structured
+# Streaming windowed agg; window start serialized as a string so the
+# cross-engine hash is timezone-representation-proof)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle; the driver records the weaker
+# rows-only check): LSH ANN over embeddings, multimodal feature plumbing
+# ---------------------------------------------------------------------------
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucketed candidate join re-ranked
+    by exact cosine. Not SQL-expressible (seeded gaussian hyperplanes)."""
+    from networkit_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, k=3).orderBy("query_id", "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media -> mapInPandas feature extraction ->
+    per-kind summary. The decode step is a documented stub; the
+    Spark-side plumbing (schema, Arrow batches, partitioning) is real."""
+    from networkit_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        gen_media_pdf,
+    )
+
+    media = spark.createDataFrame(gen_media_pdf(256, seed=7), schema=MEDIA_SCHEMA)
+    feats = extract_features(media, decode_stub=True)
+    return (
+        feats.select(
+            "media_id",
+            "kind",
+            F.round(
+                F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("feat_sum"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("feat_sum"), 4).alias("total"),
+        )
+        .orderBy("kind")
+    )

@@ -139,6 +139,7 @@ def pagerank(
     resume: bool = False,
     num_blocks: int = 32,
     salt: int = 1,
+    unroll: int = 1,
 ) -> PageRankResult:
     """Run PageRank to convergence. Defaults match the reference
     (PageRank.hpp:61-62: damp=0.85, tol=1e-8, L2, no sink handling,
@@ -197,17 +198,81 @@ def pagerank(
     converged = False
     max_it = max_iterations if max_iterations is not None else 2**31
 
+    # fast path: with a non-positive tolerance AND a fixed iteration count
+    # the convergence norm can never stop the loop early, so the
+    # prev-score carry (a per-superstep O(n) shuffle join) and the delta
+    # aggregation (a per-superstep driver action) are dead work
+    track_delta = not (tol <= 0.0 and max_iterations is not None)
+    # undirected graphs with derived vertices: every node is incident to
+    # an edge, hence appears as a dst in the symmetric adjacency — the
+    # left-join against `nodes` (one more O(n) shuffle per superstep)
+    # only exists to give isolated vertices their teleport mass
+    need_nodes_join = g.directed or g.vertices is not None
+
     if salt > 1:
         salt_ids = spark.range(salt).select(F.col("id").cast("int").alias("salt"))
 
+    # superstep unrolling (fast path only): fuse `unroll` supersteps into
+    # ONE job — the intermediate O(n) states live purely in lineage, so
+    # per-job fixed costs (AQE stage barriers, task launch, checkpoint
+    # job) are paid once per `unroll` supersteps instead of once per
+    # superstep. Results are bit-identical to the step-at-a-time loop
+    # (same synchronous Jacobi chain, intermediate states simply not
+    # observable); only available when no per-step driver decision is
+    # needed (fixed iteration count, no sink semi-join, no delta).
+    can_unroll = (
+        unroll > 1
+        and engine != "csr"
+        and salt == 1
+        and not track_delta
+        and not need_nodes_join
+        and not (handle_sinks and n_sinks > 0)
+    )
+
     while not converged:
         t0 = time.time()
+        if can_unroll:
+            steps = max(1, min(unroll, max_it - iterations))
+            cur = scores
+            for _ in range(steps):
+                j = cur.hint("shuffle_hash").join(flow, cur.id == flow.src)
+                c = j.groupBy("dst").agg(
+                    F.sum(F.col("score") * F.col("frac")).alias("mass")
+                )
+                cur = c.select(
+                    F.col("dst").alias("id"),
+                    (
+                        F.lit(damp) * F.col("mass") + F.lit(teleport)
+                    ).alias("score"),
+                )
+            iterations += steps
+            new_scores = ckpt.cut(cur, iterations)
+            converged = iterations >= max_it
+            metrics.append(
+                ckpt.log(
+                    iterations,
+                    state=new_scores,
+                    delta=float("nan"),
+                    norm=norm,
+                    sink_contrib=0.0,
+                    wall_sec=time.time() - t0,
+                    engine=engine,
+                    unrolled_steps=steps,
+                )
+            )
+            scores = new_scores
+            continue
         if engine == "csr":
             contribs = _csr_contribs(flow, scores, num_blocks)
         else:
-            s = scores
+            # shuffle_hash hint: at web scale the O(n) score table can
+            # never be broadcast, and a broadcast build is also serial
+            # driver work repeated every superstep; SHJ shuffles only the
+            # score side (flow keeps its cached src-partitioning) and
+            # builds the per-partition maps in parallel
+            s = scores.hint("shuffle_hash")
             if salt > 1:
-                s = s.crossJoin(F.broadcast(salt_ids))
+                s = s.crossJoin(F.broadcast(salt_ids)).hint("shuffle_hash")
                 joined = s.join(flow, (s.id == flow.src) & (s.salt == flow.salt))
             else:
                 joined = s.join(flow, s.id == flow.src)
@@ -225,35 +290,40 @@ def pagerank(
             )
             sink_contrib = factor * float(row["s"] or 0.0)
 
-        # carry the previous score alongside so the convergence norm is a
-        # cheap shuffle-free agg over the checkpointed state (one heavy
-        # action per superstep, not two)
-        new_state = (
-            nodes.join(contribs, nodes.id == contribs.dst, "left")
-            .join(scores.select("id", F.col("score").alias("prev")), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
-                    + F.lit(teleport)
-                    + F.lit(sink_contrib)
-                ).alias("score"),
-                "prev",
-            )
-        )
+        new_score = (
+            F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
+            + F.lit(teleport)
+            + F.lit(sink_contrib)
+        ).alias("score")
+        if need_nodes_join:
+            base = nodes.join(contribs, nodes.id == contribs.dst, "left")
+        else:
+            base = contribs.select(F.col("dst").alias("id"), "mass")
+        if track_delta:
+            # carry the previous score alongside so the convergence norm
+            # is a cheap shuffle-free agg over the checkpointed state
+            # (one heavy action per superstep, not two)
+            new_state = base.join(
+                scores.select("id", F.col("score").alias("prev")), "id", "left"
+            ).select("id", new_score, "prev")
+        else:
+            new_state = base.select("id", new_score)
         iterations += 1
         new_state = ckpt.cut(new_state, iterations)
         new_scores = new_state.select("id", "score")
 
         # convergence on old vs new, after sink add, before swap
         # (PageRank.cpp:53-63,93-96)
-        d = F.col("prev") - F.col("score")
-        if norm == "l2":
-            delta = float(
-                new_state.agg(F.sqrt(F.sum(d * d))).collect()[0][0]
-            )
+        if track_delta:
+            d = F.col("prev") - F.col("score")
+            if norm == "l2":
+                delta = float(
+                    new_state.agg(F.sqrt(F.sum(d * d))).collect()[0][0]
+                )
+            else:
+                delta = float(new_state.agg(F.sum(F.abs(d))).collect()[0][0])
         else:
-            delta = float(new_state.agg(F.sum(F.abs(d))).collect()[0][0])
+            delta = float("nan")
         converged = iterations >= max_it or delta <= tol
         metrics.append(
             ckpt.log(

@@ -113,8 +113,12 @@ class Checkpointer:
             out = self.spark.read.parquet(target)
             self._gc(step)
             return out
+        # eager localCheckpoint already ran the superstep job and stored
+        # the blocks; persist() is left LAZY — the cache (which guards
+        # against per-scan re-execution of checkpoint scans) fills during
+        # the next superstep's first scan instead of costing a dedicated
+        # count() job here
         out = df.localCheckpoint(eager=True).persist()
-        out.count()
         self._mem_handles.append(out)
         while len(self._mem_handles) > self.keep:
             self._mem_handles.pop(0).unpersist()

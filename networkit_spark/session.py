@@ -32,6 +32,13 @@ def get_spark(
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
         shuffle_partitions = os.cpu_count() or 8 if inner == "*" else int(inner)
 
+    # shuffle/spill dirs: prefer tmpfs when present (sandbox stand-in for
+    # the local NVMe a real executor would have — keeps shuffle I/O from
+    # confounding CPU-scaling measurements); honor SPARK_LOCAL_DIRS.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -46,6 +53,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative kernels join O(n) scores against the pre-partitioned
+        # O(m) adjacency every superstep; a sort-merge join would re-sort
+        # the big side per iteration, a shuffled hash join only builds a
+        # per-partition map over the small side
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.local.dir", local_dir or "/tmp")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
