@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_centrality": e.q_degree_centrality,
         "graph_modularity": e.q_modularity,
         "graph_dyn_cc": e.q_dyn_cc,
+        "graph_eigenvector": e.q_eigenvector,
+        "graph_katz": e.q_katz,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
         "events_window": e.q_events_window,
@@ -116,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_centrality": e.SQL_DEGREE_CENTRALITY,
         "graph_modularity": e.SQL_MODULARITY,
         "graph_dyn_cc": e.SQL_DYN_CC,
+        "graph_eigenvector": e.SQL_EIGENVECTOR,
+        "graph_katz": e.SQL_KATZ,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,
         "events_window": e.SQL_EVENTS_WINDOW,

@@ -33,6 +33,14 @@ base AS (
   SELECT DISTINCT (o_orderkey % {N_MOD}) AS u,
                   ((o_orderkey * 31 + 7) % {N_MOD}) AS v
   FROM orders
+  UNION
+  SELECT DISTINCT (o_orderkey % {N_MOD}) AS u,
+                  ((o_orderkey * 57 + 13) % {N_MOD}) AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION
+  SELECT DISTINCT ((o_orderkey * 17 + 3) % {N_MOD}) AS u,
+                  ((o_orderkey * 43 + 11) % {N_MOD}) AS v
+  FROM orders WHERE o_orderkey % 3 = 0
 ),
 edges AS (
   SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst
@@ -52,10 +60,22 @@ def load_graph(spark: SparkSession, sf_dir: str) -> Graph:
     """Spark-side construction, expression-for-expression the same as
     GRAPH_CTES."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    base = orders.select(
-        (F.col("o_orderkey") % N_MOD).alias("u"),
-        ((F.col("o_orderkey") * 31 + 7) % N_MOD).alias("v"),
-    ).distinct()
+    k = F.col("o_orderkey")
+    base = (
+        orders.select((k % N_MOD).alias("u"), ((k * 31 + 7) % N_MOD).alias("v"))
+        .unionByName(
+            orders.filter(k % 2 == 0).select(
+                (k % N_MOD).alias("u"), ((k * 57 + 13) % N_MOD).alias("v")
+            )
+        )
+        .unionByName(
+            orders.filter(k % 3 == 0).select(
+                ((k * 17 + 3) % N_MOD).alias("u"),
+                ((k * 43 + 11) % N_MOD).alias("v"),
+            )
+        )
+        .distinct()
+    )
     edges = (
         base.filter(F.col("u") != F.col("v"))
         .select(

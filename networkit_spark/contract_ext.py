@@ -50,14 +50,13 @@ def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = load_graph(spark, sf_dir)
     scores = degree_centrality(g, normalized=True)
-    return ranking(scores, 30).select("id", F.round("score", 6).alias("score"))
+    return ranking(scores).select("id", F.round("score", 6).alias("score"))
 
 
 SQL_DEGREE_CENTRALITY = f"""
 WITH {GRAPH_CTES}
 SELECT id, ROUND(degree / (SELECT MAX(degree) * 1.0 FROM deg), 6) AS score
 FROM deg ORDER BY degree / (SELECT MAX(degree) * 1.0 FROM deg) DESC, id ASC
-LIMIT 30
 """
 
 
@@ -66,11 +65,13 @@ LIMIT 30
 # ---------------------------------------------------------------------------
 
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity::getQuality over the degree-class clustering (label =
+    degree) — deterministic, iteration-free, and non-degenerate on the
+    contract graph (the CC clustering is a single component, Q=0)."""
     from networkit_spark.operators.coarsening import modularity
-    from networkit_spark.operators.components import connected_components
 
     g = load_graph(spark, sf_dir)
-    labels, _ = connected_components(g)
+    labels = g.degrees().select("id", F.col("degree").alias("label"))
     q = modularity(g, labels)
     return spark.createDataFrame([(float(q),)], "q double").select(
         F.round("q", 6).alias("modularity")
@@ -78,15 +79,8 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MODULARITY = f"""
-WITH RECURSIVE {GRAPH_CTES},
-reach(id, lbl) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT a.dst AS id, r.lbl
-  FROM reach r JOIN adj a ON a.src = r.id
-  WHERE r.lbl < a.dst
-),
-cc AS (SELECT id, MIN(lbl) AS label FROM reach GROUP BY id),
+WITH {GRAPH_CTES},
+cc AS (SELECT id, degree AS label FROM deg),
 m AS (SELECT COUNT(*) * 1.0 AS m FROM edges),
 intra AS (
   SELECT COUNT(*) * 1.0 AS w FROM edges e
@@ -316,3 +310,90 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector / Katz centrality (SURVEY.md §2.6 orbit; power-iteration
+# kernels sharing the PageRank superstep machinery)
+# ---------------------------------------------------------------------------
+
+EIG_ITERS = 5
+KATZ_ITERS = 5
+KATZ_ALPHA = 0.05
+KATZ_BETA = 0.1
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import eigenvector_centrality
+
+    g = load_graph(spark, sf_dir)
+    x = eigenvector_centrality(g, max_iterations=EIG_ITERS, tol=0.0)
+    return x.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _eigenvector_sql(iters: int = EIG_ITERS) -> str:
+    steps = [
+        "x0 AS (SELECT id, 1.0 / sqrt((SELECT COUNT(*) FROM nodes)) AS score"
+        " FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""y{i} AS (
+  SELECT n.id, COALESCE(m.mass, 0.0) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT a.dst AS id, SUM(p.score) AS mass
+    FROM adj a JOIN x{i - 1} p ON p.id = a.src
+    GROUP BY a.dst
+  ) m ON m.id = n.id
+),
+x{i} AS (
+  SELECT id, score / (SELECT sqrt(SUM(score * score)) FROM y{i}) AS score
+  FROM y{i}
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, ROUND(score, 6) AS score FROM x{iters} ORDER BY id"
+    )
+
+
+SQL_EIGENVECTOR = _eigenvector_sql()
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import katz_centrality
+
+    g = load_graph(spark, sf_dir)
+    x = katz_centrality(
+        g, alpha=KATZ_ALPHA, beta=KATZ_BETA, max_iterations=KATZ_ITERS, tol=0.0
+    )
+    return x.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _katz_sql(iters: int = KATZ_ITERS) -> str:
+    steps = ["k0 AS (SELECT id, 0.0 AS score FROM nodes)"]
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""k{i} AS (
+  SELECT n.id,
+         CAST({KATZ_ALPHA} AS DOUBLE) * COALESCE(m.mass, CAST(0 AS DOUBLE))
+         + CAST({KATZ_BETA} AS DOUBLE) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT a.dst AS id, SUM(p.score) AS mass
+    FROM adj a JOIN k{i - 1} p ON p.id = a.src
+    GROUP BY a.dst
+  ) m ON m.id = n.id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT id,
+       ROUND(score / (SELECT sqrt(SUM(score * score)) FROM k{iters}), 6) AS score
+FROM k{iters} ORDER BY id"""
+    )
+
+
+SQL_KATZ = _katz_sql()

@@ -48,3 +48,124 @@ def centralization(g: Graph, scores: DataFrame) -> float:
     if n <= 1 or mx == 0:
         return 0.0
     return (n * mx - s) / ((n - 1) * mx)
+
+
+def _power_iteration_gather(adj: DataFrame, x: DataFrame) -> DataFrame:
+    """One gather step y = A x over the (symmetric for undirected)
+    adjacency view: y[u] = sum_{(v,u)} w * x[v]."""
+    return (
+        x.hint("shuffle_hash")
+        .join(adj, x.id == adj.src)
+        .groupBy("dst")
+        .agg(F.sum(F.col("score") * F.col("weight")).alias("mass"))
+        .select(F.col("dst").alias("id"), F.col("mass").alias("score"))
+    )
+
+
+def eigenvector_centrality(
+    g: Graph, max_iterations: int = 50, tol: float = 0.0
+) -> DataFrame:
+    """(id, score) — power iteration on the adjacency matrix with L2
+    renormalization each step (reference: networkit/cpp/centrality/
+    EigenvectorCentrality.cpp — power method, scores normalized so the
+    L2 norm is 1; nodes receiving no mass score 0).
+
+    Deterministic contract: init x = 1/sqrt(n) for every node, exactly
+    ``max_iterations`` gather+normalize steps when tol<=0.
+    """
+    from networkit_spark.plans.superstep import Checkpointer, materialize_partitioned
+
+    spark = g.edges.sparkSession
+    ckpt = Checkpointer(spark)
+    adj = materialize_partitioned(
+        (g.adj() if not g.directed else g.edges).select("src", "dst", "weight"),
+        "src",
+    )
+    nodes = g.nodes().localCheckpoint(eager=True)
+    n = nodes.count()
+    import math
+
+    x = nodes.select("id", F.lit(1.0 / math.sqrt(n)).alias("score"))
+    x = ckpt.cut(x, 0)
+    for it in range(1, max_iterations + 1):
+        y = _power_iteration_gather(adj, x)
+        # keep zero-mass nodes in the vector (score 0) so the id set is stable
+        y = (
+            nodes.join(y, "id", "left")
+            .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+        )
+        norm = float(
+            y.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
+            or 1.0
+        )
+        x_new = y.select("id", (F.col("score") / F.lit(norm)).alias("score"))
+        x_new = ckpt.cut(x_new, it)
+        if tol > 0:
+            d = (
+                x_new.join(x.select("id", F.col("score").alias("prev")), "id")
+                .agg(F.max(F.abs(F.col("score") - F.col("prev"))))
+                .collect()[0][0]
+            )
+            x = x_new
+            if float(d) <= tol:
+                break
+        else:
+            x = x_new
+    adj.unpersist()
+    return x
+
+
+def katz_centrality(
+    g: Graph,
+    alpha: float = 5e-4,
+    beta: float = 0.1,
+    max_iterations: int = 50,
+    tol: float = 0.0,
+    normalized: bool = True,
+) -> DataFrame:
+    """(id, score) — Katz centrality x_{k+1} = alpha * A^T x_k + beta,
+    x_0 = 0 (reference: networkit/cpp/centrality/KatzCentrality.cpp —
+    edgeDirection=ALL_EDGES for undirected; final L2 normalization).
+    Fixed ``max_iterations`` sweeps when tol<=0."""
+    from networkit_spark.plans.superstep import Checkpointer, materialize_partitioned
+
+    spark = g.edges.sparkSession
+    ckpt = Checkpointer(spark)
+    adj = materialize_partitioned(
+        (g.adj() if not g.directed else g.edges).select("src", "dst", "weight"),
+        "src",
+    )
+    nodes = g.nodes().localCheckpoint(eager=True)
+    x = nodes.select("id", F.lit(0.0).alias("score"))
+    x = ckpt.cut(x, 0)
+    for it in range(1, max_iterations + 1):
+        y = _power_iteration_gather(adj, x)
+        x_new = (
+            nodes.join(y, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(alpha) * F.coalesce("score", F.lit(0.0)) + F.lit(beta)
+                ).alias("score"),
+            )
+        )
+        x_new = ckpt.cut(x_new, it)
+        if tol > 0:
+            d = (
+                x_new.join(x.select("id", F.col("score").alias("prev")), "id")
+                .agg(F.max(F.abs(F.col("score") - F.col("prev"))))
+                .collect()[0][0]
+            )
+            x = x_new
+            if float(d) <= tol:
+                break
+        else:
+            x = x_new
+    adj.unpersist()
+    if normalized:
+        norm = float(
+            x.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
+            or 1.0
+        )
+        x = x.select("id", (F.col("score") / F.lit(norm)).alias("score"))
+    return x
