@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from networkit_spark.operators.pagerank import pagerank
 
     g = load_graph(spark, "/root/testdata/sf0.001")
-    res = pagerank(g, max_iterations=10, tol=0.0)
+    res = pagerank(g, max_iterations=10, tol=0.0, unroll=5)
     deg = g.degrees().select("id", "degree")
     return (
         res.scores.join(deg, "id")
@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_cc": e.q_dyn_cc,
         "graph_eigenvector": e.q_eigenvector,
         "graph_katz": e.q_katz,
+        "graph_kcore": e.q_kcore,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
         "events_window": e.q_events_window,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_cc": e.SQL_DYN_CC,
         "graph_eigenvector": e.SQL_EIGENVECTOR,
         "graph_katz": e.SQL_KATZ,
+        "graph_kcore": e.SQL_KCORE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,
         "events_window": e.SQL_EVENTS_WINDOW,

@@ -6,10 +6,13 @@ bit-identical across Spark SQL and DuckDB (integer modulo, md5,
 least/greatest, IEEE double ops with terminal rounding), so the
 order-insensitive value-hash comparison is exact.
 
-The link graph for kernel queries is synthesized from ``orders``:
-    u = o_orderkey % 997,  v = (o_orderkey * 31 + 7) % 997
-undirected-canonicalized, deduped, self-loops dropped — a dense-ish
-~997-node graph with skewed degrees, the same shape at every sf.
+The link graph for kernel queries is synthesized from ``orders`` by
+three affine generators over Z_997 (k -> 31k+7 for all orders, k ->
+57k+13 for even keys, 17k+3 -> 43k+11 for keys divisible by 3),
+undirected-canonicalized, deduped, self-loops dropped — a 997-node
+graph with degree spread (2..6 at sf0.001, denser at larger sf), the
+same construction at every sf. A single generator would make the graph
+2-regular and every degree-sensitive kernel's oracle vacuous.
 """
 
 from __future__ import annotations
@@ -194,7 +197,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.pagerank import pagerank
 
     g = load_graph(spark, sf_dir)
-    res = pagerank(g, damp=DAMP, tol=0.0, max_iterations=PR_ITERS)
+    res = pagerank(g, damp=DAMP, tol=0.0, max_iterations=PR_ITERS, unroll=5)
     return res.scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
 
 

@@ -397,3 +397,41 @@ FROM k{iters} ORDER BY id"""
 
 
 SQL_KATZ = _katz_sql()
+
+
+# ---------------------------------------------------------------------------
+# Core decomposition (SURVEY.md §2.6; CoreDecomposition.cpp) — h-index
+# iteration, fixed 4 rounds for the cross-engine oracle
+# ---------------------------------------------------------------------------
+
+KCORE_ITERS = 4
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.kcore import core_decomposition
+
+    g = load_graph(spark, sf_dir)
+    cores, _ = core_decomposition(g, max_iterations=KCORE_ITERS)
+    return cores.orderBy("id")
+
+
+def _kcore_sql(iters: int = KCORE_ITERS) -> str:
+    steps = ["c0 AS (SELECT id, degree AS value FROM deg)"]
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT id, MAX(LEAST(rk, nv)) AS value FROM (
+    SELECT a.dst AS id, p.value AS nv,
+           ROW_NUMBER() OVER (PARTITION BY a.dst ORDER BY p.value DESC) AS rk
+    FROM adj a JOIN c{i - 1} p ON p.id = a.src
+  ) t GROUP BY id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, value AS core FROM c{iters} ORDER BY id"
+    )
+
+
+SQL_KCORE = _kcore_sql()

@@ -1,0 +1,112 @@
+"""Core decomposition (k-core / coreness) — distributed h-index iteration.
+
+Reference: /root/reference/networkit/cpp/centrality/CoreDecomposition.cpp
+(bucket-queue peeling, inherently sequential) and its Python wrapper
+(networkit/centrality.pyx, CoreDecomposition). The sequential peeling
+order does not distribute; instead we use the locality-only formulation
+of Lu, Zhang, Ding, Zhou & Stanley ("H-index and coreness of networks",
+Scientific Reports 6, 2016): start with c0(v) = degree(v) and iterate
+
+    c_{k+1}(v) = H({ c_k(u) : u in N(v) })
+
+where H is the h-index (the largest h such that at least h neighbors
+have value >= h). The sequence is monotone non-increasing and converges
+to the exact core number of every vertex in at most O(diameter-ish)
+rounds — small on web graphs. Each round is one join + one windowed
+aggregation over the adjacency: pure DataFrame ops, no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import (
+    Checkpointer,
+    SuperstepResult,
+    materialize_partitioned,
+)
+
+
+def _h_index_round(adj: DataFrame, values: DataFrame) -> DataFrame:
+    """One h-index sweep: for every node, the h-index of its neighbors'
+    current values. h = max over the desc-sorted neighbor values v_1 >=
+    v_2 >= ... of min(rank_i, v_i)."""
+    neigh = (
+        values.hint("shuffle_hash")
+        .join(adj, values.id == adj.src)
+        .select(F.col("dst").alias("id"), F.col("value").alias("nv"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("nv"))
+    ranked = neigh.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("id").agg(
+        F.max(F.least(F.col("rk"), F.col("nv"))).alias("value")
+    )
+
+
+def core_decomposition(
+    g: Graph,
+    max_iterations: int | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """(id, core) core numbers + superstep info.
+
+    With ``max_iterations=None`` iterates to the exact fixpoint
+    (converged when no value changes — matches the reference's core
+    numbers exactly); a fixed ``max_iterations`` gives the deterministic
+    k-round h-index approximation (used by the cross-engine oracle).
+    Self-loops are ignored, mirroring CoreDecomposition's
+    simple-graph requirement.
+    """
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    gg = g.remove_self_loops()
+    adj = materialize_partitioned(
+        (gg.adj() if not gg.directed else gg.edges).select("src", "dst"), "src"
+    )
+    values = gg.degrees().select("id", F.col("degree").cast("long").alias("value"))
+    values = ckpt.cut(values, 0)
+
+    metrics: list[dict] = []
+    it = 0
+    fixed = max_iterations is not None
+    while True:
+        t0 = time.time()
+        new_vals = _h_index_round(adj, values)
+        # nodes is stable (every node has a neighbor in the adjacency
+        # view), but keep a defensive left join for isolated vertices
+        if gg.vertices is not None:
+            new_vals = (
+                gg.nodes()
+                .join(new_vals, "id", "left")
+                .select("id", F.coalesce("value", F.lit(0)).alias("value"))
+            )
+        it += 1
+        if fixed:
+            new_state = ckpt.cut(new_vals, it)
+            changed = 0
+        else:
+            carried = new_vals.join(
+                values.select("id", F.col("value").alias("prev")), "id", "left"
+            )
+            carried = ckpt.cut(carried, it)
+            new_state = carried.select("id", "value")
+            changed = carried.filter(F.col("value") != F.col("prev")).count()
+        metrics.append(
+            ckpt.log(it, state=new_state, changed=changed, wall_sec=time.time() - t0)
+        )
+        values = new_state
+        if fixed:
+            if it >= max_iterations:
+                break
+        elif changed == 0:
+            break
+    adj.unpersist()
+    return (
+        values.select("id", F.col("value").alias("core")),
+        SuperstepResult(iterations=it, metrics=metrics),
+    )

@@ -140,3 +140,26 @@ def write_labels_parquet(labels: DataFrame, path: str) -> None:
 
 def read_labels_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_snap(spark: SparkSession, path: str, directed: bool = True) -> Graph:
+    """SNAPGraphReader (/root/reference/networkit/cpp/io/SNAPGraphReader.cpp):
+    tab/space-separated edge list with '#' comments and arbitrary
+    (non-continuous) node ids, remapped to dense 0-based ids — the
+    reference's nodeIdMap, here the same distributed id-assignment join
+    ``read_edge_list(continuous=False)`` uses."""
+    return read_edge_list(
+        spark, path, separator=" ", comment_prefix="#",
+        continuous=False, directed=directed,
+    )
+
+
+def read_konect(spark: SparkSession, path: str, directed: bool = False) -> Graph:
+    """KONECTGraphReader (/root/reference/networkit/cpp/io/KONECTGraphReader.cpp):
+    KONECT out.* format — '%' comment lines (the first declares
+    directedness/weights, ignored here; pass ``directed``), 1-based
+    ids, optional weight column."""
+    return read_edge_list(
+        spark, path, separator=" ", first_node=1, comment_prefix="%",
+        continuous=True, directed=directed,
+    )

@@ -52,3 +52,25 @@ def test_labels_parquet_roundtrip(spark, tmp_path):
     graphio.write_labels_parquet(labels, p)
     back = graphio.read_labels_parquet(spark, p)
     assert {(r["id"], r["label"]) for r in back.collect()} == {(0, 5), (1, 5)}
+
+
+def test_read_snap_remaps_ids(spark, tmp_path):
+    p = tmp_path / "snap.txt"
+    p.write_text("# comment\n100\t200\n200\t300\n100\t300\n")
+    from networkit_spark.sources.graphio import read_snap
+
+    g = read_snap(spark, str(p), directed=True)
+    assert g.number_of_nodes() == 3
+    assert g.number_of_edges() == 3
+    ids = {r["id"] for r in g.nodes().collect()}
+    assert ids == {0, 1, 2}  # densified from 100/200/300
+
+
+def test_read_konect_one_based(spark, tmp_path):
+    p = tmp_path / "out.test"
+    p.write_text("% sym unweighted\n1 2\n2 3\n")
+    from networkit_spark.sources.graphio import read_konect
+
+    g = read_konect(spark, str(p))
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == [(0, 1), (1, 2)]

@@ -1,0 +1,42 @@
+"""Core decomposition vs known core numbers.
+
+Fixture mirrors the reference's CoreDecomposition test shape
+(/root/reference/networkit/cpp/centrality/test/CentralityGTest.cpp,
+CoreDecomposition cases): a graph whose exact core numbers are known by
+construction — a K5 clique (core 4) bridged to a 4-cycle (core 2) with
+a pendant path (core 1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.kcore import core_decomposition
+
+# K5: 0-4 | bridge 4-5 | C4: 5,6,7,8 | path: 8-9-10
+K5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+C4 = [(5, 6), (6, 7), (7, 8), (5, 8)]
+EDGES = K5 + [(4, 5)] + C4 + [(8, 9), (9, 10)]
+EXPECTED = {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 2, 6: 2, 7: 2, 8: 2, 9: 1, 10: 1}
+
+
+@pytest.fixture(scope="module")
+def fixture_graph(spark):
+    return Graph.from_pandas(spark, EDGES, n=11)
+
+
+def test_exact_fixpoint(spark, fixture_graph):
+    cores, info = core_decomposition(fixture_graph)
+    got = {r["id"]: r["core"] for r in cores.collect()}
+    assert got == EXPECTED
+    assert info.iterations >= 1
+
+
+def test_fixed_rounds_monotone(spark, fixture_graph):
+    """h-index values decrease monotonically toward the core number:
+    a 1-round run upper-bounds the exact cores."""
+    one, _ = core_decomposition(fixture_graph, max_iterations=1)
+    got1 = {r["id"]: r["core"] for r in one.collect()}
+    assert all(got1[v] >= EXPECTED[v] for v in EXPECTED)
