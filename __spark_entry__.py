@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": e.q_eigenvector,
         "graph_katz": e.q_katz,
         "graph_kcore": e.q_kcore,
+        "graph_bipartite": e.q_bipartite,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
         "events_window": e.q_events_window,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_eigenvector": e.SQL_EIGENVECTOR,
         "graph_katz": e.SQL_KATZ,
         "graph_kcore": e.SQL_KCORE,
+        "graph_bipartite": e.SQL_BIPARTITE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,
         "events_window": e.SQL_EVENTS_WINDOW,

@@ -435,3 +435,44 @@ def _kcore_sql(iters: int = KCORE_ITERS) -> str:
 
 
 SQL_KCORE = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bipartiteness per component (GraphTools.hpp:575) — parity reachability
+# ---------------------------------------------------------------------------
+
+def q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.graphtools import bipartite_components
+
+    g = load_graph(spark, sf_dir)
+    return (
+        bipartite_components(g)
+        .select("label", F.col("is_bipartite").cast("int").alias("is_bipartite"))
+        .orderBy("label")
+    )
+
+
+SQL_BIPARTITE = f"""
+WITH RECURSIVE {GRAPH_CTES},
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM reach r JOIN adj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+),
+cc AS (SELECT id, MIN(lbl) AS label FROM reach GROUP BY id),
+reach2(id, parity) AS (
+  SELECT id, 0 FROM cc WHERE id = label
+  UNION
+  SELECT a.dst AS id, 1 - r.parity
+  FROM reach2 r JOIN adj a ON a.src = r.id
+),
+odd AS (
+  SELECT id FROM reach2 GROUP BY id HAVING COUNT(DISTINCT parity) > 1
+)
+SELECT c.label,
+       CAST(CASE WHEN COUNT(o.id) = 0 THEN 1 ELSE 0 END AS INT) AS is_bipartite
+FROM cc c LEFT JOIN odd o ON o.id = c.id
+GROUP BY c.label ORDER BY c.label
+"""

@@ -215,3 +215,79 @@ def topological_sort(g: Graph) -> DataFrame:
         if nodes.count() == 0:
             break
     return out if out is not None else nodes.withColumn("level", F.lit(0))
+
+
+def bipartite_components(g: Graph) -> DataFrame:
+    """(label, is_bipartite) per connected component —
+    GraphTools.hpp:575 isBipartite, distributed form.
+
+    Parity-reachability fixpoint: seed every component root (its min-id
+    vertex, from connected_components) with parity 0; each superstep
+    extends the reached (vertex, parity) set across edges with flipped
+    parity; new pairs only (anti-join) so work shrinks like a BFS
+    frontier. A component is bipartite iff no vertex is reached with
+    BOTH parities (odd cycle). O(diameter) supersteps.
+    """
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.plans.superstep import Checkpointer, materialize_partitioned
+
+    if g.directed:
+        raise ValueError("bipartite check is defined on undirected graphs")
+    spark = g.edges.sparkSession
+    ckpt = Checkpointer(spark)
+    labels, _ = connected_components(g)
+    adj = materialize_partitioned(g.adj().select("src", "dst"), "src")
+
+    seen = labels.filter(F.col("id") == F.col("label")).select(
+        "id", F.lit(0).alias("parity")
+    )
+    seen = ckpt.cut(seen, 0)
+    frontier = seen
+    it = 0
+    while True:
+        pushed = (
+            frontier.hint("shuffle_hash")
+            .join(adj, frontier.id == adj.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.lit(1) - F.col("parity")).alias("parity"),
+            )
+            .distinct()
+        )
+        new_pairs = pushed.join(seen, ["id", "parity"], "left_anti")
+        it += 1
+        merged = ckpt.cut(seen.unionByName(new_pairs), it)
+        grew = merged.count() > seen.count()  # counts cached relations
+        frontier = new_pairs
+        seen = merged
+        if not grew:
+            break
+    odd = (
+        seen.groupBy("id")
+        .agg(F.countDistinct("parity").alias("np"))
+        .filter(F.col("np") > 1)
+        .select("id")
+    )
+    bad_components = labels.join(odd, "id", "left_semi").select("label").distinct()
+    out = (
+        labels.select("label")
+        .distinct()
+        .join(bad_components.withColumn("bad", F.lit(True)), "label", "left")
+        .select(
+            "label",
+            F.coalesce(~F.col("bad"), F.lit(True)).alias("is_bipartite"),
+        )
+    )
+    adj.unpersist()
+    return out
+
+
+def is_bipartite(g: Graph) -> bool:
+    """GraphTools.hpp:575 — True iff every component is bipartite."""
+    return (
+        bipartite_components(g)
+        .filter(~F.col("is_bipartite"))
+        .limit(1)
+        .count()
+        == 0
+    )

@@ -104,3 +104,18 @@ def test_degree_centrality_and_ranking(spark, g5):
     norm = degree_centrality(g5, normalized=True)
     assert max(r["score"] for r in norm.collect()) == 1.0
     assert 0.0 <= centralization(g5, scores) <= 1.0
+
+
+def test_bipartite_components(spark):
+    """C4 (bipartite) + C5 (odd cycle) + P3 (bipartite), disjoint."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.graphtools import bipartite_components, is_bipartite
+
+    c4 = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    c5 = [(4, 5), (5, 6), (6, 7), (7, 8), (4, 8)]
+    p3 = [(9, 10), (10, 11)]
+    g = Graph.from_pandas(spark, c4 + c5 + p3, n=12)
+    flags = {r["label"]: r["is_bipartite"] for r in bipartite_components(g).collect()}
+    assert flags == {0: True, 4: False, 9: True}
+    assert is_bipartite(g) is False
+    assert is_bipartite(Graph.from_pandas(spark, c4, n=4)) is True
