@@ -92,6 +92,100 @@ def _flow_edges(g: Graph) -> DataFrame:
     )
 
 
+# per-Python-worker memoization of decoded dst-blocks (engine="csrblocks").
+# Spark reuses worker processes across tasks and supersteps, so a block
+# decoded once is usually free on later supersteps; bounded LRU because
+# task->worker assignment is not sticky.
+_BLOCK_CACHE: "dict[tuple[str, int], tuple]" = {}
+_BLOCK_CACHE_CAP = 4
+
+
+def _load_dst_block(path: str, part: int):
+    key = (path, part)
+    blk = _BLOCK_CACHE.pop(key, None)
+    if blk is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{path}/part={part}", columns=["src", "dst", "frac"]
+        )
+        src = tbl["src"].to_numpy()
+        dst = tbl["dst"].to_numpy()
+        frac = tbl["frac"].to_numpy()
+        svoc, scode = np.unique(src, return_inverse=True)
+        dvoc, dcode = np.unique(dst, return_inverse=True)
+        blk = (svoc, scode, dvoc, dcode, frac)
+    _BLOCK_CACHE[key] = blk  # re-insert = LRU touch
+    while len(_BLOCK_CACHE) > _BLOCK_CACHE_CAP:
+        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+    return blk
+
+
+def _build_dst_blocks(flow: DataFrame, num_blocks: int, block_path: str | None):
+    """engine="csrblocks" setup: write the mass-flow table ONCE as
+    parquet partitioned by ``part = pmod(dst, P)`` (dst-major blocking),
+    plus the (src, part) routing relation partitioned on src.
+
+    The block store is the loop-invariant CSR structure of the north
+    star: at cluster scale ``block_path`` is a shared location (object
+    store / Iceberg table dir); locally a temp dir. Each dst lives in
+    exactly ONE block, so per-block partial sums are FINAL — the
+    per-superstep O(m) groupBy(dst) hash aggregation disappears
+    entirely, replaced by a numpy bincount over a cache-resident block.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from networkit_spark.plans.superstep import materialize_partitioned
+
+    path = block_path or os.path.join(
+        tempfile.gettempdir(), f"nk_flowblocks_{uuid.uuid4().hex[:12]}"
+    )
+    flow_d = flow.withColumn(
+        "part", F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int")
+    )
+    (
+        flow_d.repartition(num_blocks, "part")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(path)
+    )
+    route = materialize_partitioned(
+        flow_d.select("src", "part").distinct(), "src"
+    )
+    return path, route
+
+
+def _csrblock_contribs(
+    route: DataFrame, block_path: str, scores: DataFrame
+) -> DataFrame:
+    """One dst-blocked gather-scatter superstep: route scores to the
+    blocks that consume them (one O(R) shuffle, R = |distinct (src,
+    block)| <= m), then per-block numpy SpMV. Output (dst, mass) rows
+    are final — no cross-block combine."""
+
+    routed = (
+        scores.hint("shuffle_hash")
+        .join(route, scores.id == route.src)
+        .select("part", "src", "score")
+    )
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        part = int(key[0])
+        svoc, scode, dvoc, dcode, frac = _load_dst_block(block_path, part)
+        s = np.zeros(len(svoc), dtype="float64")
+        idx = np.searchsorted(svoc, pdf["src"].to_numpy())
+        s[idx] = pdf["score"].to_numpy()
+        mass = np.bincount(dcode, weights=s[scode] * frac, minlength=len(dvoc))
+        return pd.DataFrame({"dst": dvoc.astype("int64"), "mass": mass})
+
+    return routed.groupBy("part").applyInPandas(gather, schema="dst long, mass double")
+
+
 def _csr_contribs(flow_parts: DataFrame, scores: DataFrame, num_blocks: int) -> DataFrame:
     """Per-partition CSR gather-scatter (grouped pandas UDFs).
 
@@ -140,6 +234,7 @@ def pagerank(
     num_blocks: int = 32,
     salt: int = 1,
     unroll: int = 1,
+    block_path: str | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence. Defaults match the reference
     (PageRank.hpp:61-62: damp=0.85, tol=1e-8, L2, no sink handling,
@@ -160,7 +255,12 @@ def pagerank(
     from networkit_spark.plans.superstep import materialize_partitioned
 
     flow = _flow_edges(g)
-    if engine == "csr":
+    route = None
+    blocks_dir = None
+    if engine == "csrblocks":
+        blocks_dir, route = _build_dst_blocks(flow, num_blocks, block_path)
+        flow = route  # unpersisted at the end
+    elif engine == "csr":
         flow = flow.withColumn("part", F.pmod(F.col("src"), F.lit(num_blocks)))
         flow = materialize_partitioned(flow, "part")
     elif salt > 1:
@@ -222,7 +322,7 @@ def pagerank(
     # needed (fixed iteration count, no sink semi-join, no delta).
     can_unroll = (
         unroll > 1
-        and engine != "csr"
+        and engine == "dataframe"
         and salt == 1
         and not track_delta
         and not need_nodes_join
@@ -262,7 +362,9 @@ def pagerank(
             )
             scores = new_scores
             continue
-        if engine == "csr":
+        if engine == "csrblocks":
+            contribs = _csrblock_contribs(route, blocks_dir, scores)
+        elif engine == "csr":
             contribs = _csr_contribs(flow, scores, num_blocks)
         else:
             # shuffle_hash hint: at web scale the O(n) score table can
@@ -359,6 +461,11 @@ def pagerank(
 
     scores = scores.localCheckpoint(eager=True)  # detach from flow before unpersist
     flow.unpersist()
+    if blocks_dir is not None and block_path is None:
+        # engine-owned temp block store; user-supplied paths are kept
+        import shutil
+
+        shutil.rmtree(blocks_dir, ignore_errors=True)
     return PageRankResult(
         scores=scores,
         info=SuperstepResult(iterations=iterations, metrics=metrics, converged=True),

@@ -87,3 +87,23 @@ def test_pagerank_salted_parity(spark):
     res = pagerank(g, max_iterations=10, salt=3)
     oracle, _ = numpy_pagerank(PR_N, PR_EDGES, max_iterations=10)
     assert np.allclose(scores_vec(res.scores, PR_N), oracle, atol=1e-12)
+
+
+def test_pagerank_csrblocks_engine_parity(spark):
+    """dst-blocked CSR engine (parquet block store + worker-memoized
+    numpy blocks, no per-superstep dst aggregation) matches the
+    DataFrame engine bit-for-bit-close."""
+    g = Graph.from_pandas(spark, PR_EDGES, weighted=True, n=PR_N)
+    res_df = pagerank(g, max_iterations=20)
+    res_blk = pagerank(g, max_iterations=20, engine="csrblocks", num_blocks=3)
+    a = scores_vec(res_df.scores, PR_N)
+    b = scores_vec(res_blk.scores, PR_N)
+    assert np.allclose(a, b, atol=1e-12)
+
+
+def test_pagerank_csrblocks_fixed_iter_fastpath(spark):
+    """tol=0 + fixed iterations fast path under csrblocks."""
+    g = Graph.from_pandas(spark, PR_EDGES, weighted=True, n=PR_N)
+    res = pagerank(g, max_iterations=10, tol=0.0, engine="csrblocks", num_blocks=2)
+    oracle, _ = numpy_pagerank(PR_N, PR_EDGES, max_iterations=10)
+    assert np.allclose(scores_vec(res.scores, PR_N), oracle, atol=1e-12)
