@@ -372,7 +372,10 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _katz_sql(iters: int = KATZ_ITERS) -> str:
-    steps = ["k0 AS (SELECT id, 0.0 AS score FROM nodes)"]
+    # reference recurrence (KatzCentrality.cpp:26-70): x0 = 1,
+    # x'[u] = beta + alpha * SUM w*(1 + x[v]) over in-neighbors,
+    # final division by the L2 length of the last vector
+    steps = ["k0 AS (SELECT id, 1.0 AS score FROM nodes)"]
     for i in range(1, iters + 1):
         steps.append(
             f"""k{i} AS (
@@ -380,7 +383,7 @@ def _katz_sql(iters: int = KATZ_ITERS) -> str:
          CAST({KATZ_ALPHA} AS DOUBLE) * COALESCE(m.mass, CAST(0 AS DOUBLE))
          + CAST({KATZ_BETA} AS DOUBLE) AS score
   FROM nodes n LEFT JOIN (
-    SELECT a.dst AS id, SUM(p.score) AS mass
+    SELECT a.dst AS id, SUM(1.0 + p.score) AS mass
     FROM adj a JOIN k{i - 1} p ON p.id = a.src
     GROUP BY a.dst
   ) m ON m.id = n.id

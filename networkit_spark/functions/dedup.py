@@ -95,9 +95,22 @@ def minhash_lsh_candidates(
     num_perm: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs (a < b): docs sharing at least one
-    LSH band bucket. rows_per_band = num_perm / bands."""
+    LSH band bucket. rows_per_band = num_perm / bands.
+
+    ``max_bucket`` is the mega-bucket guard for web scale: buckets with
+    more than this many members are excluded from the self-join (a
+    boilerplate bucket with 10^5 members would otherwise emit 10^10
+    pairs inside one task). REQUIRED PIPELINE ORDER at scale: run
+    :func:`dedup_exact` FIRST — byte-identical boilerplate then
+    collapses to one representative per digest, and any bucket still
+    exceeding ``max_bucket`` is near-identical-but-not-equal spam whose
+    pairs are better handled by clustering its (few) distinct signatures
+    than by enumerating pairs. Dropped buckets only lose candidates
+    WITHIN the dropped bucket; pairs still co-bucketed in another band
+    survive."""
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
     buckets = None
@@ -113,6 +126,14 @@ def minhash_lsh_candidates(
     # materialize: the shingle+md5 pipeline would otherwise re-run once
     # per band AND per side of the self-join (4x at bands=2)
     buckets = buckets.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
     left = buckets.select("band", "bucket", F.col("doc").alias("a"))
     right = buckets.select("band", "bucket", F.col("doc").alias("b"))
     return (
@@ -133,14 +154,49 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(a, b, jaccard) pairs with shingle-set Jaccard >= threshold.
 
-    Without ``candidates`` this is exact all-pairs via an inverted index
-    (shingle -> docs) self-join — fine at fixture scale, and exactly
-    what runs AFTER LSH at web scale when ``candidates`` is given.
+    Without ``candidates``: exact all-pairs via an inverted index
+    (shingle -> docs) self-join — quadratic in shingle document
+    frequency, fine at fixture scale only.
+
+    With ``candidates`` (the LSH verify stage — the 100 TB path): the
+    work is strictly O(|candidates|). Each candidate pair is joined to
+    the two docs' shingle arrays and the intersection computed per-row
+    with ``array_intersect`` — the inverted-index self-join (which
+    Catalyst could never push a post-aggregation semi-join below) is
+    never built.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         shingles_col(F.col(text_col), shingle_k).alias("sh"),
     ).withColumn("sz", F.size("sh"))
+    if candidates is not None:
+        a_sh = sh.select(
+            F.col("doc").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza")
+        )
+        b_sh = sh.select(
+            F.col("doc").alias("b"), F.col("sh").alias("shb"), F.col("sz").alias("szb")
+        )
+        return (
+            candidates.select("a", "b")
+            .join(a_sh, "a")
+            .join(b_sh, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("sha", "shb")).alias("inter"),
+                "sza",
+                "szb",
+            )
+            .select(
+                "a",
+                "b",
+                F.round(
+                    F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     sizes = sh.select("doc", "sz")
     inv = sh.select("doc", F.explode("sh").alias("s"))
     pairs = (
@@ -150,8 +206,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        pairs = pairs.join(candidates, ["a", "b"], "left_semi")
     out = (
         pairs.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
@@ -214,9 +268,13 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(a, b, hamming) pairs within Hamming distance, via band-bucketed
-    join (a pair within distance d < bands must agree on >= 1 band)."""
+    join (a pair within distance d < bands must agree on >= 1 band).
+
+    ``max_bucket``: same mega-bucket guard (and same exact-dedup-first
+    pipeline-order requirement) as :func:`minhash_lsh_candidates`."""
     sig = simhash_signatures(df, id_col, text_col).cache()
     width = 63 // bands
     buckets = None
@@ -230,6 +288,15 @@ def simhash_candidates(
             .alias("bucket"),
         )
         buckets = part if buckets is None else buckets.unionByName(part)
+    if max_bucket is not None:
+        buckets = buckets.localCheckpoint(eager=True)
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
     pairs = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])

@@ -117,29 +117,56 @@ def eigenvector_centrality(
 
 def katz_centrality(
     g: Graph,
-    alpha: float = 5e-4,
+    alpha: float = 0.0,
     beta: float = 0.1,
     max_iterations: int = 50,
-    tol: float = 0.0,
+    tol: float = 1e-8,
     normalized: bool = True,
 ) -> DataFrame:
-    """(id, score) — Katz centrality x_{k+1} = alpha * A^T x_k + beta,
-    x_0 = 0 (reference: networkit/cpp/centrality/KatzCentrality.cpp —
-    edgeDirection=ALL_EDGES for undirected; final L2 normalization).
-    Fixed ``max_iterations`` sweeps when tol<=0."""
+    """(id, score) — Katz centrality, reference recurrence
+    (/root/reference/networkit/cpp/centrality/KatzCentrality.cpp:26-70):
+
+      - init x = 1 for every node (values filled 1.0, scoreData = values);
+      - superstep x'[u] = beta + alpha * sum_{(v,u) in E_in} w * (1 + x[v])
+        (updateScore: ``values[u] += ew * alpha * (1 + scoreData[v])``,
+        gathered over IN-edges, edgeDirection default IN_EDGES;
+        undirected in-view = all neighbors);
+      - the carried vector stays UNNORMALIZED between supersteps;
+        convergence tests |length_k - length_{k-1}| <= tol where length
+        is the L2 norm of the new vector (KatzCentrality.cpp:33-36,59-66);
+      - final scores = x / length (KatzCentrality.cpp:68).
+
+    ``alpha=0`` selects the reference default ``1 / (1 + maxDegree)``
+    (KatzCentrality.cpp:16-18). ``tol<=0`` runs exactly
+    ``max_iterations`` sweeps (deterministic oracle mode);
+    ``normalized=False`` skips the final division (diagnostic only —
+    the reference always divides)."""
+    import math
+
     from networkit_spark.plans.superstep import Checkpointer, materialize_partitioned
 
     spark = g.edges.sparkSession
     ckpt = Checkpointer(spark)
+    # gather joins x.id == src / groupBy(dst): over raw directed edges
+    # (v -> u) this accumulates into u from in-neighbor v = the IN_EDGES
+    # direction; undirected uses the symmetric adjacency view
     adj = materialize_partitioned(
         (g.adj() if not g.directed else g.edges).select("src", "dst", "weight"),
         "src",
     )
     nodes = g.nodes().localCheckpoint(eager=True)
-    x = nodes.select("id", F.lit(0.0).alias("score"))
+    if alpha == 0.0:
+        max_deg = (
+            g.degrees().agg(F.max("degree")).collect()[0][0] or 0
+        )
+        alpha = 1.0 / (1.0 + float(max_deg))
+    x = nodes.select("id", F.lit(1.0).alias("score"))
     x = ckpt.cut(x, 0)
+    length = 0.0
     for it in range(1, max_iterations + 1):
-        y = _power_iteration_gather(adj, x)
+        old_length = length
+        # gather alpha * sum w*(1 + x[v]) over in-neighbors, + beta
+        y = _power_iteration_gather(adj, x.select("id", (F.col("score") + F.lit(1.0)).alias("score")))
         x_new = (
             nodes.join(y, "id", "left")
             .select(
@@ -150,22 +177,14 @@ def katz_centrality(
             )
         )
         x_new = ckpt.cut(x_new, it)
-        if tol > 0:
-            d = (
-                x_new.join(x.select("id", F.col("score").alias("prev")), "id")
-                .agg(F.max(F.abs(F.col("score") - F.col("prev"))))
-                .collect()[0][0]
-            )
-            x = x_new
-            if float(d) <= tol:
-                break
-        else:
-            x = x_new
-    adj.unpersist()
-    if normalized:
-        norm = float(
-            x.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
-            or 1.0
+        length = float(
+            x_new.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
+            or 0.0
         )
-        x = x.select("id", (F.col("score") / F.lit(norm)).alias("score"))
+        x = x_new
+        if tol > 0 and math.isclose(length, old_length, rel_tol=0.0, abs_tol=tol):
+            break
+    adj.unpersist()
+    if normalized and length > 0:
+        x = x.select("id", (F.col("score") / F.lit(length)).alias("score"))
     return x

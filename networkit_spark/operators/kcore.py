@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -35,17 +35,23 @@ from networkit_spark.plans.superstep import (
 def _h_index_round(adj: DataFrame, values: DataFrame) -> DataFrame:
     """One h-index sweep: for every node, the h-index of its neighbors'
     current values. h = max over the desc-sorted neighbor values v_1 >=
-    v_2 >= ... of min(rank_i, v_i)."""
+    v_2 >= ... of min(rank_i, v_i).
+
+    Physical plan: a single hash aggregation (collect_list) with the
+    desc-sort + rank-min done per-row inside codegen expressions — no
+    window, hence no per-superstep shuffle-sort and no hub partition
+    hotspot (a row_number window lands a hub's whole neighbor list in
+    one sorted partition; the hash agg spills gracefully instead)."""
     neigh = (
         values.hint("shuffle_hash")
         .join(adj, values.id == adj.src)
         .select(F.col("dst").alias("id"), F.col("value").alias("nv"))
     )
-    w = Window.partitionBy("id").orderBy(F.desc("nv"))
-    ranked = neigh.withColumn("rk", F.row_number().over(w))
-    return ranked.groupBy("id").agg(
-        F.max(F.least(F.col("rk"), F.col("nv"))).alias("value")
+    desc_vals = F.reverse(F.sort_array(F.collect_list("nv")))
+    h = F.array_max(
+        F.transform(desc_vals, lambda v, i: F.least(i + F.lit(1).cast("long"), v))
     )
+    return neigh.groupBy("id").agg(h.alias("value"))
 
 
 def core_decomposition(
@@ -62,12 +68,19 @@ def core_decomposition(
     Self-loops are ignored, mirroring CoreDecomposition's
     simple-graph requirement.
     """
+    if g.directed:
+        # the reference's directed core decomposition uses a different
+        # bucket-queue semantics (in+out degree peeling); an h-index
+        # iteration seeded with out-degrees but gathered over in-edges
+        # is incoherent and silently drops in-degree-0 nodes — refuse.
+        raise ValueError(
+            "core_decomposition supports undirected graphs only; "
+            "convert with to_undirected() first"
+        )
     spark = g.edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark)
     gg = g.remove_self_loops()
-    adj = materialize_partitioned(
-        (gg.adj() if not gg.directed else gg.edges).select("src", "dst"), "src"
-    )
+    adj = materialize_partitioned(gg.adj().select("src", "dst"), "src")
     values = gg.degrees().select("id", F.col("degree").cast("long").alias("value"))
     values = ckpt.cut(values, 0)
 

@@ -95,13 +95,27 @@ def _flow_edges(g: Graph) -> DataFrame:
 # per-Python-worker memoization of decoded dst-blocks (engine="csrblocks").
 # Spark reuses worker processes across tasks and supersteps, so a block
 # decoded once is usually free on later supersteps; bounded LRU because
-# task->worker assignment is not sticky.
-_BLOCK_CACHE: "dict[tuple[str, int], tuple]" = {}
+# task->worker assignment is not sticky. Keys carry a per-store TOKEN
+# (the _SUCCESS commit mtime): rewriting the same block_path with a
+# different graph changes the token, so a long-lived worker can never
+# serve stale decoded blocks.
+_BLOCK_CACHE: "dict[tuple[str, int, int], tuple]" = {}
 _BLOCK_CACHE_CAP = 4
 
 
-def _load_dst_block(path: str, part: int):
-    key = (path, part)
+def _block_store_token(path: str) -> int:
+    """Identity of the committed block store: _SUCCESS mtime_ns (the
+    marker is rewritten on every successful job commit)."""
+    import os
+
+    try:
+        return os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    except OSError:
+        return 0
+
+
+def _load_dst_block(path: str, part: int, token: int):
+    key = (path, part, token)
     blk = _BLOCK_CACHE.pop(key, None)
     if blk is None:
         import numpy as np
@@ -112,19 +126,32 @@ def _load_dst_block(path: str, part: int):
         )
         src = tbl["src"].to_numpy()
         dst = tbl["dst"].to_numpy()
-        frac = tbl["frac"].to_numpy()
+        frac = np.ascontiguousarray(tbl["frac"].to_numpy())
+        # block rows are written sorted by src (sortWithinPartitions at
+        # build time), so scode is non-decreasing: the per-superstep
+        # s[scode] gather streams sequentially through the score array
+        # instead of random-accessing DRAM, and the dcode bincount
+        # scatter targets a dvoc-sized (block-local, cache-resident)
+        # accumulator — the layout that keeps the superstep bandwidth-
+        # light at high core counts
         svoc, scode = np.unique(src, return_inverse=True)
         dvoc, dcode = np.unique(dst, return_inverse=True)
-        blk = (svoc, scode, dvoc, dcode, frac)
+        blk = (svoc, scode.astype("int64"), dvoc, dcode.astype("int64"), frac)
     _BLOCK_CACHE[key] = blk  # re-insert = LRU touch
     while len(_BLOCK_CACHE) > _BLOCK_CACHE_CAP:
         _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
     return blk
 
 
-def _build_dst_blocks(flow: DataFrame, num_blocks: int, block_path: str | None):
+def _build_dst_blocks(
+    flow: DataFrame,
+    num_blocks: int,
+    block_path: str | None,
+    reuse_existing: bool = False,
+):
     """engine="csrblocks" setup: write the mass-flow table ONCE as
     parquet partitioned by ``part = pmod(dst, P)`` (dst-major blocking),
+    rows sorted by src within each block (sequential score gather),
     plus the (src, part) routing relation partitioned on src.
 
     The block store is the loop-invariant CSR structure of the north
@@ -133,6 +160,11 @@ def _build_dst_blocks(flow: DataFrame, num_blocks: int, block_path: str | None):
     exactly ONE block, so per-block partial sums are FINAL — the
     per-superstep O(m) groupBy(dst) hash aggregation disappears
     entirely, replaced by a numpy bincount over a cache-resident block.
+
+    ``reuse_existing=True`` (with an explicit ``block_path``) skips the
+    write when a committed store exists — the route table is then
+    re-derived from the stored blocks. Safe because worker caches key on
+    the store's _SUCCESS mtime token, never on the path alone.
     """
     import os
     import tempfile
@@ -143,23 +175,28 @@ def _build_dst_blocks(flow: DataFrame, num_blocks: int, block_path: str | None):
     path = block_path or os.path.join(
         tempfile.gettempdir(), f"nk_flowblocks_{uuid.uuid4().hex[:12]}"
     )
-    flow_d = flow.withColumn(
-        "part", F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int")
-    )
-    (
-        flow_d.repartition(num_blocks, "part")
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(path)
-    )
+    exists = os.path.exists(os.path.join(path, "_SUCCESS"))
+    if not (reuse_existing and exists):
+        flow_d = flow.withColumn(
+            "part", F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int")
+        )
+        (
+            flow_d.repartition(num_blocks, "part")
+            .sortWithinPartitions("src")
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(path)
+        )
+    stored = flow.sparkSession.read.parquet(path)
     route = materialize_partitioned(
-        flow_d.select("src", "part").distinct(), "src"
+        stored.select("src", "part").distinct(), "src"
     )
-    return path, route
+    token = _block_store_token(path)
+    return path, route, token
 
 
 def _csrblock_contribs(
-    route: DataFrame, block_path: str, scores: DataFrame
+    route: DataFrame, block_path: str, token: int, scores: DataFrame
 ) -> DataFrame:
     """One dst-blocked gather-scatter superstep: route scores to the
     blocks that consume them (one O(R) shuffle, R = |distinct (src,
@@ -176,7 +213,7 @@ def _csrblock_contribs(
         import numpy as np
 
         part = int(key[0])
-        svoc, scode, dvoc, dcode, frac = _load_dst_block(block_path, part)
+        svoc, scode, dvoc, dcode, frac = _load_dst_block(block_path, part, token)
         s = np.zeros(len(svoc), dtype="float64")
         idx = np.searchsorted(svoc, pdf["src"].to_numpy())
         s[idx] = pdf["score"].to_numpy()
@@ -235,6 +272,7 @@ def pagerank(
     salt: int = 1,
     unroll: int = 1,
     block_path: str | None = None,
+    reuse_blocks: bool = False,
 ) -> PageRankResult:
     """Run PageRank to convergence. Defaults match the reference
     (PageRank.hpp:61-62: damp=0.85, tol=1e-8, L2, no sink handling,
@@ -257,8 +295,11 @@ def pagerank(
     flow = _flow_edges(g)
     route = None
     blocks_dir = None
+    blocks_token = 0
     if engine == "csrblocks":
-        blocks_dir, route = _build_dst_blocks(flow, num_blocks, block_path)
+        blocks_dir, route, blocks_token = _build_dst_blocks(
+            flow, num_blocks, block_path, reuse_existing=reuse_blocks
+        )
         flow = route  # unpersisted at the end
     elif engine == "csr":
         flow = flow.withColumn("part", F.pmod(F.col("src"), F.lit(num_blocks)))
@@ -363,7 +404,7 @@ def pagerank(
             scores = new_scores
             continue
         if engine == "csrblocks":
-            contribs = _csrblock_contribs(route, blocks_dir, scores)
+            contribs = _csrblock_contribs(route, blocks_dir, blocks_token, scores)
         elif engine == "csr":
             contribs = _csr_contribs(flow, scores, num_blocks)
         else:

@@ -28,15 +28,16 @@ bipartite-ish structures — is bounded by ``max_iterations``.
 
 Spark plan per superstep: ``adj ⋈ labels on neighbor`` →
 ``groupBy(node, label).sum(weight)`` (partial agg = the reference's
-per-node labelWeights map) → window ``row_number over (partition by node
-order by w desc, label asc)`` = argmax with the exact tie-break.
+per-node labelWeights map) → ``groupBy(node).max(struct(w, -label))``
+hash-agg argmax with the exact weight-desc / label-asc tie-break (no
+window, no per-superstep shuffle-sort).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -57,11 +58,20 @@ def plp_superstep(adj: DataFrame, labels: DataFrame, active: DataFrame | None) -
         .select(edges.src.alias("nid"), labels.label.alias("nlabel"), edges.weight)
     )
     wsum = neigh.groupBy("nid", "nlabel").agg(F.sum("weight").alias("w"))
-    w = Window.partitionBy("nid").orderBy(F.desc("w"), F.asc("nlabel"))
+    # argmax-with-smallest-label tie-break as ONE hash aggregation:
+    # max(struct(w, -label)) picks the largest weight, then (because the
+    # struct comparison falls through to the negated label) the SMALLEST
+    # label — the exact PLP.cpp:89-94 tie-break, with no row_number
+    # window (a window = shuffle + per-partition sort every superstep,
+    # and hub partitions become sort hotspots)
     best = (
-        wsum.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("nid").alias("id"), F.col("nlabel").alias("best"))
+        wsum.groupBy("nid")
+        .agg(
+            F.max(
+                F.struct(F.col("w").alias("w"), (-F.col("nlabel")).alias("neg"))
+            ).alias("m")
+        )
+        .select(F.col("nid").alias("id"), (-F.col("m.neg")).alias("best"))
     )
     return labels.join(best, "id", "left").select(
         "id", "label", F.coalesce("best", F.col("label")).alias("new_label")
