@@ -76,8 +76,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_cc": e.q_dyn_cc,
         "graph_eigenvector": e.q_eigenvector,
         "graph_katz": e.q_katz,
+        "graph_plm": e.q_plm,
         "graph_kcore": e.q_kcore,
         "graph_bipartite": e.q_bipartite,
+        "graph_bfs": e.q_bfs,
+        "graph_sssp": e.q_sssp,
+        "graph_scc": e.q_scc,
+        "graph_tri_edge": e.q_tri_edge,
+        "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
         "events_window": e.q_events_window,
@@ -122,8 +128,14 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_cc": e.SQL_DYN_CC,
         "graph_eigenvector": e.SQL_EIGENVECTOR,
         "graph_katz": e.SQL_KATZ,
+        "graph_plm": e.SQL_PLM,
         "graph_kcore": e.SQL_KCORE,
         "graph_bipartite": e.SQL_BIPARTITE,
+        "graph_bfs": e.SQL_BFS,
+        "graph_sssp": e.SQL_SSSP,
+        "graph_scc": e.SQL_SCC,
+        "graph_tri_edge": e.SQL_TRI_EDGE,
+        "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,
         "events_window": e.SQL_EVENTS_WINDOW,

@@ -70,25 +70,57 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     # contract queries over the sf tables (the driver's own workload)
     for name in [
         "graph_pagerank", "graph_cc", "graph_triangles", "graph_plp",
+        "graph_plm", "graph_bfs", "graph_scc", "graph_pagerank_large",
         "dedup_exact", "dedup_minhash_candidates", "text_quality",
         "text_token_count", "sim_cosine_topk", "events_agg",
     ]:
         sec, _ = timed(lambda: qs[name](spark, sf_dir).collect())
         queries[name] = round(sec, 3)
 
-    # web-scale kernel bench on the deterministic RMAT graph
+    # web-scale kernel bench on the deterministic RMAT graph, with
+    # bench-scale self-consistency assertions (the 997-node gate graph
+    # never grows with sf; these check the kernels at realistic vertex
+    # counts: PageRank mass conservation, triangle corner-sum mod 3,
+    # CC min-label fixpoint)
+    from pyspark.sql import functions as F
+
     n_nodes, n_edges = 1 << 17, 1 << 21
     g = build_webgraph(spark, n_nodes, n_edges)
     m = g.number_of_edges()
     pr_iters = 10
-    sec, _ = timed(lambda: pagerank_job(spark, g, pr_iters))
-    queries["webgraph_pagerank10"] = round(sec, 3)
-    edges_per_sec = pr_iters * 2 * m / sec  # adjacency rows per superstep
+    from networkit_spark.operators.pagerank import pagerank as _pr
 
-    sec, _ = timed(lambda: connected_components(g)[0].count())
-    queries["webgraph_cc"] = round(sec, 3)
-    sec, _ = timed(lambda: triangle_counts(g).count())
-    queries["webgraph_triangles"] = round(sec, 3)
+    t0 = time.time()
+    pr_res = _pr(g, max_iterations=pr_iters, tol=0.0)
+    pr_res.scores.count()
+    queries["webgraph_pagerank10"] = round(time.time() - t0, 3)
+    edges_per_sec = pr_iters * 2 * m / queries["webgraph_pagerank10"]
+    mass = float(pr_res.scores.agg(F.sum("score")).collect()[0][0])
+    assert abs(mass - 1.0) < 1e-6, f"pagerank mass {mass} != 1"
+
+    t0 = time.time()
+    cc_labels = connected_components(g)[0].localCheckpoint(eager=True)
+    cc_labels.count()
+    queries["webgraph_cc"] = round(time.time() - t0, 3)
+    # fixpoint: no node has a neighbor with a smaller component label
+    viol = (
+        cc_labels.join(g.adj(), cc_labels.id == F.col("src"))
+        .join(
+            cc_labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+            "dst",
+        )
+        .filter(F.col("nl") < F.col("label"))
+        .count()
+    )
+    assert viol == 0, f"cc fixpoint violated on {viol} adjacency rows"
+
+    t0 = time.time()
+    tri = triangle_counts(g).localCheckpoint(eager=True)
+    tri.count()
+    queries["webgraph_triangles"] = round(time.time() - t0, 3)
+    tri_sum = int(tri.agg(F.sum("triangles")).collect()[0][0])
+    assert tri_sum % 3 == 0, f"triangle corner sum {tri_sum} not divisible by 3"
+
     sec, _ = timed(lambda: plp(g, max_iterations=4)[0].count())
     queries["webgraph_plp4"] = round(sec, 3)
 
@@ -183,6 +215,12 @@ def run_scaling_level(
             "reuse_blocks": True,
             "num_blocks": SCALING_NUM_BLOCKS,
         }
+    elif engine == "dstagg":
+        # dataframe plan + explicit dst repartition below the
+        # aggregation: cache-resident agg maps (n / dst_parts entries);
+        # dst_parts scales with the level like shuffle.partitions
+        kwargs = {"dst_parts": 4 * cpus}
+        engine = "dataframe"
     res = pagerank(g, max_iterations=iters + 2, tol=0.0, engine=engine, **kwargs)
     walls = [mt["wall_sec"] for mt in res.info.metrics][2:]
     sec = sum(walls)

@@ -403,6 +403,120 @@ SQL_KATZ = _katz_sql()
 
 
 # ---------------------------------------------------------------------------
+# PLM / Louvain (PLM.cpp:30-262) — deterministic gate variant: 2 synchronous
+# move rounds, one coarsening, 2 more rounds, project, min-id canonical
+# labels. Gains are computed in the 2*total^2-scaled form, exactly integral
+# on this unweighted graph, so the argmax is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+PLM_ROUNDS = 2
+PLM_LEVELS = 2
+
+
+def q_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.plm import plm
+
+    g = load_graph(spark, sf_dir)
+    labels, _ = plm(
+        g, gamma=1.0, max_move_rounds=PLM_ROUNDS, max_levels=PLM_LEVELS
+    )
+    return labels.orderBy("id")
+
+
+def _plm_move_round_sql(p: str, r: int) -> str:
+    """One synchronous local-move round over prefix ``p`` relations
+    ({p}adj weighted loop-free adjacency, {p}vol node volumes,
+    {p}lab{r-1} -> {p}lab{r}); gain scaled by 2*total^2."""
+    return f"""{p}vc{r} AS MATERIALIZED (
+  SELECT l.label, SUM(v.vol) AS cvol
+  FROM {p}lab{r - 1} l JOIN {p}vol v ON v.id = l.id GROUP BY l.label
+),
+{p}aff{r} AS MATERIALIZED (
+  SELECT a.src AS u, l.label AS d, SUM(a.weight) AS w
+  FROM {p}adj a JOIN {p}lab{r - 1} l ON l.id = a.dst GROUP BY a.src, l.label
+),
+{p}cand{r} AS MATERIALIZED (
+  SELECT f.u, f.d,
+         2 * (SELECT t FROM tw) * (f.w - COALESCE(ac.w, 0.0))
+         + ((vc1.cvol - vn.vol) - vc2.cvol) * vn.vol AS gain
+  FROM {p}aff{r} f
+  JOIN {p}lab{r - 1} lu ON lu.id = f.u
+  LEFT JOIN {p}aff{r} ac ON ac.u = f.u AND ac.d = lu.label
+  JOIN {p}vc{r} vc1 ON vc1.label = lu.label
+  JOIN {p}vc{r} vc2 ON vc2.label = f.d
+  JOIN {p}vol vn ON vn.id = f.u
+  WHERE f.d <> lu.label
+),
+{p}best{r} AS MATERIALIZED (
+  SELECT u, d FROM (
+    SELECT u, d,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY gain DESC, d ASC) AS rn
+    FROM {p}cand{r} WHERE gain > 0
+  ) t WHERE rn = 1
+),
+{p}lab{r} AS MATERIALIZED (
+  SELECT l.id, COALESCE(b.d, l.label) AS label
+  FROM {p}lab{r - 1} l LEFT JOIN {p}best{r} b ON b.u = l.id
+)"""
+
+
+def _plm_sql(rounds: int = PLM_ROUNDS) -> str:
+    parts = [
+        "tw AS (SELECT COUNT(*) * 1.0 AS t FROM edges)",
+        "l0adj AS MATERIALIZED (SELECT src, dst, 1.0 AS weight FROM adj)",
+        "l0vol AS MATERIALIZED (SELECT id, degree * 1.0 AS vol FROM deg)",
+        "l0lab0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(_plm_move_round_sql("l0", r))
+    parts.append(
+        f"""comp AS MATERIALIZED (
+  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
+  FROM (SELECT DISTINCT label FROM l0lab{rounds}) t
+),
+cmap AS MATERIALIZED (SELECT l.id, c.cid FROM l0lab{rounds} l JOIN comp c ON c.label = l.label),
+cedges AS MATERIALIZED (
+  SELECT LEAST(ms.cid, md.cid) AS src, GREATEST(ms.cid, md.cid) AS dst,
+         SUM(1.0) AS weight
+  FROM edges e JOIN cmap ms ON ms.id = e.src JOIN cmap md ON md.id = e.dst
+  GROUP BY 1, 2
+),
+l1adj AS MATERIALIZED (
+  SELECT src, dst, weight FROM cedges WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM cedges WHERE src <> dst
+),
+l1nodes AS MATERIALIZED (SELECT DISTINCT cid AS id FROM cmap),
+l1vol AS MATERIALIZED (
+  SELECT n.id, COALESCE(aw.w, 0.0) + 2 * COALESCE(lw.w, 0.0) AS vol
+  FROM l1nodes n
+  LEFT JOIN (SELECT src AS id, SUM(weight) AS w FROM l1adj GROUP BY src) aw
+    ON aw.id = n.id
+  LEFT JOIN (SELECT src AS id, SUM(weight) AS w FROM cedges WHERE src = dst
+             GROUP BY src) lw ON lw.id = n.id
+),
+l1lab0 AS MATERIALIZED (SELECT id, id AS label FROM l1nodes)"""
+    )
+    for r in range(1, rounds + 1):
+        parts.append(_plm_move_round_sql("l1", r))
+    parts.append(
+        f"""fin AS MATERIALIZED (
+  SELECT mp.id, l.label AS c
+  FROM cmap mp JOIN l1lab{rounds} l ON l.id = mp.cid
+),
+canon AS (SELECT c, MIN(id) AS label FROM fin GROUP BY c)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\nSELECT f.id, cn.label FROM fin f JOIN canon cn ON cn.c = f.c ORDER BY f.id"
+    )
+
+
+SQL_PLM = _plm_sql()
+
+
+# ---------------------------------------------------------------------------
 # Core decomposition (SURVEY.md §2.6; CoreDecomposition.cpp) — h-index
 # iteration, fixed 4 rounds for the cross-engine oracle
 # ---------------------------------------------------------------------------
@@ -438,6 +552,317 @@ def _kcore_sql(iters: int = KCORE_ITERS) -> str:
 
 
 SQL_KCORE = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance + SSSP (BFS.cpp:16-79, Dijkstra.cpp:15-93) — multi-seed,
+# hop-capped (the cap makes the semantics identical to the unrolled oracle;
+# the contract graph's eccentricities are far below it)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 16
+BFS_SEED_MOD = 101  # seeds: ids divisible by 101 (10 seeds on 0..996)
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import bfs_distances
+
+    g = load_graph(spark, sf_dir)
+    seeds = g.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    dist, _ = bfs_distances(g, seeds, max_hops=BFS_HOPS)
+    return dist.orderBy("id")
+
+
+def _bfs_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        f"d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist "
+        f"FROM nodes WHERE id % {BFS_SEED_MOD} = 0)"
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(p.id, m.id) AS id,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM d{i - 1} p FULL OUTER JOIN (
+    SELECT a.dst AS id, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN d{i - 1} q ON q.id = a.src GROUP BY a.dst
+  ) m ON m.id = p.id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, dist FROM d{hops} ORDER BY id"
+    )
+
+
+SQL_BFS = _bfs_sql()
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP on the contract graph with deterministic synthetic
+    weights w(u,v) = (u + v) % 5 + 1."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.distance import sssp_distances
+
+    g = load_graph(spark, sf_dir)
+    wedges = g.edges.select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+    )
+    gw = Graph(wedges, None, directed=False, weighted=True)
+    seeds = gw.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    dist, _ = sssp_distances(gw, seeds, max_hops=BFS_HOPS)
+    return dist.select("id", F.round("dist", 6).alias("dist")).orderBy("id")
+
+
+def _sssp_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        "wadj AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM adj)",
+        f"s0 AS MATERIALIZED (SELECT id, CAST(0 AS DOUBLE) AS dist "
+        f"FROM nodes WHERE id % {BFS_SEED_MOD} = 0)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT COALESCE(p.id, m.id) AS id,
+         LEAST(COALESCE(p.dist, 1e18), COALESCE(m.nd, 1e18)) AS dist
+  FROM s{i - 1} p FULL OUTER JOIN (
+    SELECT a.dst AS id, MIN(q.dist + a.w) AS nd
+    FROM wadj a JOIN s{i - 1} q ON q.id = a.src GROUP BY a.dst
+  ) m ON m.id = p.id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, ROUND(dist, 6) AS dist FROM s{hops} ORDER BY id"
+    )
+
+
+SQL_SSSP = _sssp_sql()
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (StronglyConnectedComponents.cpp:26-41) on
+# the DIRECTED variant of the contract graph (generator pairs kept as
+# (u -> v), no canonicalization); labels = min member id per SCC. Oracle:
+# recursive transitive closure + mutual-reachability MIN.
+# ---------------------------------------------------------------------------
+
+def load_directed_graph(spark: SparkSession, sf_dir: str):
+    """Directed contract graph: same three affine generators as
+    load_graph, orientation preserved."""
+    from networkit_spark.graph import Graph
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    base = (
+        orders.select((k % 997).alias("u"), ((k * 31 + 7) % 997).alias("v"))
+        .unionByName(
+            orders.filter(k % 2 == 0).select(
+                (k % 997).alias("u"), ((k * 57 + 13) % 997).alias("v")
+            )
+        )
+        .unionByName(
+            orders.filter(k % 3 == 0).select(
+                ((k * 17 + 3) % 997).alias("u"), ((k * 43 + 11) % 997).alias("v")
+            )
+        )
+        .distinct()
+    )
+    edges = (
+        base.filter(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges=edges, vertices=None, directed=True, weighted=False)
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    g = load_directed_graph(spark, sf_dir)
+    labels, _ = strongly_connected_components(g)
+    return labels.orderBy("id")
+
+
+SQL_SCC = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 31 + 7) % 997) AS v
+  FROM orders
+  UNION
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 57 + 13) % 997) AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION
+  SELECT DISTINCT ((o_orderkey * 17 + 3) % 997) AS u,
+                  ((o_orderkey * 43 + 11) % 997) AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+dedges AS MATERIALIZED (
+  SELECT DISTINCT u AS src, v AS dst FROM base WHERE u <> v
+),
+dnodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges
+  ) t
+),
+reach(a, b) AS (
+  SELECT id, id FROM dnodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT u AS id, MIN(v) AS label FROM mutual GROUP BY u ORDER BY u
+"""
+
+
+# ---------------------------------------------------------------------------
+# TriangleEdgeScore (TriangleEdgeScore.cpp:62-95): per-edge triangle counts
+# ---------------------------------------------------------------------------
+
+def q_tri_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import triangle_edge_score
+
+    g = load_graph(spark, sf_dir)
+    return triangle_edge_score(g).orderBy("src", "dst")
+
+
+SQL_TRI_EDGE = f"""
+WITH {GRAPH_CTES},
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tedges AS (
+  SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM tri
+  UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+  UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+),
+cnt AS (SELECT x, y, COUNT(*) AS score FROM tedges GROUP BY x, y)
+SELECT e.src, e.dst, COALESCE(c.score, 0) AS score
+FROM edges e LEFT JOIN cnt c ON c.x = e.src AND c.y = e.dst
+ORDER BY e.src, e.dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scale-credible gate: PageRank on a ~100k-node graph (vertices = explicit
+# range(100003), edges from lineitem keys) — the kernel gates otherwise all
+# run on 997 nodes at every sf. Scores reported as score * n (raw values at
+# n=1e5 would round to nothing at 6 decimals).
+# ---------------------------------------------------------------------------
+
+N_LARGE = 100003
+PR_LARGE_ITERS = 5
+
+LARGE_CTES = f"""
+lkeys AS (SELECT (l_orderkey * 8 + l_linenumber) AS k FROM lineitem),
+lbase AS (
+  SELECT DISTINCT ((k * 13 + 5) % {N_LARGE}) AS u,
+                  ((k * 37 + 11) % {N_LARGE}) AS v FROM lkeys
+  UNION
+  SELECT DISTINCT ((k * 23 + 7) % {N_LARGE}) AS u,
+                  ((k * 61 + 17) % {N_LARGE}) AS v FROM lkeys WHERE k % 2 = 0
+  UNION
+  SELECT DISTINCT ((k * 47 + 1) % {N_LARGE}) AS u,
+                  ((k * 83 + 29) % {N_LARGE}) AS v FROM lkeys WHERE k % 3 = 0
+),
+ledges AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst
+  FROM lbase WHERE u <> v
+),
+ladj AS MATERIALIZED (
+  SELECT src, dst FROM ledges UNION ALL SELECT dst AS src, src AS dst FROM ledges
+),
+lnodes AS MATERIALIZED (SELECT range AS id FROM range({N_LARGE})),
+ldeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS degree FROM ladj GROUP BY src)
+""".strip()
+
+
+def load_large_graph(spark: SparkSession, sf_dir: str):
+    from networkit_spark.graph import Graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    lk = li.select(k.alias("k"))
+    base = (
+        lk.select(((F.col("k") * 13 + 5) % N_LARGE).alias("u"),
+                  ((F.col("k") * 37 + 11) % N_LARGE).alias("v"))
+        .unionByName(
+            lk.filter(F.col("k") % 2 == 0).select(
+                ((F.col("k") * 23 + 7) % N_LARGE).alias("u"),
+                ((F.col("k") * 61 + 17) % N_LARGE).alias("v"),
+            )
+        )
+        .unionByName(
+            lk.filter(F.col("k") % 3 == 0).select(
+                ((F.col("k") * 47 + 1) % N_LARGE).alias("u"),
+                ((F.col("k") * 83 + 29) % N_LARGE).alias("v"),
+            )
+        )
+        .distinct()
+    )
+    edges = (
+        base.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    vertices = spark.range(N_LARGE).select(F.col("id").cast("long").alias("id"))
+    return Graph(edges=edges, vertices=vertices, directed=False, weighted=False)
+
+
+def q_pagerank_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.pagerank import pagerank
+
+    g = load_large_graph(spark, sf_dir)
+    res = pagerank(g, damp=0.85, tol=0.0, max_iterations=PR_LARGE_ITERS)
+    return (
+        res.scores.select(
+            "id", F.round(F.col("score") * N_LARGE, 6).alias("score_n")
+        )
+        .orderBy("id")
+    )
+
+
+def _pagerank_large_sql(iters: int = PR_LARGE_ITERS) -> str:
+    steps = [
+        f"pr0 AS MATERIALIZED (SELECT id, 1.0 / {N_LARGE} AS score FROM lnodes)"
+    ]
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""pr{i} AS MATERIALIZED (
+  SELECT n.id,
+         (1.0 - 0.85) / {N_LARGE} + 0.85 * COALESCE(m.mass, 0.0) AS score
+  FROM lnodes n LEFT JOIN (
+    SELECT a.dst AS id, SUM(p.score * (1.0 / d.degree)) AS mass
+    FROM ladj a
+    JOIN pr{i - 1} p ON p.id = a.src
+    JOIN ldeg d ON d.id = a.src
+    GROUP BY a.dst
+  ) m ON m.id = n.id
+)"""
+        )
+    return (
+        f"WITH {LARGE_CTES},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, ROUND(score * {N_LARGE}, 6) AS score_n "
+        f"FROM pr{iters} ORDER BY id"
+    )
+
+
+SQL_PAGERANK_LARGE = _pagerank_large_sql()
 
 
 # ---------------------------------------------------------------------------

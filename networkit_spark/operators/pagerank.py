@@ -273,10 +273,24 @@ def pagerank(
     unroll: int = 1,
     block_path: str | None = None,
     reuse_blocks: bool = False,
+    dst_parts: int | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence. Defaults match the reference
     (PageRank.hpp:61-62: damp=0.85, tol=1e-8, L2, no sink handling,
-    unbounded iterations)."""
+    unbounded iterations).
+
+    ``dst_parts`` (engine="dataframe"): insert an explicit
+    ``repartition(dst_parts, dst)`` between the gather join and the
+    ``groupBy(dst)``. Default Spark plans partial-agg BEFORE the
+    exchange, so each map task aggregates over nearly ALL n distinct
+    dsts — an O(n)-entry (~100 MB) hash map per concurrent task, which
+    thrashes the shared LLC/DRAM at high core counts while reducing the
+    shuffle by almost nothing (web-graph fan-in makes the combine
+    ineffective). The explicit repartition satisfies the aggregation's
+    required distribution, so BOTH agg phases run post-shuffle on
+    dst-sliced rows: hash maps shrink to n/dst_parts entries
+    (cache-resident) at the cost of shuffling raw (dst, contrib) rows —
+    the same volume the ineffective combine was already shipping."""
     spark = g.edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark)
 
@@ -377,6 +391,10 @@ def pagerank(
             cur = scores
             for _ in range(steps):
                 j = cur.hint("shuffle_hash").join(flow, cur.id == flow.src)
+                if dst_parts:
+                    j = j.select("dst", "score", "frac").repartition(
+                        dst_parts, "dst"
+                    )
                 c = j.groupBy("dst").agg(
                     F.sum(F.col("score") * F.col("frac")).alias("mass")
                 )
@@ -419,6 +437,10 @@ def pagerank(
                 joined = s.join(flow, (s.id == flow.src) & (s.salt == flow.salt))
             else:
                 joined = s.join(flow, s.id == flow.src)
+            if dst_parts:
+                joined = joined.select("dst", "score", "frac").repartition(
+                    dst_parts, "dst"
+                )
             contribs = (
                 joined.groupBy("dst")
                 .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))

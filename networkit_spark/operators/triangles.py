@@ -100,6 +100,41 @@ def triangle_counts(g: Graph) -> DataFrame:
     )
 
 
+def triangle_edge_score(g: Graph) -> DataFrame:
+    """(src, dst, score) — number of triangles containing each edge,
+    one row per stored edge in id-canonical (src < dst) orientation;
+    triangle-free edges (and self-loops) score 0.
+
+    Reference: TriangleEdgeScore
+    (/root/reference/networkit/cpp/edgescores/TriangleEdgeScore.cpp:62-95)
+    — same high->low degree orientation, per-edge counts instead of
+    per-corner. Spark plan: reuse the oriented triangle list, explode
+    each triangle into its 3 id-canonical edges, hash-aggregate, then
+    left-join the canonical edge table for zeros."""
+    tris = triangle_list(g)
+    tri_edges = (
+        tris.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .unionByName(
+            tris.select(F.least("a", "c").alias("x"), F.greatest("a", "c").alias("y"))
+        )
+        .unionByName(
+            tris.select(F.least("b", "c").alias("x"), F.greatest("b", "c").alias("y"))
+        )
+    )
+    counts = tri_edges.groupBy("x", "y").agg(F.count("*").alias("score"))
+    canon = g.edges.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    ).distinct()
+    return (
+        canon.join(counts, ["x", "y"], "left")
+        .select(
+            F.col("x").alias("src"),
+            F.col("y").alias("dst"),
+            F.coalesce("score", F.lit(0)).alias("score"),
+        )
+    )
+
+
 def local_clustering_coefficient(g: Graph, allow_self_loops: bool = False) -> DataFrame:
     """(id, lcc) — exact turbo-equivalent scores
     (LocalClusteringCoefficient.cpp:19,54-84). Raises on self-loops

@@ -124,6 +124,15 @@ class Checkpointer:
             self._mem_handles.pop(0).unpersist()
         return out
 
+    def release(self) -> None:
+        """Unpersist every in-memory state handle this checkpointer still
+        holds. Call once the final state has been eagerly consumed (or
+        re-checkpointed by the caller) — used by kernels that run MANY
+        short propagation fixpoints (e.g. the SCC peel) to keep the
+        executor block store from accumulating dead O(n) states."""
+        while self._mem_handles:
+            self._mem_handles.pop().unpersist()
+
     def _gc(self, newest: int) -> None:
         steps = self.completed_steps()
         for s in steps[: -self.keep]:
