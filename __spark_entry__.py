@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": e.q_sssp,
         "graph_scc": e.q_scc,
         "graph_tri_edge": e.q_tri_edge,
+        "graph_lcc_sampled": e.q_lcc_sampled,
+        "graph_betweenness": e.q_betweenness,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
@@ -135,11 +137,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": e.SQL_SSSP,
         "graph_scc": e.SQL_SCC,
         "graph_tri_edge": e.SQL_TRI_EDGE,
+        "graph_lcc_sampled": e.SQL_LCC_SAMPLED,
+        "graph_betweenness": e.SQL_BETWEENNESS,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,
         "events_window": e.SQL_EVENTS_WINDOW,
-        # sim_lsh_topk / multimodal_features intentionally omitted:
-        # rows-only check (seeded hyperplanes / binary decode stubs are
-        # not expressible in ANSI SQL)
+        # LSH top-k: oracled by unrolling the seeded hyperplane literals
+        # into the SQL (same trick as the unrolled kernel oracles)
+        "sim_lsh_topk": e.SQL_LSH_TOPK,
+        # multimodal_features intentionally omitted: rows-only check
+        # (binary decode stubs are not expressible in ANSI SQL)
     }

@@ -276,11 +276,79 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: hyperplane-LSH bucketed candidate join re-ranked
-    by exact cosine. Not SQL-expressible (seeded gaussian hyperplanes)."""
+    by exact cosine. The seeded gaussian hyperplanes are driver-side
+    literals folded into the plan, so the oracle SQL below unrolls the
+    SAME literals (like _katz_sql unrolls constants) — full hash-match,
+    not rows-only."""
     from networkit_spark.functions.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(emb, k=3).orderBy("query_id", "rank")
+
+
+LSH_DIM = 64     # embeddings.parquet vector width (TESTDATA.md)
+LSH_BITS = 8
+LSH_TABLES = 4
+LSH_SEED = 42
+LSH_K = 3
+
+
+def _lsh_topk_sql() -> str:
+    """Oracle for q_lsh_topk: identical hyperplane literals, identical
+    left-to-right dot-product fold (DuckDB's list_dot_product and
+    Spark's F.aggregate(zip_with) both reduce sequentially, so the IEEE
+    sums are bit-equal), identical tie-breaks."""
+    from networkit_spark.functions.similarity import _hyperplanes
+
+    tables = []
+    for t in range(LSH_TABLES):
+        planes = _hyperplanes(LSH_DIM, LSH_BITS, t, LSH_SEED)
+        bits = []
+        for j, h in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in h)
+            bits.append(
+                f"(CASE WHEN list_dot_product(vec, [{lits}]) > 0 "
+                f"THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+            )
+        expr = "\n       + ".join(bits)
+        tables.append(
+            f"SELECT id, {t} AS tbl,\n       {expr} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n  ".join(tables)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+n AS MATERIALIZED (
+  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS vnorm FROM v
+),
+b AS MATERIALIZED (
+  {buckets}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.id AS qid, y.id AS nid
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.id <> y.id
+),
+scored AS (
+  SELECT c.qid, c.nid,
+         ROUND(list_dot_product(q.vec, m.vec) / (q.vnorm * m.vnorm), 6) AS cosine
+  FROM cand c
+  JOIN n q ON q.id = c.qid AND q.vnorm > 0
+  JOIN n m ON m.id = c.nid AND m.vnorm > 0
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+) t WHERE rank <= {LSH_K}
+ORDER BY query_id, rank
+""".strip()
+
+
+SQL_LSH_TOPK = _lsh_topk_sql()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +821,153 @@ cnt AS (SELECT x, y, COUNT(*) AS score FROM tedges GROUP BY x, y)
 SELECT e.src, e.dst, COALESCE(c.score, 0) AS score
 FROM edges e LEFT JOIN cnt c ON c.x = e.src AND c.y = e.dst
 ORDER BY e.src, e.dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Betweenness (Brandes; Betweenness.cpp:22-110) — multi-source dependency
+# accumulation from the 10 contract seeds, hop-capped so the unrolled
+# forward/backward oracle has identical semantics
+# ---------------------------------------------------------------------------
+
+BC_HOPS = 12
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.betweenness import betweenness
+
+    g = load_graph(spark, sf_dir)
+    seeds = g.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    scores, _ = betweenness(g, sources=seeds, max_hops=BC_HOPS)
+    return scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _betweenness_sql(hops: int = BC_HOPS) -> str:
+    parts = [
+        f"f0 AS MATERIALIZED (SELECT id AS s, id AS v, 1.0 AS sigma "
+        f"FROM nodes WHERE id % {BFS_SEED_MOD} = 0)",
+        "seen0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for l in range(1, hops + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+  SELECT p.s, a.dst AS v, SUM(p.sigma) AS sigma
+  FROM f{l - 1} p JOIN adj a ON a.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen{l - 1} t WHERE t.s = p.s AND t.v = a.dst
+  )
+  GROUP BY p.s, a.dst
+),
+seen{l} AS MATERIALIZED (
+  SELECT s, v FROM seen{l - 1} UNION ALL SELECT s, v FROM f{l}
+)"""
+        )
+    parts.append(
+        f"d{hops} AS MATERIALIZED (SELECT s, v, sigma, 0.0 AS delta FROM f{hops})"
+    )
+    for l in range(hops - 1, -1, -1):
+        parts.append(
+            f"""d{l} AS MATERIALIZED (
+  SELECT c.s, c.v, c.sigma, COALESCE(x.d, 0.0) AS delta
+  FROM f{l} c LEFT JOIN (
+    SELECT c2.s, c2.v, SUM((c2.sigma / w.sigma) * (1.0 + w.delta)) AS d
+    FROM f{l} c2
+    JOIN adj a ON a.src = c2.v
+    JOIN d{l + 1} w ON w.s = c2.s AND w.v = a.dst
+    GROUP BY c2.s, c2.v
+  ) x ON x.s = c.s AND x.v = c.v
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{l}" for l in range(hops + 1)
+    )
+    parts.append(
+        f"""alldep AS (
+  {union}
+),
+bc AS (SELECT v AS id, SUM(delta) AS score FROM alldep WHERE s <> v GROUP BY v)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\nSELECT n.id, ROUND(COALESCE(b.score, 0.0), 6) AS score"
+        "\nFROM nodes n LEFT JOIN bc b ON b.id = n.id ORDER BY n.id"
+    )
+
+
+SQL_BETWEENNESS = _betweenness_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sampled clustering coefficients (ClusteringCoefficient.cpp:130-162,
+# GlobalClusteringCoefficient.cpp:39-65) — deterministic md5-Bernoulli node
+# sample instead of per-trial RNG, exact closure per sampled node
+# ---------------------------------------------------------------------------
+
+LCC_SAMPLE_PCT = 10
+LCC_SAMPLE_SEED = 42
+
+
+def q_lcc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import (
+        approx_avg_local_clustering,
+        approx_global_clustering,
+        sampled_local_clustering,
+    )
+
+    g = load_graph(spark, sf_dir)
+    n_sampled = sampled_local_clustering(g, LCC_SAMPLE_PCT, LCC_SAMPLE_SEED).count()
+    avg = approx_avg_local_clustering(g, LCC_SAMPLE_PCT, LCC_SAMPLE_SEED)
+    glob = approx_global_clustering(g, LCC_SAMPLE_PCT, LCC_SAMPLE_SEED)
+    return spark.createDataFrame(
+        [(n_sampled, float(avg), float(glob))],
+        "n_sampled long, avg_local double, global_cc double",
+    ).select(
+        "n_sampled",
+        F.round("avg_local", 6).alias("avg_local"),
+        F.round("global_cc", 6).alias("global_cc"),
+    )
+
+
+def _md5_bucket_sql(expr: str, seed: int) -> str:
+    """First six md5 nibbles of ``seed|expr`` as an integer (matches
+    Spark's conv(substring(md5(...), 1, 6), 16, 10))."""
+    h = f"md5('{seed}|' || CAST({expr} AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    val = nib.format(h=h, i=1)
+    for i in range(2, 7):
+        val = f"({val} * 16 + {nib.format(h=h, i=i)})"
+    return val
+
+
+SQL_LCC_SAMPLED = f"""
+WITH {GRAPH_CTES},
+sample AS MATERIALIZED (
+  SELECT id FROM nodes WHERE {_md5_bucket_sql('id', LCC_SAMPLE_SEED)} % 100 < {LCC_SAMPLE_PCT}
+),
+nb AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS n FROM adj a
+  WHERE a.src IN (SELECT id FROM sample)
+),
+pairs AS (
+  SELECT x.u, x.n AS n1, y.n AS n2
+  FROM nb x JOIN nb y ON y.u = x.u AND x.n < y.n
+),
+closed AS MATERIALIZED (
+  SELECT p.u, COUNT(*) AS closed
+  FROM pairs p JOIN edges e ON e.src = p.n1 AND e.dst = p.n2
+  GROUP BY p.u
+),
+per_node AS MATERIALIZED (
+  SELECT s.id, d.degree, COALESCE(c.closed, 0) AS closed
+  FROM sample s JOIN deg d ON d.id = s.id
+  LEFT JOIN closed c ON c.u = s.id
+)
+SELECT (SELECT COUNT(*) FROM per_node) AS n_sampled,
+       ROUND((SELECT AVG(2.0 * closed / (degree * (degree - 1)))
+              FROM per_node WHERE degree >= 2), 6) AS avg_local,
+       ROUND((SELECT SUM(2.0 * closed) / SUM(degree * (degree - 1))
+              FROM per_node), 6) AS global_cc
 """
 
 

@@ -158,6 +158,98 @@ def local_clustering_coefficient(g: Graph, allow_self_loops: bool = False) -> Da
     )
 
 
+def _sample_bucket(col, seed: int):
+    """Deterministic cross-engine Bernoulli bucket in [0, 100): first six
+    md5 nibbles of ``seed|id`` as an integer, mod 100 — the same
+    expression DuckDB evaluates nibble-for-nibble, so sampled node sets
+    are identical across engines (the RNG-free stand-in for the
+    reference's Aux::Random draws)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+def sampled_local_clustering(
+    g: Graph, pct: int = 10, seed: int = 42
+) -> DataFrame:
+    """(id, degree, wedges_closed) exact neighborhood closure for a
+    deterministic ~pct% node sample — the distributed form of the
+    reference's sampled clustering estimators (approxAvgLocal,
+    ClusteringCoefficient.cpp:130-162, and wedge sampling,
+    GlobalClusteringCoefficient.cpp:39-65). Instead of per-trial RNG
+    (not reproducible across engines) we Bernoulli-sample NODES by an
+    md5 hash and compute each sampled node's exact closed-wedge count —
+    an unbiased, lower-variance estimator with cost
+    sum_over_sample(deg^2) instead of the full triangle join."""
+    sample = g.nodes().filter(_sample_bucket(F.col("id"), seed) < pct)
+    nb = (
+        g.adj()
+        .filter(F.col("src") != F.col("dst"))
+        .join(sample.withColumnRenamed("id", "src"), "src", "left_semi")
+        .select(F.col("src").alias("u"), F.col("dst").alias("n"))
+    )
+    pairs = (
+        nb.alias("x")
+        .join(nb.alias("y"), "u")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select("u", F.col("x.n").alias("n1"), F.col("y.n").alias("n2"))
+    )
+    canon = g.edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("n1"), F.greatest("src", "dst").alias("n2")
+    ).distinct()
+    closed = (
+        pairs.join(canon, ["n1", "n2"], "left_semi")
+        .groupBy("u")
+        .agg(F.count("*").alias("closed"))
+    )
+    deg = g.degrees().select(F.col("id").alias("u"), "degree")
+    return (
+        sample.select(F.col("id").alias("u"))
+        .join(deg, "u")
+        .join(closed, "u", "left")
+        .select(
+            F.col("u").alias("id"),
+            "degree",
+            F.coalesce("closed", F.lit(0)).alias("wedges_closed"),
+        )
+    )
+
+
+def approx_avg_local_clustering(g: Graph, pct: int = 10, seed: int = 42) -> float:
+    """Sampled avgLocal: mean of exact lcc over the deterministic node
+    sample (deg>=2 nodes, matching avgLocal's domain)."""
+    s = sampled_local_clustering(g, pct, seed)
+    row = (
+        s.filter(F.col("degree") >= 2)
+        .agg(
+            F.avg(
+                2.0 * F.col("wedges_closed")
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("m")
+        )
+        .collect()[0]
+    )
+    return float(row["m"] or 0.0)
+
+
+def approx_global_clustering(g: Graph, pct: int = 10, seed: int = 42) -> float:
+    """Sampled exactGlobal: ratio estimator sum(2*closed)/sum(deg*(deg-1))
+    over the node sample (GlobalClusteringCoefficient::approximate's
+    wedge-sampling target quantity)."""
+    s = sampled_local_clustering(g, pct, seed)
+    row = s.agg(
+        F.sum(2.0 * F.col("wedges_closed")).alias("t"),
+        F.sum(F.col("degree") * (F.col("degree") - 1)).alias("w"),
+    ).collect()[0]
+    w = float(row["w"] or 0.0)
+    return (float(row["t"]) / w) if w else 0.0
+
+
 def avg_local_clustering_coefficient(g: Graph, turbo: bool = True) -> float:
     """ClusteringCoefficient::avgLocal — mean of LCC over nodes with
     degree >= 2 (ClusteringCoefficient.cpp:106-128)."""

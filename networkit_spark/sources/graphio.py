@@ -163,3 +163,70 @@ def read_konect(spark: SparkSession, path: str, directed: bool = False) -> Graph
         spark, path, separator=" ", first_node=1, comment_prefix="%",
         continuous=True, directed=directed,
     )
+
+
+def read_gml(spark: SparkSession, path: str) -> Graph:
+    """GMLGraphReader (/root/reference/networkit/cpp/io/GMLGraphReader.cpp:21-150):
+    ``graph [ node [ id N ] ... edge [ source A target B ] ... ]`` with
+    optional ``directed 1`` header key; node ids remapped to dense
+    0-based ids in order of appearance (the reference's nodeMap).
+    Driver-side parse — GML exists to ingest the reference's fixture
+    corpus (input/*.gml)."""
+    import re
+
+    text = open(path).read()
+    directed = bool(re.search(r"\bdirected\s+1\b", text.split("node", 1)[0]))
+    node_ids = re.findall(r"node\s*\[\s*id\s+(\S+)", text)
+    node_map = {nid: i for i, nid in enumerate(node_ids)}
+    raw_edges = re.findall(
+        r"edge\s*\[\s*source\s+(\S+)\s+target\s+(\S+)(?:\s+weight\s+(\S+))?", text
+    )
+    weighted = any(w for _, _, w in raw_edges)
+    edges = [
+        (node_map[s], node_map[t], float(w) if w else 1.0)
+        for s, t, w in raw_edges
+    ]
+    return Graph.from_pandas(
+        spark, edges, directed=directed, weighted=weighted, n=len(node_ids)
+    )
+
+
+def write_gml(g: Graph, path: str) -> None:
+    """GMLGraphWriter (/root/reference/networkit/cpp/io/GMLGraphWriter.cpp) —
+    driver-side, fixture-scale interop."""
+    lines = ["graph ["]
+    if g.directed:
+        lines.append("  directed 1")
+    for r in g.nodes().orderBy("id").collect():
+        lines += ["  node [", f"    id {r['id']}", "  ]"]
+    for r in g.edges.orderBy("src", "dst").collect():
+        lines += ["  edge [", f"    source {r['src']}", f"    target {r['dst']}"]
+        if g.weighted:
+            lines.append(f"    weight {r['weight']}")
+        lines.append("  ]")
+    lines.append("]")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def write_dot(g: Graph, path: str) -> None:
+    """DotGraphWriter (/root/reference/networkit/cpp/io/DotGraphWriter.cpp) —
+    Graphviz interop, driver-side."""
+    arrow = "->" if g.directed else "--"
+    head = "digraph" if g.directed else "graph"
+    with open(path, "w") as f:
+        f.write(head + " G {\n")
+        for r in g.edges.orderBy("src", "dst").collect():
+            f.write(f"  {r['src']} {arrow} {r['dst']};\n")
+        f.write("}\n")
+
+
+def write_snap(g: Graph, path: str) -> None:
+    """SNAPGraphWriter — '# Nodes: n Edges: m' header + tab edge list;
+    distributed write for large graphs would use write_edge_list; this
+    driver-side form matches the reference's small-file interop."""
+    n, m = g.number_of_nodes(), g.number_of_edges()
+    with open(path, "w") as f:
+        f.write(f"# Nodes: {n} Edges: {m}\n")
+        for r in g.edges.orderBy("src", "dst").collect():
+            f.write(f"{r['src']}\t{r['dst']}\n")

@@ -74,3 +74,48 @@ def test_read_konect_one_based(spark, tmp_path):
     g = read_konect(spark, str(p))
     got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
     assert got == [(0, 1), (1, 2)]
+
+
+def test_gml_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.graphio import read_gml, write_gml
+
+    g = Graph.from_pandas(spark, [(0, 1, 2.5), (1, 2, 1.0)], weighted=True, n=4)
+    p = str(tmp_path / "g.gml")
+    write_gml(g, p)
+    g2 = read_gml(spark, p)
+    assert g2.number_of_nodes() == 4
+    got = sorted(
+        (r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()
+    )
+    assert got == [(0, 1, 2.5), (1, 2, 1.0)]
+
+
+def test_gml_reads_reference_fixture_shape(spark, tmp_path):
+    # the reference's looptest-style GML: nodes then edges, self-loop legal
+    p = tmp_path / "loop.gml"
+    p.write_text(
+        "graph [\n"
+        "  node [\n    id 0\n  ]\n  node [\n    id 1\n  ]\n"
+        "  edge [\n    source 0\n    target 1\n  ]\n"
+        "  edge [\n    source 1\n    target 1\n  ]\n"
+        "]\n"
+    )
+    g = graphio.read_gml(spark, str(p))
+    assert g.number_of_nodes() == 2
+    assert g.number_of_edges() == 2
+    loops = g.edges.filter("src = dst").count()
+    assert loops == 1
+
+
+def test_dot_and_snap_writers(spark, tmp_path):
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.graphio import write_dot, write_snap
+
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2)], directed=True)
+    dot = tmp_path / "g.dot"
+    write_dot(g, str(dot))
+    assert "digraph" in dot.read_text() and "0 -> 1;" in dot.read_text()
+    snap = tmp_path / "g.snap"
+    write_snap(g, str(snap))
+    assert snap.read_text().startswith("# Nodes: 3 Edges: 2")
