@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tri_edge": e.q_tri_edge,
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_betweenness": e.q_betweenness,
+        "graph_closeness": e.q_closeness,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_tri_edge": e.SQL_TRI_EDGE,
         "graph_lcc_sampled": e.SQL_LCC_SAMPLED,
         "graph_betweenness": e.SQL_BETWEENNESS,
+        "graph_closeness": e.SQL_CLOSENESS,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,

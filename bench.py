@@ -192,10 +192,16 @@ def run_scaling_level(
     from networkit_spark.operators.pagerank import pagerank
     from networkit_spark.session import get_spark
 
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    # shuffle partitions scale with the level (like a real cluster's
+    # cores x multiplier); raising the multiplier shrinks each task's
+    # partial-aggregation hash map (fewer distinct dst per partition)
+    mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
     spark = get_spark(
         app_name=f"bench_scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=cpus * mult,
+        extra_conf=extra or None,
     )
     g = Graph(
         edges=spark.read.parquet(SCALING_EDGES),

@@ -475,6 +475,9 @@ SQL_KATZ = _katz_sql()
 # move rounds, one coarsening, 2 more rounds, project, min-id canonical
 # labels. Gains are computed in the 2*total^2-scaled form, exactly integral
 # on this unweighted graph, so the argmax is bit-identical across engines.
+# Both engines apply the same parity gate — only nodes with
+# (id + round) % 2 == 0 may move in a round (anti-livelock half-steps;
+# see operators/plm.py _move_phase).
 # ---------------------------------------------------------------------------
 
 PLM_ROUNDS = 2
@@ -519,7 +522,7 @@ def _plm_move_round_sql(p: str, r: int) -> str:
   SELECT u, d FROM (
     SELECT u, d,
            ROW_NUMBER() OVER (PARTITION BY u ORDER BY gain DESC, d ASC) AS rn
-    FROM {p}cand{r} WHERE gain > 0
+    FROM {p}cand{r} WHERE gain > 0 AND (u + {r}) % 2 = 0
   ) t WHERE rn = 1
 ),
 {p}lab{r} AS MATERIALIZED (
@@ -1119,3 +1122,63 @@ SELECT c.label,
 FROM cc c LEFT JOIN odd o ON o.id = c.id
 GROUP BY c.label ORDER BY c.label
 """
+
+
+# ---------------------------------------------------------------------------
+# Closeness + harmonic closeness (Closeness.cpp:50-113, Closeness.hpp:86-100,
+# HarmonicCloseness.cpp:20-49) — generalized variant from the deterministic
+# seed set (ids % BFS_SEED_MOD == 0), hop-capped like the BFS gate (the
+# contract graph's eccentricities are far below the cap, so capped = exact)
+# ---------------------------------------------------------------------------
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.closeness import closeness, harmonic_closeness
+
+    g = load_graph(spark, sf_dir)
+    seeds = g.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    clo, _ = closeness(g, variant="generalized", sources=seeds, max_hops=BFS_HOPS)
+    har, _ = harmonic_closeness(g, sources=seeds, max_hops=BFS_HOPS)
+    return (
+        clo.select("id", F.round("score", 6).alias("closeness"))
+        .join(har.select("id", F.round("score", 6).alias("harmonic")), "id")
+        .orderBy("id")
+    )
+
+
+def _closeness_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        f"t0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist "
+        f"FROM nodes WHERE id % {BFS_SEED_MOD} = 0)"
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+agg AS (
+  SELECT s, COUNT(*) AS r, SUM(dist) AS dsum,
+         SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0 END) AS harm
+  FROM t{hops} GROUP BY s
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes)
+SELECT s AS id,
+       ROUND(CASE WHEN dsum > 0
+             THEN (r - 1) * 1.0 / dsum / ((SELECT n FROM nn) - 1)
+             ELSE 0 END, 6) AS closeness,
+       ROUND(harm, 6) AS harmonic
+FROM agg ORDER BY id"""
+    )
+
+
+SQL_CLOSENESS = _closeness_sql()

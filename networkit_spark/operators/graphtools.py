@@ -291,3 +291,27 @@ def is_bipartite(g: Graph) -> bool:
         .count()
         == 0
     )
+
+
+def index_edges(g: Graph) -> DataFrame:
+    """indexEdges (/root/reference/networkit/graph.pyx:71): assign
+    consecutive 0-based edge ids. Deterministic: ids ordered by
+    (src, dst) — a one-time global sort, exactly what the reference's
+    sequential assignment produces for its canonical iteration order.
+    Returns edges with an ``edge_id`` column."""
+    w = Window.orderBy("src", "dst")
+    return g.edges.withColumn("edge_id", F.row_number().over(w) - 1)
+
+
+def random_neighbor(g: Graph, u: int, seed: int = 42) -> int | None:
+    """GraphTools::randomNeighbor (GraphTools.hpp:74): a deterministic
+    (seeded) pick among u's neighbors; None if isolated."""
+    row = (
+        g.adj()
+        .filter(F.col("src") == u)
+        .select("dst")
+        .orderBy(F.md5(F.concat(F.lit(f"{seed}|"), F.col("dst").cast("string"))))
+        .limit(1)
+        .collect()
+    )
+    return int(row[0]["dst"]) if row else None

@@ -274,6 +274,7 @@ def pagerank(
     block_path: str | None = None,
     reuse_blocks: bool = False,
     dst_parts: int | None = None,
+    init_scores: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence. Defaults match the reference
     (PageRank.hpp:61-62: damp=0.85, tol=1e-8, L2, no sink handling,
@@ -338,8 +339,19 @@ def pagerank(
         sinks = nodes.join(out_nodes, "id", "left_anti").localCheckpoint(eager=True)
         n_sinks = sinks.count()
 
-    # init (PageRank.cpp:28)
-    scores = nodes.select("id", F.lit(1.0 / n).alias("score"))
+    # init (PageRank.cpp:28); init_scores = warm start from a previous
+    # run's result — the Dyn* role (apply a GraphEvent batch, re-run from
+    # the old fixpoint; converges in a few supersteps when the delta is
+    # small, matching the reference's batch-incremental Dyn algorithms'
+    # purpose). Nodes missing from init_scores (e.g. newly added) start
+    # at 1/n.
+    if init_scores is not None:
+        scores = (
+            nodes.join(init_scores.select("id", "score"), "id", "left")
+            .select("id", F.coalesce("score", F.lit(1.0 / n)).alias("score"))
+        )
+    else:
+        scores = nodes.select("id", F.lit(1.0 / n).alias("score"))
     start_iter = 0
     if resume and checkpointer is not None:
         latest = checkpointer.latest()

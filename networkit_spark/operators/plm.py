@@ -101,16 +101,34 @@ def _move_phase(
 
     Returns (labels(id, label), any_move_happened, metrics)."""
     spark = g.edges.sparkSession
+    # lineage cut BEFORE the persist: the undirected adj() is a
+    # self-union of the edges relation, and CacheManager's canonical
+    # subtree matching on that shape can mis-rewrite attributes inside
+    # this function's labels self-joins ("key not found: id#N" in
+    # InMemoryRelation.withOutput). A LogicalRDD cache key cannot
+    # spuriously match anything else.
     adj = materialize_partitioned(
-        g.adj().filter(F.col("src") != F.col("dst")).select("src", "dst", "weight"),
+        g.adj()
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .localCheckpoint(eager=True),
         "dst",
     )
-    vols = _node_volumes(g).localCheckpoint(eager=True)
+    # alias id -> vid BEFORE the lineage cut: labels and vols otherwise
+    # both descend from g.nodes() and their two checkpointed leaf
+    # relations would carry the SAME id exprId, which breaks Catalyst's
+    # attribute dedup when both appear in one round's query tree
+    vols = (
+        _node_volumes(g)
+        .select(F.col("id").alias("vid"), "vol")
+        .localCheckpoint(eager=True)
+    )
     total = g.total_edge_weight()
     labels = g.nodes().select("id", F.col("id").alias("label"))
     labels = ckpt.cut(labels, level * 1000)
     metrics: list[dict] = []
     any_moved = False
+    zero_streak = 0
     if total <= 0:
         adj.unpersist()
         return labels, False, metrics
@@ -119,7 +137,7 @@ def _move_phase(
         t0 = time.time()
         # vol per community under the current assignment
         vol_comm = (
-            labels.join(vols, "id")
+            labels.join(vols, labels.id == vols.vid)
             .groupBy("label")
             .agg(F.sum("vol").alias("cvol"))
         )
@@ -149,7 +167,7 @@ def _move_phase(
                 vol_comm.select(F.col("label").alias("d"), F.col("cvol").alias("vold")),
                 "d",
             )
-            .join(vols.select(F.col("id").alias("u"), "vol"), "u")
+            .join(vols.select(F.col("vid").alias("u"), "vol"), "u")
             .select(
                 "u",
                 "d",
@@ -162,9 +180,16 @@ def _move_phase(
                 ).alias("gain"),
             )
         )
-        # argmax with smallest-community tie-break, move iff gain > 0
+        # argmax with smallest-community tie-break, move iff gain > 0.
+        # Parity gate: only nodes with (id + round) % 2 == 0 may move
+        # this round. Synchronous moves without it livelock on symmetric
+        # structures (two tied nodes swapping into each other's
+        # community forever — e.g. equal-weight triangle pairs); the
+        # alternating half-step is the standard distributed-Louvain
+        # remedy and keeps the rounds deterministic.
         best = (
             cand.filter(F.col("gain") > 0)
+            .filter(F.pmod(F.col("u") + F.lit(rnd), F.lit(2)) == 0)
             .groupBy("u")
             .agg(
                 F.max(
@@ -190,8 +215,14 @@ def _move_phase(
         )
         labels = merged.select("id", F.col("new_label").alias("label"))
         if moved == 0:
-            break
-        any_moved = True
+            zero_streak += 1
+            # a zero round only proves HALF the nodes have no move
+            # (parity gate) — fixpoint needs both parities quiet
+            if zero_streak >= 2:
+                break
+        else:
+            zero_streak = 0
+            any_moved = True
     adj.unpersist()
     return labels, any_moved, metrics
 
@@ -218,7 +249,10 @@ def plm(
             "to_undirected() first"
         )
     spark = g.edges.sparkSession
-    ckpt = checkpointer or Checkpointer(spark)
+    # cache_states=False: PLM's per-round tree scans the labels state
+    # from four subplans; a CacheManager-registered state breaks
+    # Catalyst's cache substitution on that shape (see Checkpointer)
+    ckpt = checkpointer or Checkpointer(spark, cache_states=False)
     metrics: list[dict] = []
 
     # assign: original id -> current-level node id
@@ -250,7 +284,13 @@ def plm(
             .select("id", F.col("coarse_id").alias("cur"))
             .localCheckpoint(eager=True)
         )
+        # checkpoint BOTH relations: vertices carries a dense_rank window
+        # plan whose attributes otherwise resurface in the next level's
+        # labels self-joins and can break Catalyst's attribute dedup
+        # ("key not found: id#N" in assertOptimized)
         coarse_g.edges = coarse_g.edges.localCheckpoint(eager=True)
+        if coarse_g.vertices is not None:
+            coarse_g.vertices = coarse_g.vertices.localCheckpoint(eager=True)
         cur_g = coarse_g
     else:  # pragma: no cover — loop always breaks
         final = assign.select("id", F.col("cur").alias("c"))

@@ -157,3 +157,76 @@ def is_proper_clustering(g: Graph, labels: DataFrame) -> bool:
 
 def number_of_clusters(labels: DataFrame) -> int:
     return labels.select("label").distinct().count()
+
+
+def is_singleton_clustering(g: Graph, labels: DataFrame) -> bool:
+    """GraphClusteringTools.isSingletonClustering: every cluster has
+    exactly one member (networkit/community.pyx)."""
+    n = labels.count()
+    return labels.select("label").distinct().count() == n
+
+
+def is_one_clustering(g: Graph, labels: DataFrame) -> bool:
+    """GraphClusteringTools.isOneClustering: a single cluster."""
+    return labels.select("label").distinct().count() == 1
+
+
+def equal_clusterings(a: DataFrame, b: DataFrame) -> bool:
+    """GraphClusteringTools.equalClustering: same partition up to label
+    renaming — the (label_a, label_b) co-occurrence relation must be a
+    bijection."""
+    j = a.select("id", F.col("label").alias("la")).join(
+        b.select("id", F.col("label").alias("lb")), "id"
+    )
+    pairs = j.select("la", "lb").distinct().count()
+    return (
+        pairs == j.select("la").distinct().count()
+        == j.select("lb").distinct().count()
+    )
+
+
+def lp_degree_ordered(g: Graph, theta: int | None = None) -> tuple[dict, int]:
+    """LPDegreeOrdered (/root/reference/networkit/cpp/community/
+    LPDegreeOrdered.cpp:18-86): sequential label propagation visiting
+    nodes in ascending degree order with IMMEDIATE (asynchronous)
+    updates and an active set; loop while nUpdated > theta = n/1e5.
+
+    Driver-side by design — the algorithm is defined by its sequential
+    visit order (the reference runs it single-threaded too); it exists
+    here as a second, order-faithful community oracle for fixture-scale
+    validation of the distributed PLP/PLM. Two determinism fixes over
+    the reference (whose sort and max_element tie-breaks are
+    unspecified): ties sort by (degree, id) and break to the smallest
+    label. Returns (labels dict, iterations)."""
+    rows = g.adj().select("src", "dst").collect()
+    neigh: dict[int, list[int]] = {}
+    for r in rows:
+        neigh.setdefault(r["src"], []).append(r["dst"])
+    node_ids = sorted({r["id"] for r in g.nodes().collect()})
+    n = len(node_ids)
+    if theta is None:
+        theta = int(n / 1e5)
+    labels = {v: v for v in node_ids}
+    active = {v: True for v in node_ids}
+    order = sorted(node_ids, key=lambda v: (len(neigh.get(v, [])), v))
+    iterations = 0
+    updated = n
+    while updated > theta:
+        updated = 0
+        for v in order:
+            nbrs = neigh.get(v)
+            if not nbrs or not active[v]:
+                continue
+            counts: dict[int, int] = {}
+            for w in nbrs:
+                counts[labels[w]] = counts.get(labels[w], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            if labels[v] != best:
+                labels[v] = best
+                updated += 1
+                for w in nbrs:
+                    active[w] = True
+            else:
+                active[v] = False
+        iterations += 1
+    return labels, iterations

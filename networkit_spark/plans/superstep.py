@@ -81,12 +81,24 @@ class Checkpointer:
         every: int = 1,
         keep: int = 2,
         partition_lineage: bool = False,
+        cache_states: bool = True,
     ) -> None:
         self.spark = spark
         self.path = path
         self.every = max(1, every)
         self.keep = max(1, keep)
         self.partition_lineage = partition_lineage
+        self.cache_states = cache_states
+        # cache_states=False skips the persist() layer on in-memory
+        # states. Needed by kernels whose per-round plan references the
+        # state relation MANY times (PLM: volumes/affinity/current/merge
+        # all scan the labels state): each persist registers the state in
+        # the session CacheManager, and its attribute-rewriting cache
+        # substitution (InMemoryRelation.withOutput) breaks on such trees
+        # in Spark 4.x ("java.util.NoSuchElementException: key not found:
+        # id#N"). The states are EAGER localCheckpoints either way —
+        # their blocks are materialized, so uncached rescans read stored
+        # blocks rather than recomputing lineage.
         self._mem_handles: list[DataFrame] = []
         if path:
             os.makedirs(os.path.join(path, "state"), exist_ok=True)
@@ -118,10 +130,12 @@ class Checkpointer:
         # against per-scan re-execution of checkpoint scans) fills during
         # the next superstep's first scan instead of costing a dedicated
         # count() job here
-        out = df.localCheckpoint(eager=True).persist()
-        self._mem_handles.append(out)
-        while len(self._mem_handles) > self.keep:
-            self._mem_handles.pop(0).unpersist()
+        out = df.localCheckpoint(eager=True)
+        if self.cache_states:
+            out = out.persist()
+            self._mem_handles.append(out)
+            while len(self._mem_handles) > self.keep:
+                self._mem_handles.pop(0).unpersist()
         return out
 
     def release(self) -> None:

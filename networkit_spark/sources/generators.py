@@ -103,3 +103,40 @@ def rmat_graph(
         )
     e = e.distinct().withColumn("weight", F.lit(1.0))
     return Graph(edges=e, vertices=None, directed=directed, weighted=False)
+
+
+def clustered_random_graph(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    p_in: float,
+    p_out: float,
+    seed: int = 42,
+) -> "Graph":
+    """ClusteredRandomGraphGenerator
+    (/root/reference/networkit/cpp/generators/ClusteredRandomGraphGenerator.cpp):
+    n nodes in k equal blocks; intra-block pairs kept with prob p_in,
+    inter-block with p_out. Deterministic via per-pair xxhash64 draws
+    (same JVM-side trick as the RMAT generator). Pair enumeration is a
+    range self-join — O(n^2) draws, so this is a FIXTURE/property-test
+    generator (the reference's is too), not a web-scale path."""
+    from networkit_spark.graph import Graph
+
+    ids = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    res = 1 << 24
+    draw = F.pmod(
+        F.xxhash64(F.lit(seed), F.col("src"), F.col("dst")), F.lit(res)
+    )
+    same = (F.col("src") % k) == (F.col("dst") % k)
+    thr_in = int(p_in * res)
+    thr_out = int(p_out * res)
+    edges = pairs.filter(
+        (same & (draw < thr_in)) | (~same & (draw < thr_out))
+    ).withColumn("weight", F.lit(1.0))
+    vertices = ids
+    return Graph(edges, vertices, directed=False, weighted=False)

@@ -230,3 +230,100 @@ def write_snap(g: Graph, path: str) -> None:
         f.write(f"# Nodes: {n} Edges: {m}\n")
         for r in g.edges.orderBy("src", "dst").collect():
             f.write(f"{r['src']}\t{r['dst']}\n")
+
+
+def read_mtx(spark: SparkSession, path: str, directed: bool = False) -> Graph:
+    """MatrixMarketReader / MTXGraphReader
+    (/root/reference/networkit/cpp/io/MatrixMarketReader.cpp): header
+    ``%%MatrixMarket matrix coordinate <field> <symmetry>``, '%'
+    comments, one ``rows cols nnz`` size line, then 1-based
+    ``i j [value]`` entries. Driver-side parse (fixture interop, like
+    METIS); symmetric banner -> undirected."""
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    banner = lines[0].lower()
+    undirected = "symmetric" in banner or not directed
+    body = [ln for ln in lines[1:] if not ln.startswith("%")]
+    edges = []
+    weighted = False
+    for ln in body[1:]:  # body[0] is the size line
+        t = ln.split()
+        w = float(t[2]) if len(t) > 2 else 1.0
+        weighted = weighted or (len(t) > 2 and w != 1.0)
+        edges.append((int(t[0]) - 1, int(t[1]) - 1, w))
+    return Graph.from_pandas(
+        spark, edges, directed=not undirected, weighted=weighted
+    )
+
+
+def write_mtx(g: Graph, path: str) -> None:
+    """MatrixMarket coordinate writer (1-based, symmetric for
+    undirected graphs)."""
+    sym = "general" if g.directed else "symmetric"
+    field = "real" if g.weighted else "pattern"
+    n = g.number_of_nodes()
+    rows = g.edges.orderBy("src", "dst").collect()
+    with open(path, "w") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {field} {sym}\n")
+        f.write(f"{n} {n} {len(rows)}\n")
+        for r in rows:
+            if g.weighted:
+                f.write(f"{r['src'] + 1} {r['dst'] + 1} {r['weight']}\n")
+            else:
+                f.write(f"{r['src'] + 1} {r['dst'] + 1}\n")
+
+
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """GraphMLReader (/root/reference/networkit/cpp/io/GraphMLReader-
+    style): XML ``<node id=.../>`` + ``<edge source=... target=.../>``
+    with an optional weight ``<data>`` child; node ids remapped to dense
+    0-based in document order. Driver-side (fixture interop)."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag.split("}")[0] + "}"
+    graph_el = root.find(f"{ns}graph")
+    directed = (graph_el.get("edgedefault") or "undirected") == "directed"
+    node_map: dict[str, int] = {}
+    for el in graph_el.findall(f"{ns}node"):
+        node_map[el.get("id")] = len(node_map)
+    edges = []
+    weighted = False
+    for el in graph_el.findall(f"{ns}edge"):
+        w = 1.0
+        for d in el.findall(f"{ns}data"):
+            try:
+                w = float(d.text)
+                weighted = True
+            except (TypeError, ValueError):
+                pass
+        edges.append((node_map[el.get("source")], node_map[el.get("target")], w))
+    return Graph.from_pandas(
+        spark, edges, directed=directed, weighted=weighted, n=len(node_map)
+    )
+
+
+def write_graphml(g: Graph, path: str) -> None:
+    """GraphMLWriter — minimal conformant document, driver-side."""
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '  <key id="w" for="edge" attr.name="weight" attr.type="double"/>',
+        f'  <graph edgedefault="{"directed" if g.directed else "undirected"}">',
+    ]
+    for r in g.nodes().orderBy("id").collect():
+        lines.append(f'    <node id="n{r["id"]}"/>')
+    for r in g.edges.orderBy("src", "dst").collect():
+        if g.weighted:
+            lines.append(
+                f'    <edge source="n{r["src"]}" target="n{r["dst"]}">'
+                f'<data key="w">{r["weight"]}</data></edge>'
+            )
+        else:
+            lines.append(f'    <edge source="n{r["src"]}" target="n{r["dst"]}"/>')
+    lines += ["  </graph>", "</graphml>"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

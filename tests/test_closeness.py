@@ -1,0 +1,70 @@
+"""Closeness / harmonic closeness vs hand-computed reference formulas
+(Closeness.hpp:86-100, HarmonicCloseness.cpp:24-44)."""
+
+import math
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.closeness import (
+    GENERALIZED,
+    STANDARD,
+    closeness,
+    harmonic_closeness,
+)
+
+
+def _scores(df):
+    return {r["id"]: r["score"] for r in df.collect()}
+
+
+def test_closeness_path_graph(spark):
+    # P4: 0-1-2-3; from 0 dists are 1,2,3 -> sum 6; from 1: 1,1,2 -> 4
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2), (2, 3)], n=4)
+    std = _scores(closeness(g, variant=STANDARD)[0])
+    assert std[0] == pytest.approx(1 / 6)
+    assert std[1] == pytest.approx(1 / 4)
+    # connected graph: generalized = standard / (n-1) * (r-1) with r = n
+    gen = _scores(closeness(g, variant=GENERALIZED)[0])
+    assert gen[0] == pytest.approx(1 / 6)
+    assert gen[3] == pytest.approx(1 / 6)
+    # normalized standard multiplies by n-1
+    nrm = _scores(closeness(g, variant=STANDARD, normalized=True)[0])
+    assert nrm[1] == pytest.approx(3 / 4)
+
+
+def test_closeness_disconnected(spark):
+    g = Graph.from_pandas(spark, [(0, 1)], n=3)  # node 2 isolated
+    with pytest.raises(RuntimeError, match="disconnected"):
+        closeness(g, variant=STANDARD)
+    gen = _scores(closeness(g, variant=GENERALIZED)[0])
+    # (r-1)/sum/(n-1) = 1/1/2
+    assert gen[0] == pytest.approx(0.5)
+    assert gen[2] == 0.0
+    har = _scores(harmonic_closeness(g)[0])
+    assert har[0] == pytest.approx(1.0)
+    assert har[2] == 0.0
+
+
+def test_harmonic_path_graph(spark):
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2), (2, 3)], n=4)
+    har = _scores(harmonic_closeness(g)[0])
+    assert har[0] == pytest.approx(1 + 0.5 + 1 / 3)
+    assert har[1] == pytest.approx(1 + 1 + 0.5)
+    nrm = _scores(harmonic_closeness(g, normalized=True)[0])
+    assert nrm[0] == pytest.approx((1 + 0.5 + 1 / 3) / 3)
+
+
+def test_closeness_directed_and_sources(spark):
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2)], directed=True, n=3)
+    gen = _scores(closeness(g, variant=GENERALIZED)[0])
+    # from 0: reaches 1,2 at 1,2 -> (3-1)/3/(3-1) = 1/3; from 2: nothing
+    assert gen[0] == pytest.approx(1 / 3)
+    assert gen[2] == 0.0
+    # source restriction computes exactly those nodes
+    sub = _scores(closeness(g, variant=GENERALIZED, sources=[0])[0])
+    assert set(sub) == {0}
+    assert sub[0] == pytest.approx(1 / 3)
+    har = _scores(harmonic_closeness(g, sources=[0, 2])[0])
+    assert har[0] == pytest.approx(1 + 0.5)
+    assert har[2] == 0.0

@@ -119,3 +119,42 @@ def test_dot_and_snap_writers(spark, tmp_path):
     snap = tmp_path / "g.snap"
     write_snap(g, str(snap))
     assert snap.read_text().startswith("# Nodes: 3 Edges: 2")
+
+
+def test_mtx_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.graphio import read_mtx, write_mtx
+
+    g = Graph.from_pandas(spark, [(0, 1, 2.0), (1, 2, 1.0)], weighted=True, n=3)
+    p = str(tmp_path / "g.mtx")
+    write_mtx(g, p)
+    txt = open(p).read()
+    assert txt.startswith("%%MatrixMarket matrix coordinate real symmetric")
+    g2 = read_mtx(spark, p)
+    got = sorted((r["src"], r["dst"], r["weight"]) for r in g2.edges.collect())
+    assert got == [(0, 1, 2.0), (1, 2, 1.0)]
+
+
+def test_clustered_random_generator(spark):
+    from networkit_spark.sources.generators import clustered_random_graph
+
+    g = clustered_random_graph(spark, n=30, k=3, p_in=1.0, p_out=0.0, seed=1)
+    # p_in=1, p_out=0 -> 3 complete blocks of 10 (node i in block i%3)
+    assert g.number_of_edges() == 3 * (10 * 9 // 2)
+    from networkit_spark.operators.components import connected_components
+
+    labels, _ = connected_components(g)
+    assert labels.select("label").distinct().count() == 3
+
+
+def test_graphml_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.graphio import read_graphml, write_graphml
+
+    g = Graph.from_pandas(spark, [(0, 1, 2.0), (1, 2, 1.0)], weighted=True, n=3)
+    p = str(tmp_path / "g.graphml")
+    write_graphml(g, p)
+    g2 = read_graphml(spark, p)
+    got = sorted((r["src"], r["dst"], r["weight"]) for r in g2.edges.collect())
+    assert got == [(0, 1, 2.0), (1, 2, 1.0)]
+    assert not g2.directed

@@ -119,3 +119,41 @@ def test_bipartite_components(spark):
     assert flags == {0: True, 4: False, 9: True}
     assert is_bipartite(g) is False
     assert is_bipartite(Graph.from_pandas(spark, c4, n=4)) is True
+
+
+def test_index_edges(spark):
+    from networkit_spark.operators.graphtools import index_edges
+
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2), (0, 2)])
+    e = index_edges(g).orderBy("edge_id").collect()
+    assert [r["edge_id"] for r in e] == [0, 1, 2]
+    assert (e[0]["src"], e[0]["dst"]) == (0, 1)
+
+
+def test_random_neighbor(spark):
+    from networkit_spark.operators.graphtools import random_neighbor
+
+    g = Graph.from_pandas(spark, [(0, 1), (0, 2)], n=4)
+    v = random_neighbor(g, 0, seed=7)
+    assert v in (1, 2)
+    assert random_neighbor(g, 0, seed=7) == v  # deterministic
+    assert random_neighbor(g, 3) is None
+
+
+def test_clustering_predicates(spark):
+    from networkit_spark.operators.plp import (
+        equal_clusterings,
+        is_one_clustering,
+        is_singleton_clustering,
+    )
+    from pyspark.sql import functions as F
+
+    g = Graph.from_pandas(spark, [(0, 1)], n=4)
+    singles = g.nodes().select("id", F.col("id").alias("label"))
+    ones = g.nodes().select("id", F.lit(0).alias("label"))
+    assert is_singleton_clustering(g, singles)
+    assert not is_singleton_clustering(g, ones)
+    assert is_one_clustering(g, ones)
+    renamed = singles.select("id", (F.col("label") * 10 + 3).alias("label"))
+    assert equal_clusterings(singles, renamed)
+    assert not equal_clusterings(singles, ones)

@@ -100,3 +100,21 @@ def test_modularity_known_value(spark):
         [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
     )
     assert modularity(g, labels) == 0.5
+
+
+def test_lp_degree_ordered_oracle_agreement(spark):
+    # sequential degree-ordered LP on planted cliques finds the cliques,
+    # agreeing with distributed PLP/PLM as a partition
+    from networkit_spark.operators.plp import lp_degree_ordered
+
+    from tests.test_plm import planted_cliques
+
+    g = planted_cliques(spark, k=3, size=5)
+    labels, iters = lp_degree_ordered(g)
+    assert iters >= 1
+    comms = {}
+    for v, l in labels.items():
+        comms.setdefault(l, set()).add(v)
+    assert sorted(sorted(c) for c in comms.values()) == [
+        list(range(0, 5)), list(range(5, 10)), list(range(10, 15))
+    ]

@@ -84,3 +84,27 @@ def test_structured_streaming_windowed_agg(spark, tmp_path):
     q.stop()
     assert sum(r["n"] for r in rows) == 30
     assert len(rows) == 3  # 30 minutes / 10-minute tumble
+
+
+def test_pagerank_warm_start_after_events(spark):
+    """Dyn*-style incremental recompute: apply an edge batch, warm-start
+    PageRank from the previous fixpoint — same result as cold, fewer
+    supersteps."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.streaming.dynamics import apply_events
+
+    g = Graph.from_pandas(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3), (0, 5)]
+    )
+    base = pagerank(g, tol=1e-10)
+    events = spark.createDataFrame(
+        [("EDGE_ADDITION", 0, 2, 1.0)], "type string, u long, v long, w double"
+    )
+    g2 = apply_events(g, events)
+    cold = pagerank(g2, tol=1e-10)
+    warm = pagerank(g2, tol=1e-10, init_scores=base.scores)
+    c = {r["id"]: r["score"] for r in cold.scores.collect()}
+    w = {r["id"]: r["score"] for r in warm.scores.collect()}
+    assert all(abs(c[k] - w[k]) < 1e-8 for k in c)
+    assert warm.info.iterations <= cold.info.iterations
