@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_betweenness": e.q_betweenness,
         "graph_closeness": e.q_closeness,
+        "graph_assortativity": e.q_assortativity,
+        "graph_diameter": e.q_diameter,
+        "graph_coverage": e.q_coverage,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
@@ -141,6 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_lcc_sampled": e.SQL_LCC_SAMPLED,
         "graph_betweenness": e.SQL_BETWEENNESS,
         "graph_closeness": e.SQL_CLOSENESS,
+        "graph_assortativity": e.SQL_ASSORTATIVITY,
+        "graph_diameter": e.SQL_DIAMETER,
+        "graph_coverage": e.SQL_COVERAGE,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,

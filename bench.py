@@ -71,6 +71,8 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     for name in [
         "graph_pagerank", "graph_cc", "graph_triangles", "graph_plp",
         "graph_plm", "graph_bfs", "graph_scc", "graph_pagerank_large",
+        "graph_closeness", "graph_betweenness", "graph_assortativity",
+        "graph_diameter",
         "dedup_exact", "dedup_minhash_candidates", "text_quality",
         "text_token_count", "sim_cosine_topk", "events_agg",
     ]:
@@ -124,11 +126,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     sec, _ = timed(lambda: plp(g, max_iterations=4)[0].count())
     queries["webgraph_plp4"] = round(sec, 3)
 
-    total = round(sum(queries.values()), 3)
+    # "value" sums the ROUND-1 query set so the headline stays
+    # comparable across rounds; the (growing) full set is "value_all"
+    r1_set = {
+        "graph_pagerank", "graph_cc", "graph_triangles", "graph_plp",
+        "dedup_exact", "dedup_minhash_candidates", "text_quality",
+        "text_token_count", "sim_cosine_topk", "events_agg",
+        "webgraph_pagerank10", "webgraph_cc", "webgraph_triangles",
+        "webgraph_plp4",
+    }
+    total = round(sum(v for k, v in queries.items() if k in r1_set), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline wall time (graph kernels + doc pipeline)",
         "value": total,
+        "value_all": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -226,6 +238,12 @@ def run_scaling_level(
         # aggregation: cache-resident agg maps (n / dst_parts entries);
         # dst_parts scales with the level like shuffle.partitions
         kwargs = {"dst_parts": 4 * cpus}
+        engine = "dataframe"
+    elif engine == "narrow":
+        # dataframe plan with 32-bit ids + float32 fractions: half the
+        # bytes streamed per adjacency row — targets the DRAM-bandwidth
+        # ceiling the 32-core level hits first (see pagerank.py)
+        kwargs = {"narrow": True}
         engine = "dataframe"
     res = pagerank(g, max_iterations=iters + 2, tol=0.0, engine=engine, **kwargs)
     walls = [mt["wall_sec"] for mt in res.info.metrics][2:]

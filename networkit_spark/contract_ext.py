@@ -1182,3 +1182,153 @@ FROM agg ORDER BY id"""
 
 
 SQL_CLOSENESS = _closeness_sql()
+
+
+# ---------------------------------------------------------------------------
+# Assortativity (correlation/Assortativity.cpp:33-102) — degree (numeric
+# Pearson over stored edges) + nominal (labels = id % 7). All sums are
+# exact integers, combined with the identical expression shape in both
+# engines, so the coefficients match bit-for-bit before rounding.
+# ---------------------------------------------------------------------------
+
+NOMINAL_MOD = 7
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.assortativity import (
+        degree_assortativity,
+        nominal_assortativity,
+    )
+
+    g = load_graph(spark, sf_dir)
+    r_deg = degree_assortativity(g)
+    labels = g.nodes().select("id", (F.col("id") % NOMINAL_MOD).alias("label"))
+    r_nom = nominal_assortativity(g, labels)
+    return spark.createDataFrame(
+        [(float(r_deg), float(r_nom))], "deg_assort double, nom_assort double"
+    ).select(
+        F.round("deg_assort", 6).alias("deg_assort"),
+        F.round("nom_assort", 6).alias("nom_assort"),
+    )
+
+
+SQL_ASSORTATIVITY = f"""
+WITH {GRAPH_CTES},
+ea AS (
+  SELECT d1.degree * 1.0 AS x, d2.degree * 1.0 AS y
+  FROM edges e JOIN deg d1 ON d1.id = e.src JOIN deg d2 ON d2.id = e.dst
+),
+s AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM ea
+),
+lp AS (SELECT src % {NOMINAL_MOD} AS lu, dst % {NOMINAL_MOD} AS lv FROM edges),
+lp2 AS (
+  SELECT lu, lv FROM lp
+  UNION ALL
+  SELECT lv AS lu, lu AS lv FROM lp WHERE lu <> lv
+),
+em AS (SELECT lu, lv, COUNT(*) AS cnt FROM lp2 GROUP BY lu, lv),
+mm AS (SELECT COUNT(*) AS m FROM edges),
+dgs AS (SELECT COALESCE(SUM(cnt), 0) AS diag FROM em WHERE lu = lv),
+ra AS (SELECT lu, SUM(cnt) * 1.0 AS rs FROM em GROUP BY lu),
+rb AS (SELECT lv, SUM(cnt) * 1.0 AS cs FROM em GROUP BY lv),
+ab AS (SELECT SUM(ra.rs * rb.cs) AS v FROM ra JOIN rb ON rb.lv = ra.lu)
+SELECT ROUND((s.sxy - s.sx * s.sy / s.m)
+             / SQRT((s.sxx - s.sx * s.sx / s.m) * (s.syy - s.sy * s.sy / s.m)), 6)
+         AS deg_assort,
+       ROUND((dgs.diag * 1.0 / mm.m - ab.v / (mm.m * 1.0 * mm.m))
+             / (1 - ab.v / (mm.m * 1.0 * mm.m)), 6) AS nom_assort
+FROM s, mm, dgs, ab
+"""
+
+
+# ---------------------------------------------------------------------------
+# Diameter + effective diameter (distance/Diameter.cpp, EffectiveDiameter.cpp)
+# — engine: pivot-BFS bounding loop (exact) + all-sources neighborhood
+# function; oracle: all-pairs min-dist unrolled DIAM_HOPS deep (contract
+# graph diameters measured 6-8, far below the cap, so capped = exact).
+# The contract graph is one connected component at every sf (required by
+# both semantics; verified by the graph_bipartite single-row gate).
+# ---------------------------------------------------------------------------
+
+DIAM_HOPS = 10
+EFF_RATIO = 0.9
+
+
+def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.diameter import diameter, effective_diameter
+
+    g = load_graph(spark, sf_dir)
+    lb, ub = diameter(g, algo="exact", check=False)
+    assert lb == ub
+    eff = effective_diameter(g, ratio=EFF_RATIO, check=False)
+    return spark.createDataFrame(
+        [(int(lb), float(eff))], "diameter bigint, eff_diameter double"
+    ).select("diameter", F.round("eff_diameter", 6).alias("eff_diameter"))
+
+
+def _diameter_sql(hops: int = DIAM_HOPS) -> str:
+    steps = [
+        "t0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist "
+        "FROM nodes)"
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+nh AS (SELECT s, dist, COUNT(*) AS c FROM t{hops} GROUP BY s, dist),
+cum AS (
+  SELECT s, dist, SUM(c) OVER (PARTITION BY s ORDER BY dist) AS cum FROM nh
+),
+effs AS (
+  SELECT s, GREATEST(MIN(dist), 1) AS h
+  FROM cum WHERE cum >= CEIL({EFF_RATIO} * (SELECT n FROM nn))
+  GROUP BY s
+)
+SELECT (SELECT MAX(dist) FROM t{hops}) AS diameter,
+       ROUND((SELECT SUM(h) * 1.0 FROM effs) / (SELECT n FROM nn), 6)
+         AS eff_diameter"""
+    )
+
+
+SQL_DIAMETER = _diameter_sql()
+
+
+# ---------------------------------------------------------------------------
+# Coverage (community/Coverage.cpp:13-60) — intra-cluster edge-weight
+# fraction of the deterministic id % NOMINAL_MOD partition
+# ---------------------------------------------------------------------------
+
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.coarsening import coverage
+
+    g = load_graph(spark, sf_dir)
+    labels = g.nodes().select("id", (F.col("id") % NOMINAL_MOD).alias("label"))
+    val = coverage(g, labels)
+    return spark.createDataFrame([(float(val),)], "coverage double").select(
+        F.round("coverage", 6).alias("coverage")
+    )
+
+
+SQL_COVERAGE = f"""
+WITH {GRAPH_CTES}
+SELECT ROUND(
+  (SELECT COALESCE(SUM(1.0), 0.0) FROM edges
+   WHERE src % {NOMINAL_MOD} = dst % {NOMINAL_MOD})
+  / (SELECT COUNT(*) * 1.0 FROM edges), 6) AS coverage
+"""

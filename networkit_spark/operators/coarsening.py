@@ -108,3 +108,25 @@ def modularity(g: Graph, labels: DataFrame) -> float:
     )
     expected = sum_vol_sq / (4.0 * total * total)
     return coverage - expected
+
+
+def coverage(g: Graph, labels: DataFrame) -> float:
+    """Coverage (/root/reference/networkit/cpp/community/Coverage.cpp:13-60):
+    fraction of total edge weight internal to clusters —
+    sum over same-label stored edges of w(e) / totalEdgeWeight. Raises
+    on edgeless graphs like the reference."""
+    total = g.total_edge_weight()
+    if total == 0:
+        raise ValueError(
+            "Coverage is undefined for graphs without edges (including self-loops)."
+        )
+    lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    intra = float(
+        g.edges.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .filter(F.col("lsrc") == F.col("ldst"))
+        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    return intra / total

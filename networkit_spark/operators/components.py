@@ -221,3 +221,92 @@ def extract_largest_connected_component(
     return Graph(
         edges=edges, vertices=vertices, directed=g.directed, weighted=g.weighted
     )
+
+
+def biconnected_components(g: Graph) -> tuple[DataFrame, dict[int, int]]:
+    """BiconnectedComponents (/root/reference/networkit/cpp/components/
+    BiconnectedComponents.cpp:34-123): Hopcroft-Tarjan DFS lowpoint
+    partition of the EDGES into maximal biconnected subgraphs; a node
+    belongs to every component one of its edges belongs to
+    (componentsOfNode). Directed graphs are rejected like the reference.
+
+    Driver-side by design, like ``lp_degree_ordered``: the algorithm is
+    defined by its sequential DFS edge stack (the reference is
+    single-threaded too); distributed biconnectivity (Tarjan-Vishkin)
+    is out of scope. Determinism fixes over the reference's unspecified
+    iteration order: roots ascend by id, neighbor scans ascend by id,
+    and component ids are renumbered by their minimum member node
+    (ties: second-smallest member).
+
+    Returns (membership(id, component) DataFrame, {component: size}).
+    """
+    if g.directed:
+        raise RuntimeError(
+            "Error, biconnected components cannot be computed on directed graphs."
+        )
+    spark = g.edges.sparkSession
+    neigh: dict[int, list[int]] = {}
+    for r in g.adj().select("src", "dst").filter(F.col("src") != F.col("dst")).distinct().collect():
+        neigh.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    node_ids = sorted(int(r["id"]) for r in g.nodes().collect())
+    for v in node_ids:
+        neigh.setdefault(v, []).sort()
+
+    level: dict[int, int] = {}
+    lowpt: dict[int, int] = {}
+    parent: dict[int, int] = {}
+    comp_nodes: list[set[int]] = []
+    idx = 0
+    for root in node_ids:
+        if root in level:
+            continue
+        # iterative DFS: stack of (node, next-neighbor-cursor)
+        stack = [(root, 0)]
+        edge_stack: list[tuple[int, int]] = []
+        level[root] = lowpt[root] = idx
+        idx += 1
+        while stack:
+            u, cursor = stack[-1]
+            advanced = False
+            nbrs = neigh[u]
+            while cursor < len(nbrs):
+                w = nbrs[cursor]
+                cursor += 1
+                if w not in level:
+                    level[w] = lowpt[w] = idx
+                    idx += 1
+                    parent[w] = u
+                    edge_stack.append((u, w))
+                    stack[-1] = (u, cursor)
+                    stack.append((w, 0))
+                    advanced = True
+                    break
+                elif w != parent.get(u) and level[w] < level[u]:
+                    edge_stack.append((u, w))
+                    lowpt[u] = min(lowpt[u], level[w])
+            if advanced:
+                continue
+            stack[-1] = (u, cursor)
+            stack.pop()
+            if u == root:
+                continue
+            v = parent[u]
+            lowpt[v] = min(lowpt[v], lowpt[u])
+            if lowpt[u] >= level[v]:
+                members: set[int] = set()
+                while edge_stack and level[edge_stack[-1][0]] >= level[u]:
+                    a, b = edge_stack.pop()
+                    members.update((a, b))
+                for i in range(len(edge_stack) - 1, -1, -1):
+                    if edge_stack[i] == (v, u):
+                        members.update(edge_stack.pop(i))
+                        break
+                members.update((v, u))  # the (v, u) tree edge's endpoints
+                comp_nodes.append(members)
+    order = sorted(range(len(comp_nodes)), key=lambda i: sorted(comp_nodes[i]))
+    rows = [
+        (v, c) for c, i in enumerate(order) for v in sorted(comp_nodes[i])
+    ]
+    sizes = {c: len(comp_nodes[i]) for c, i in enumerate(order)}
+    membership = spark.createDataFrame(rows, "id long, component long")
+    return membership, sizes

@@ -275,6 +275,7 @@ def pagerank(
     reuse_blocks: bool = False,
     dst_parts: int | None = None,
     init_scores: DataFrame | None = None,
+    narrow: bool = False,
 ) -> PageRankResult:
     """Run PageRank to convergence. Defaults match the reference
     (PageRank.hpp:61-62: damp=0.85, tol=1e-8, L2, no sink handling,
@@ -291,7 +292,20 @@ def pagerank(
     required distribution, so BOTH agg phases run post-shuffle on
     dst-sliced rows: hash maps shrink to n/dst_parts entries
     (cache-resident) at the cost of shuffling raw (dst, contrib) rows —
-    the same volume the ineffective combine was already shipping."""
+    the same volume the ineffective combine was already shipping.
+
+    ``narrow`` (engine="dataframe"): store the loop-invariant flow table
+    with 32-bit ids and a float32 fraction (12 B/row instead of 24) and
+    run the per-superstep join/aggregation on int keys. The superstep is
+    memory-bandwidth-bound at high core counts (BASELINE.md analysis) —
+    halving the bytes streamed per row raises exactly the ceiling the
+    big level hits first. At 100 TB this is the "adaptive physical
+    types" a columnar engine applies per-partition (ids dictionary-
+    compact far below 2^31 after id assignment); requires max id < 2^31
+    (checked). Precision: frac carries ~1e-8 relative error into each
+    superstep — scores typically differ from the wide plan by < 1e-9;
+    convergence/tie semantics are unchanged. Default off (the oracle
+    gates run bit-exact wide plans)."""
     spark = g.edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark)
 
@@ -323,7 +337,18 @@ def pagerank(
         flow = flow.withColumn("salt", F.pmod(F.col("dst"), F.lit(salt)))
         flow = materialize_partitioned(flow, "src", "salt")
     else:
+        if narrow:
+            max_id = nodes.agg(F.max("id")).collect()[0][0]
+            if max_id is not None and max_id >= (1 << 31):
+                raise ValueError("narrow mode requires node ids < 2^31")
+            flow = flow.select(
+                F.col("src").cast("int").alias("src"),
+                F.col("dst").cast("int").alias("dst"),
+                F.col("frac").cast("float").alias("frac"),
+            )
         flow = materialize_partitioned(flow, "src")
+    if narrow and (engine != "dataframe" or salt > 1):
+        raise ValueError("narrow mode requires engine='dataframe' and salt=1")
 
     handle_sinks = g.directed and (
         distribute_sinks == DISTRIBUTE_SINKS or normalized
@@ -352,6 +377,10 @@ def pagerank(
         )
     else:
         scores = nodes.select("id", F.lit(1.0 / n).alias("score"))
+    if narrow:
+        # int-keyed end-to-end: every superstep joins/aggregates on
+        # 4-byte keys; widened back to long after the loop
+        scores = scores.select(F.col("id").cast("int").alias("id"), "score")
     start_iter = 0
     if resume and checkpointer is not None:
         latest = checkpointer.latest()
@@ -514,6 +543,9 @@ def pagerank(
             )
         )
         scores = new_scores
+
+    if narrow:
+        scores = scores.select(F.col("id").cast("long").alias("id"), "score")
 
     # post-processing (PageRank.cpp:100-123)
     if normalized:

@@ -69,3 +69,36 @@ def test_cc_long_chain(spark):
     labels, info = connected_components(g)
     assert number_of_components(labels) == 1
     assert all(r["label"] == 0 for r in labels.collect())
+
+
+def test_biconnected_components_bowtie(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import biconnected_components
+
+    # two triangles sharing the articulation node 2
+    g = Graph.from_pandas(
+        spark, [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)], n=5
+    )
+    membership, sizes = biconnected_components(g)
+    comps = {}
+    for r in membership.collect():
+        comps.setdefault(r["component"], set()).add(r["id"])
+    assert sorted(sorted(c) for c in comps.values()) == [[0, 1, 2], [2, 3, 4]]
+    assert sizes == {0: 3, 1: 3}
+
+
+def test_biconnected_components_bridges_and_directed(spark):
+    import pytest
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import biconnected_components
+
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2)], n=3)
+    membership, sizes = biconnected_components(g)
+    comps = {}
+    for r in membership.collect():
+        comps.setdefault(r["component"], set()).add(r["id"])
+    assert sorted(sorted(c) for c in comps.values()) == [[0, 1], [1, 2]]
+    gd = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
+    with pytest.raises(RuntimeError, match="directed"):
+        biconnected_components(gd)

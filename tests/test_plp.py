@@ -118,3 +118,22 @@ def test_lp_degree_ordered_oracle_agreement(spark):
     assert sorted(sorted(c) for c in comms.values()) == [
         list(range(0, 5)), list(range(5, 10)), list(range(10, 15))
     ]
+
+
+def test_coverage_known_value(spark):
+    import pytest
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.coarsening import coverage
+
+    # two triangles + bridge; triangle labels -> 6 of 7 edges internal
+    g = Graph.from_pandas(
+        spark, [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)], n=6
+    )
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
+    )
+    assert coverage(g, labels) == pytest.approx(6 / 7)
+    empty = Graph.from_pandas(spark, [], n=3)
+    with pytest.raises(ValueError, match="undefined"):
+        coverage(empty, labels)
