@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": e.q_assortativity,
         "graph_diameter": e.q_diameter,
         "graph_coverage": e.q_coverage,
+        "graph_edge_scores": e.q_edge_scores,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": e.SQL_ASSORTATIVITY,
         "graph_diameter": e.SQL_DIAMETER,
         "graph_coverage": e.SQL_COVERAGE,
+        "graph_edge_scores": e.SQL_EDGE_SCORES,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,

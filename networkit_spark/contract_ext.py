@@ -1332,3 +1332,46 @@ SELECT ROUND(
    WHERE src % {NOMINAL_MOD} = dst % {NOMINAL_MOD})
   / (SELECT COUNT(*) * 1.0 FROM edges), 6) AS coverage
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-edge Jaccard + Adamic-Adar scores (distance/JaccardDistance.cpp:36-38,
+# AdamicAdarDistance.cpp:30-54) — the sparsification edge-score family
+# ---------------------------------------------------------------------------
+
+def q_edge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import (
+        adamic_adar_distance,
+        jaccard_distance,
+    )
+
+    g = load_graph(spark, sf_dir)
+    jd = jaccard_distance(g).select(
+        "src", "dst", F.round("score", 6).alias("jaccard")
+    )
+    aa = adamic_adar_distance(g).select(
+        "src", "dst", F.round("aa", 6).alias("adamic_adar")
+    )
+    return jd.join(aa, ["src", "dst"]).orderBy("src", "dst")
+
+
+SQL_EDGE_SCORES = f"""
+WITH {GRAPH_CTES},
+cn AS (
+  SELECT e.src, e.dst, COUNT(*) AS t, SUM(1.0 / LN(dw.degree)) AS aa
+  FROM edges e
+  JOIN adj a1 ON a1.src = e.src
+  JOIN adj a2 ON a2.src = e.dst AND a2.dst = a1.dst
+  JOIN deg dw ON dw.id = a1.dst
+  GROUP BY e.src, e.dst
+)
+SELECT e.src, e.dst,
+       ROUND(1.0 - COALESCE(c.t, 0) * 1.0
+             / (d1.degree + d2.degree - COALESCE(c.t, 0)), 6) AS jaccard,
+       ROUND(COALESCE(c.aa, 0.0), 6) AS adamic_adar
+FROM edges e
+JOIN deg d1 ON d1.id = e.src
+JOIN deg d2 ON d2.id = e.dst
+LEFT JOIN cn c ON c.src = e.src AND c.dst = e.dst
+ORDER BY e.src, e.dst
+"""

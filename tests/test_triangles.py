@@ -70,3 +70,32 @@ def test_triangle_numpy_oracle_random(spark):
     a = adj.astype(np.int64)
     tri = np.diag(a @ a @ a) // 2
     assert got == {i: int(tri[i]) for i in range(n)}
+
+
+def test_jaccard_and_adamic_adar_edge_scores(spark):
+    import math
+
+    import pytest
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.triangles import (
+        adamic_adar_distance,
+        jaccard_distance,
+    )
+
+    # two triangles + bridge: triangle edges have one common neighbor,
+    # the bridge has none
+    g = Graph.from_pandas(
+        spark, [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)], n=6
+    )
+    jd = {(r["src"], r["dst"]): r["score"] for r in jaccard_distance(g).collect()}
+    # edge (0,1): t=1, deg(0)+deg(1)-t = 2+2-1 -> 1 - 1/3; bridge: t=0 -> 1.0
+    assert jd[(0, 1)] == pytest.approx(2 / 3)
+    assert jd[(2, 3)] == pytest.approx(1.0)
+    aa = {(r["src"], r["dst"]): (r["aa"], r["score"])
+          for r in adamic_adar_distance(g).collect()}
+    # edge (0,1): common neighbor 2 with degree 3 -> aa = 1/ln(3)
+    assert aa[(0, 1)][0] == pytest.approx(1 / math.log(3))
+    assert aa[(0, 1)][1] == pytest.approx(math.log(3))
+    assert aa[(2, 3)][0] == 0.0
+    assert math.isinf(aa[(2, 3)][1])
