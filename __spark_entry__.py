@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": e.q_diameter,
         "graph_coverage": e.q_coverage,
         "graph_edge_scores": e.q_edge_scores,
+        "graph_anf": e.q_anf,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_diameter": e.SQL_DIAMETER,
         "graph_coverage": e.SQL_COVERAGE,
         "graph_edge_scores": e.SQL_EDGE_SCORES,
+        "graph_anf": e.SQL_ANF,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,

@@ -1375,3 +1375,72 @@ JOIN deg d2 ON d2.id = e.dst
 LEFT JOIN cn c ON c.src = e.src AND c.dst = e.dst
 ORDER BY e.src, e.dst
 """
+
+
+# ---------------------------------------------------------------------------
+# ANF / Flajolet-Martin neighborhood sketches
+# (EffectiveDiameterApproximation.cpp:24-126, md5-seeded FM init) — the
+# masks are exact integers, so the gate is a bit-for-bit comparison of the
+# k=4 sketches after ANF_HOPS synchronous bit-or propagation rounds
+# ---------------------------------------------------------------------------
+
+ANF_HOPS = 4
+ANF_K = 4
+ANF_R = 7
+ANF_SEED = 42
+
+
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.diameter import anf_sketches
+
+    g = load_graph(spark, sf_dir)
+    out = anf_sketches(g, h=ANF_HOPS, k=ANF_K, r=ANF_R, seed=ANF_SEED)
+    return out.select(
+        "id", *[f"m{j}" for j in range(ANF_K)]
+    ).orderBy("id")
+
+
+def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K) -> str:
+    mcols = [f"m{j}" for j in range(k)]
+    # u in (0, 1] from the first 13 md5 nibbles (Horner), the engine's
+    # _fm_init expression nibble-for-nibble
+    def u_expr(j: int) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5(CAST('{ANF_SEED}|{j}|' AS VARCHAR) || CAST(id AS VARCHAR)), {p + 1}, 1)) - 1) * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"({nib}) / POWER(16.0, 13)"
+
+    init_cols = []
+    for j in range(k):
+        u = u_expr(j)
+        pos = f"CAST(CEIL(LN({u}) / LN(0.5) - 1) AS BIGINT)"
+        init_cols.append(
+            f"CASE WHEN {u} > 0 AND {pos} < (SELECT cap FROM capq) "
+            f"THEN (CAST(1 AS BIGINT) << CAST({pos} AS INT)) ELSE CAST(0 AS BIGINT) END AS m{j}"
+        )
+    parts = [
+        "capq AS (SELECT CAST(CEIL(LOG2(COUNT(*))) AS BIGINT) + "
+        f"{ANF_R} AS cap FROM nodes)",
+        "s0 AS MATERIALIZED (SELECT id, " + ",\n  ".join(init_cols) + " FROM nodes)",
+    ]
+    for i in range(1, hops + 1):
+        aggs = ", ".join(f"BIT_OR({c}) AS {c}" for c in mcols)
+        cols = ", ".join(mcols)
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT id, {aggs} FROM (
+    SELECT id, {cols} FROM s{i - 1}
+    UNION ALL
+    SELECT a.src AS id, {cols} FROM adj a JOIN s{i - 1} p ON p.id = a.dst
+  ) GROUP BY id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, {', '.join(mcols)} FROM s{hops} ORDER BY id"
+    )
+
+
+SQL_ANF = _anf_sql()

@@ -154,3 +154,155 @@ def effective_diameter(g: Graph, ratio: float = 0.9, check: bool = True) -> floa
     )
     row = eff.agg(F.sum("h").alias("sh")).collect()[0]
     return float(row["sh"]) / n
+
+
+def _fm_init(nodes, k: int, cap: int, seed: int):
+    """k Flajolet-Martin bitmasks per node. Bit position drawn
+    geometrically, P(pos = i) = 0.5^(i+1), via the reference's formula
+    position = ceil(log(u)/log(0.5) - 1)
+    (EffectiveDiameterApproximation.cpp:58-66) with u a uniform (0,1]
+    from the first 13 md5 nibbles of ``seed|j|id`` — RNG-free and
+    cross-engine reproducible; bits at positions >= cap are dropped like
+    the reference's lengthOfBitmask + r guard."""
+    cols = [F.col("id")]
+    for j in range(k):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}|{j}|"), F.col("id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / float(16**13)
+        )
+        pos = F.ceil(F.log(u) / F.log(F.lit(0.5)) - 1).cast("long")
+        # 2^pos instead of a variable shiftleft (PySpark's shiftleft
+        # takes a literal count); exact for pos < 52 and cap is ~17
+        cols.append(
+            F.when((u > 0) & (pos < cap), F.pow(F.lit(2.0), pos).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"m{j}"),
+        )
+    return nodes.select(*cols)
+
+
+def anf_sketches(
+    g: Graph,
+    h: int,
+    k: int = 4,
+    r: int = 7,
+    seed: int = 42,
+):
+    """ANF / Flajolet-Martin neighborhood-function sketches after ``h``
+    synchronous hops: per node the k bitmasks (exact integers, the
+    deterministic gate surface) and the estimated h-hop neighborhood
+    size 2^b / 0.77351, b = mean lowest-unset-bit
+    (EffectiveDiameterApproximation.cpp:84-103).
+
+    The per-hop update is ONE O(m)-row shuffle feeding a BIT_OR hash
+    aggregation — entirely JVM-side long arithmetic, state O(n * k)
+    longs: this is the web-scale neighborhood-function plan (the exact
+    ``effective_diameter`` is the O(n^2) fixture-scale oracle for it).
+    Returns (masks DataFrame id, m0..m{k-1}, est)."""
+    n = g.number_of_nodes()
+    if n == 0:
+        raise ValueError("empty graph")
+    cap = int(math.ceil(math.log2(max(n, 2)))) + r
+    masks = _fm_init(g.nodes(), k, cap, seed).localCheckpoint(eager=True)
+    adj = g.adj().select("src", "dst").filter(F.col("src") != F.col("dst"))
+    mcols = [f"m{j}" for j in range(k)]
+    for _ in range(h):
+        nbr = adj.join(
+            masks.select(F.col("id").alias("dst"), *mcols), "dst"
+        ).select(F.col("src").alias("id"), *mcols)
+        masks = (
+            masks.select("id", *mcols)
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(*[F.bit_or(c).alias(c) for c in mcols])
+            .localCheckpoint(eager=True)
+        )
+    lowest_unset = [
+        F.log2(
+            F.bitwise_not(F.col(c)).bitwiseAND(F.col(c) + 1).cast("double")
+        )
+        for c in mcols
+    ]
+    b = sum(lowest_unset) / float(k)
+    return masks.select(
+        "id", *mcols, (F.pow(F.lit(2.0), b) / F.lit(0.77351)).alias("est")
+    )
+
+
+def effective_diameter_approximation(
+    g: Graph,
+    ratio: float = 0.9,
+    k: int = 4,
+    r: int = 7,
+    seed: int = 42,
+    max_h: int = 1024,
+    check: bool = True,
+) -> float:
+    """EffectiveDiameterApproximation.cpp:24-126 with the md5-seeded
+    FM initialization of ``anf_sketches``: per hop every ACTIVE node
+    ORs its neighbors' previous masks (inactive nodes' masks stay
+    frozen, exactly like the reference's retired mPrev entries); a node
+    retires at the first h where its estimate reaches ceil(ratio*n) or
+    its masks equal the global maxima, contributing h to the sum; the
+    result is the mean retirement hop."""
+    if check:
+        n = _require_connected_undirected(g, "the effective diameter")
+    else:
+        n = g.number_of_nodes()
+    if n <= 1:
+        return 0.0
+    threshold = math.ceil(ratio * n)
+    cap = int(math.ceil(math.log2(n))) + r
+    mcols = [f"m{j}" for j in range(k)]
+    masks = _fm_init(g.nodes(), k, cap, seed).withColumn(
+        "active", F.lit(True)
+    ).localCheckpoint(eager=True)
+    highest = masks.agg(*[F.bit_or(c).alias(c) for c in mcols]).collect()[0]
+    adj = g.adj().select("src", "dst").filter(F.col("src") != F.col("dst"))
+    eff_sum = 0
+    for h in range(1, max_h + 1):
+        nbr = adj.join(
+            masks.select(F.col("id").alias("dst"), *mcols), "dst"
+        ).select(F.col("src").alias("id"), *mcols)
+        merged = (
+            masks.select("id", *mcols)
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(*[F.bit_or(c).alias(f"n_{c}") for c in mcols])
+        )
+        cur = masks.join(merged, "id").select(
+            "id",
+            "active",
+            *[
+                F.when(F.col("active"), F.col(f"n_{c}")).otherwise(F.col(c)).alias(c)
+                for c in mcols
+            ],
+        )
+        lowest_unset = [
+            F.log2(F.bitwise_not(F.col(c)).bitwiseAND(F.col(c) + 1).cast("double"))
+            for c in mcols
+        ]
+        est = F.pow(F.lit(2.0), sum(lowest_unset) / float(k)) / F.lit(0.77351)
+        at_max = None
+        for c in mcols:
+            cond = F.col(c) == F.lit(int(highest[c]))
+            at_max = cond if at_max is None else (at_max & cond)
+        retire = F.col("active") & ((est >= F.lit(float(threshold))) | at_max)
+        cur = cur.select(
+            "id", *mcols, (F.col("active") & ~retire).alias("active"),
+            retire.alias("retired"),
+        ).localCheckpoint(eager=True)
+        retired = cur.filter("retired").count()
+        eff_sum += h * retired
+        masks = cur.drop("retired")
+        if masks.filter("active").head(1) == []:
+            break
+    return eff_sum / float(n)

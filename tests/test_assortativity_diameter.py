@@ -73,3 +73,35 @@ def test_effective_diameter_path(spark):
     # P4, ratio .9 -> threshold 4; per-node h = 3,2,2,3 -> mean 2.5
     g = Graph.from_pandas(spark, [(0, 1), (1, 2), (2, 3)], n=4)
     assert effective_diameter(g, ratio=0.9) == pytest.approx(2.5)
+
+
+def test_anf_sketches_estimate_quality(spark):
+    # K6: every 1-hop neighborhood is the whole graph -> est ~ 6 per node
+    import itertools
+
+    from networkit_spark.operators.diameter import anf_sketches
+
+    g = Graph.from_pandas(
+        spark, list(itertools.combinations(range(6), 2)), n=6
+    )
+    out = anf_sketches(g, h=1, k=16, seed=5).collect()
+    assert len(out) == 6
+    for r in out:
+        assert 2.0 <= r["est"] <= 18.0  # FM estimate, k=16 accuracy band
+
+
+def test_effective_diameter_approximation_matches_exact_shape(spark):
+    from networkit_spark.operators.diameter import (
+        effective_diameter,
+        effective_diameter_approximation,
+    )
+
+    g = Graph.from_pandas(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2), (1, 3)], n=5
+    )
+    ex = effective_diameter(g)
+    ap = effective_diameter_approximation(g, k=8, seed=3)
+    assert ap > 0
+    assert abs(ap - ex) <= 1.5  # k=8 FM bound on a 5-node fixture
+    # deterministic given the seed
+    assert ap == effective_diameter_approximation(g, k=8, seed=3)
