@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_betweenness": e.q_betweenness,
         "graph_closeness": e.q_closeness,
+        "graph_top_closeness": e.q_top_closeness,
         "graph_assortativity": e.q_assortativity,
         "graph_diameter": e.q_diameter,
         "graph_coverage": e.q_coverage,
@@ -95,8 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_sig": e.q_simhash_sig,
         "dedup_simhash_candidates": e.q_simhash_candidates,
         "events_window": e.q_events_window,
-        # rows-only (non-SQL-expressible: seeded hyperplanes / binary
-        # payload decode) — driver records the weaker rows-only check
         "sim_lsh_topk": e.q_lsh_topk,
         "multimodal_features": e.q_multimodal_features,
     }
@@ -146,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lcc_sampled": e.SQL_LCC_SAMPLED,
         "graph_betweenness": e.SQL_BETWEENNESS,
         "graph_closeness": e.SQL_CLOSENESS,
+        "graph_top_closeness": e.SQL_TOP_CLOSENESS,
         "graph_assortativity": e.SQL_ASSORTATIVITY,
         "graph_diameter": e.SQL_DIAMETER,
         "graph_coverage": e.SQL_COVERAGE,
@@ -155,9 +155,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,
         "dedup_simhash_candidates": e.SQL_SIMHASH_CANDIDATES,
         "events_window": e.SQL_EVENTS_WINDOW,
-        # LSH top-k: oracled by unrolling the seeded hyperplane literals
-        # into the SQL (same trick as the unrolled kernel oracles)
+        # LSH top-k / multimodal: oracled by unrolling the seeded
+        # hyperplane literals / the stub's sha256-digest arithmetic into
+        # the SQL (same trick as the unrolled kernel oracles)
         "sim_lsh_topk": e.SQL_LSH_TOPK,
-        # multimodal_features intentionally omitted: rows-only check
-        # (binary decode stubs are not expressible in ANSI SQL)
+        "multimodal_features": e.SQL_MULTIMODAL,
     }

@@ -341,7 +341,9 @@ def q_coarsen_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = load_graph(spark, sf_dir)
     labels, _ = connected_components(g)
-    coarse, _ = coarsen(g, labels)
+    # compact=True: exercises the partitioned dense renumbering
+    # (plans/ids.py) against the oracle's ROW_NUMBER OVER (ORDER BY label)
+    coarse, _ = coarsen(g, labels, compact=True)
     return coarse.edges.select(
         "src", "dst", F.col("weight").cast("double").alias("weight")
     ).orderBy("src", "dst")

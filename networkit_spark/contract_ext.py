@@ -352,32 +352,77 @@ SQL_LSH_TOPK = _lsh_topk_sql()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake media -> mapInPandas feature extraction ->
-    per-kind summary. The decode step is a documented stub; the
-    Spark-side plumbing (schema, Arrow batches, partitioning) is real."""
-    from networkit_spark.functions.multimodal import (
-        MEDIA_SCHEMA,
-        extract_features,
-        gen_media_pdf,
-    )
+    """Media table derived from ``documents`` (payload = UTF-8 text
+    bytes, kind from doc_id mod 3) -> mapInPandas feature extraction ->
+    per-media feature sum. The decode step is the documented
+    deterministic stub (sha256(payload) -> 16 uint32-LE words mod 1000 /
+    1000); SQL_MULTIMODAL unrolls exactly that arithmetic over DuckDB's
+    sha256(VARCHAR) (hashes the same UTF-8 bytes), so this is a full
+    hash-match gate, not rows-only. The Spark-side plumbing (binary
+    payload column, typed meta struct, Arrow batches) is real."""
+    from networkit_spark.functions.multimodal import extract_features
 
-    media = spark.createDataFrame(gen_media_pdf(256, seed=7), schema=MEDIA_SCHEMA)
-    feats = extract_features(media, decode_stub=True)
-    return (
-        feats.select(
-            "media_id",
-            "kind",
-            F.round(
-                F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
-            ).alias("feat_sum"),
-        )
-        .groupBy("kind")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("feat_sum"), 4).alias("total"),
-        )
-        .orderBy("kind")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id") % 3
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(k == 0, "image").when(k == 1, "audio").otherwise("video").alias(
+            "kind"
+        ),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(k == 0, F.lit(640)).alias("width"),
+            F.when(k == 0, F.lit(480)).alias("height"),
+            F.when(k == 1, F.lit(16000)).alias("sample_rate"),
+            F.when(k == 2, F.lit(120)).alias("n_frames"),
+        ).alias("meta"),
     )
+    feats = extract_features(media, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+    ).orderBy("media_id")
+
+
+def _multimodal_sql() -> str:
+    """Oracle for q_multimodal_features: per feature i, the stub takes
+    digest bytes (4i..4i+3 mod 32) of sha256(payload) as a little-endian
+    uint32, mod 1000, / 1000; the feature sum is the same left-to-right
+    IEEE fold as Spark's F.aggregate. Hex nibbles via strpos (the repo's
+    standard DuckDB hex trick)."""
+    from networkit_spark.functions.multimodal import FEATURE_DIM
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    feats = []
+    for i in range(FEATURE_DIM):
+        terms = []
+        for b in range(4):
+            j = (4 * i + b) % 32  # digest repeated past 32 bytes
+            terms.append(
+                f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)}) * {256 ** b}"
+            )
+        u32 = " + ".join(terms)
+        feats.append(f"(CAST(({u32}) % 1000 AS DOUBLE) / 1000.0)")
+    fold = " + ".join(feats)
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT media_id, kind, ROUND({fold}, 6) AS feat_sum
+FROM m ORDER BY media_id
+""".strip()
+
+
+SQL_MULTIMODAL = _multimodal_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1444,3 +1489,99 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K) -> str:
 
 
 SQL_ANF = _anf_sql()
+
+
+# ---------------------------------------------------------------------------
+# TopCloseness — pruned top-k closeness (TopCloseness.cpp:24-120+,
+# Bergamini et al. ALENEX16). The Spark side sweeps candidate waves
+# ordered by the component-size/degree farness bound and stops on the
+# bound; the oracle brute-forces exact generalized closeness for ALL
+# nodes (unrolled hop steps like SQL_DIAMETER) and takes the same
+# (score desc, id asc) top k — identical double arithmetic, so the
+# pruned run must reproduce the exact top-k bit-for-bit.
+# ---------------------------------------------------------------------------
+
+TOPCLO_K = 10
+
+
+def q_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopCloseness over the contract graph PLUS a deterministic hub
+    overlay (node 0 starred to every id % 7 == 1). The bare contract
+    graph is near-6-regular — closeness values span ~2% while any
+    farness bound is >= 5% loose, so NO top-k algorithm (the reference
+    included, worst case O(nm)) can prune it; the hub overlay creates
+    the centrality spread real web graphs have, and the gate asserts
+    the bound actually prunes."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.closeness import top_closeness
+
+    g = load_graph(spark, sf_dir)
+    star = (
+        g.nodes()
+        .filter((F.col("id") % 7 == 1) & (F.col("id") != 0))
+        .select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    )
+    edges2 = (
+        g.edges.select("src", "dst")
+        .unionByName(star)
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    g2 = Graph(edges2, vertices=g.nodes(), directed=False, weighted=False)
+    res, info = top_closeness(g2, k=TOPCLO_K, batch=64)
+    n = g2.number_of_nodes()
+    assert info.iterations < n // 2, (
+        f"top_closeness swept {info.iterations}/{n} nodes — pruning "
+        "bound never fired"
+    )
+    return res.select("id", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("id")
+    )
+
+
+def _top_closeness_sql(hops: int = DIAM_HOPS, k: int = TOPCLO_K) -> str:
+    steps = [
+        """star AS (
+  SELECT CAST(0 AS BIGINT) AS src, id AS dst FROM nodes
+  WHERE id % 7 = 1 AND id <> 0
+),
+edges2 AS (
+  SELECT src, dst FROM edges UNION SELECT src, dst FROM star
+),
+adj2 AS (
+  SELECT src, dst FROM edges2 UNION ALL SELECT dst AS src, src AS dst FROM edges2
+)""",
+        "t0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist "
+        "FROM nodes)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj2 a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+agg AS (SELECT s, COUNT(*) AS r, SUM(dist) AS dsum FROM t{hops} GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+sc AS (
+  SELECT s AS id,
+         CASE WHEN dsum > 0
+              THEN (r - 1) * 1.0 / dsum / ((SELECT n FROM nn) - 1)
+              ELSE 0.0 END AS c
+  FROM agg
+)
+SELECT id, ROUND(c, 6) AS score FROM sc
+ORDER BY c DESC, id ASC LIMIT {k}"""
+    )
+
+
+SQL_TOP_CLOSENESS = _top_closeness_sql()

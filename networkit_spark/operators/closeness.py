@@ -160,6 +160,249 @@ def closeness(
     return out, SuperstepResult(iterations=len(metrics), metrics=metrics)
 
 
+def _closeness_upper_bounds(
+    g: Graph, n: int, ckpt: Checkpointer, max_levels: int = 128
+) -> DataFrame:
+    """(id, ub): per-node upper bound on GENERALIZED closeness via the
+    reference's neighborhood-growth farness lower bound
+    (TopCloseness::computelBound1, /root/reference/networkit/cpp/
+    centrality/TopCloseness.cpp:69-158), undirected form with EXACT
+    reach (reachL == reachU == component size, from connected
+    components — the computeReachable step, TopCloseness.cpp:54-67).
+
+    Per level L >= 2 the estimated newly-reached count is
+        nn[u] = sum over neighbors v of nbrs[v]
+                - (L == 2 ? deg(u) : (deg(u)-1) * nbrs_old[u])
+    (TopCloseness.cpp:97-110) — an overestimate of true BFS growth, so
+    placing that mass at level L gives a LOWER bound on the distance
+    sum; once the cumulative estimate N reaches the true reach r, the
+    overshoot is clamped at the current level:
+        dsum_lb = sumDist - L * (N - r)            (TopCloseness.cpp:120,131)
+    Each level is one join+agg over the adjacency (a PageRank-superstep
+    shape) with O(n) state — never O(n^2). Counters are doubles: the
+    overcounting estimate grows geometrically and must saturate, not
+    overflow (the bound stays valid — it only weakens).
+    """
+    from networkit_spark.operators.components import (
+        component_sizes,
+        connected_components,
+    )
+
+    labels, _ = connected_components(g)
+    sizes = component_sizes(labels)
+    adj = materialize_partitioned(
+        g.adj().filter(F.col("src") != F.col("dst")).select("src", "dst"),
+        "src",
+    )
+    deg = adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    state = (
+        labels.join(sizes, "label")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.col("size").cast("double").alias("r"),
+            F.coalesce("d", F.lit(0)).cast("double").alias("d"),
+        )
+        .select(
+            "id",
+            "r",
+            "d",
+            F.col("d").alias("nbrs"),
+            F.lit(0.0).alias("nbrs_old"),
+            F.col("d").alias("sumdist"),
+            (F.col("d") + 1).alias("bign"),
+            # isolated nodes finish immediately (TopCloseness.cpp:80-83)
+            (F.col("d") == 0).alias("fin"),
+            F.when(F.col("d") == 0, 0.0).alias("dsum_lb"),
+        )
+    )
+    state = ckpt.cut(state, 0)
+    level = 1
+    while level < max_levels:
+        level += 1
+        unfin = state.filter(~F.col("fin"))
+        if unfin.limit(1).count() == 0:
+            break
+        sums = (
+            state.select(F.col("id").alias("v"), "nbrs")
+            .hint("shuffle_hash")
+            .join(adj, F.col("v") == adj.dst)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("nbrs").alias("nn_raw"))
+        )
+        corr = (
+            F.col("d")
+            if level == 2
+            else (F.col("d") - 1) * F.col("nbrs_old")
+        )
+        nn = F.greatest(
+            F.lit(0.0), F.coalesce("nn_raw", F.lit(0.0)) - corr
+        )
+        new_bign = F.col("bign") + nn
+        new_sum = F.col("sumdist") + F.lit(float(level)) * nn
+        # finished when the estimate covers the exact reach, or growth
+        # stalls (then true reach <= N already — the reference's
+        # reachU[u] = N[u] case, TopCloseness.cpp:125-139 incl. the
+        # assert that N >= reachL whenever growth stalls)
+        done_now = (new_bign >= F.col("r")) | (nn == 0)
+        new_dsum = new_sum - F.lit(float(level)) * (new_bign - F.col("r"))
+        state = ckpt.cut(
+            state.join(sums, "id", "left").select(
+                "id",
+                "r",
+                "d",
+                F.when(F.col("fin"), F.col("nbrs")).otherwise(nn).alias("nbrs"),
+                F.when(F.col("fin"), F.col("nbrs_old"))
+                .otherwise(F.col("nbrs"))
+                .alias("nbrs_old"),
+                F.when(F.col("fin"), F.col("sumdist"))
+                .otherwise(new_sum)
+                .alias("sumdist"),
+                F.when(F.col("fin"), F.col("bign"))
+                .otherwise(new_bign)
+                .alias("bign"),
+                (F.col("fin") | done_now).alias("fin"),
+                F.when(F.col("fin"), F.col("dsum_lb"))
+                .otherwise(
+                    F.when(
+                        done_now & (new_bign >= F.col("r")),
+                        F.greatest(new_dsum, F.col("r") - 1),
+                    ).when(
+                        done_now,
+                        # growth stalled below exact reach — impossible
+                        # per the reference's invariant; keep the
+                        # always-valid dist-2 bound instead of a clamp
+                        # computed from an inconsistent estimate
+                        F.greatest(
+                            2.0 * (F.col("r") - 1) - F.col("d"),
+                            F.col("r") - 1,
+                        ),
+                    )
+                )
+                .alias("dsum_lb"),
+            ),
+            level,
+        )
+    adj.unpersist()
+    # level cap hit with stragglers: fall back to the always-valid
+    # dist-2 bound 2*(r-1)-d for them
+    return state.select(
+        "id",
+        F.when(
+            F.col("r") > 1,
+            (F.col("r") - 1)
+            / F.greatest(
+                F.coalesce(
+                    "dsum_lb", 2.0 * (F.col("r") - 1) - F.col("d")
+                ),
+                F.col("r") - 1,
+            )
+            / F.lit(float(n - 1)),
+        )
+        .otherwise(0.0)
+        .alias("ub"),
+    )
+
+
+def top_closeness(
+    g: Graph,
+    k: int = 10,
+    batch: int = 64,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """Top-k closeness WITHOUT the O(n^2) all-sources sweep.
+
+    Reference: TopCloseness (/root/reference/networkit/cpp/centrality/
+    TopCloseness.cpp:24-158+, Bergamini et al. ALENEX16): rank nodes by
+    a farness lower bound (computelBound1 — see
+    :func:`_closeness_upper_bounds`), BFS the most promising first, and
+    stop once the bound proves no unswept node can enter the top k. The
+    reference's per-node BFScut sweeps one node at a time with a
+    priority queue; the distributed form processes candidates in
+    ``batch``-sized waves through the existing multi-source tagged BFS,
+    so per-wave state is O(batch * n) instead of O(n^2).
+
+    Directed graphs are refused: a tight reach bound needs the
+    reference's SCC-condensation reachability machinery
+    (ReachableNodes), and without it the bound degenerates to the
+    useless 1/(n-1) (a tiny out-star already achieves the maximum
+    generalized score).
+
+    Returns (top-k (id, score) ordered by score desc / id asc,
+    SuperstepResult whose ``iterations`` is the number of candidates
+    actually swept — the pruning evidence).
+    """
+    if g.directed:
+        raise ValueError(
+            "top_closeness needs exact per-node reach; directed reach "
+            "bounds (SCC condensation) are not implemented"
+        )
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    n = g.number_of_nodes()
+    if n <= 1:
+        return (
+            g.nodes().select("id", F.lit(0.0).alias("score")),
+            SuperstepResult(iterations=0),
+        )
+    cand = _closeness_upper_bounds(g, n, ckpt).localCheckpoint(eager=True)
+    topk: list[tuple[float, int]] = []  # (score, id), kept sorted best-first
+    swept = 0
+    metrics: list[dict] = []
+    remaining = cand
+    while True:
+        wave = remaining.orderBy(F.desc("ub"), F.asc("id")).limit(batch)
+        wave_rows = wave.collect()
+        if not wave_rows:
+            break
+        kth = topk[k - 1][0] if len(topk) >= k else float("-inf")
+        max_ub = max(r["ub"] for r in wave_rows)
+        if max_ub < kth:
+            break  # bound proves no unswept candidate can enter top-k
+        import time as _time
+
+        t0 = _time.time()
+        ids = [int(r["id"]) for r in wave_rows]
+        src_df = spark.createDataFrame([(i,) for i in ids], "id long")
+        settled, _ = _tagged_bfs(g, src_df, None, ckpt)
+        exact = (
+            settled.groupBy(F.col("s").alias("id"))
+            .agg(F.count("*").alias("r"), F.sum("dist").alias("dsum"))
+            .select(
+                "id",
+                F.when(
+                    F.col("dsum") > 0,
+                    (F.col("r") - 1) / F.col("dsum") / F.lit(float(n - 1)),
+                )
+                .otherwise(0.0)
+                .alias("score"),
+            )
+            .collect()
+        )
+        swept += len(ids)
+        for row in exact:
+            topk.append((float(row["score"]), int(row["id"])))
+        # best-first: score desc, id asc
+        topk.sort(key=lambda t: (-t[0], t[1]))
+        del topk[k:]
+        remaining = remaining.join(
+            src_df.hint("broadcast"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        metrics.append(
+            ckpt.log(
+                swept,
+                swept=swept,
+                kth=topk[k - 1][0] if len(topk) >= k else None,
+                max_ub=max_ub,
+                wall_sec=_time.time() - t0,
+            )
+        )
+    out = spark.createDataFrame(
+        [(i, s) for s, i in topk], "id long, score double"
+    )
+    return out, SuperstepResult(iterations=swept, metrics=metrics)
+
+
 def harmonic_closeness(
     g: Graph,
     normalized: bool = False,

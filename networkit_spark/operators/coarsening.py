@@ -12,25 +12,43 @@ Reference:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
 
 
-def coarsen(g: Graph, labels: DataFrame) -> tuple[Graph, DataFrame]:
+def coarsen(
+    g: Graph, labels: DataFrame, compact: bool = False
+) -> tuple[Graph, DataFrame]:
     """Quotient graph over an (id, label) partition.
 
     Returns (coarse graph, fine->coarse mapping (id, coarse_id)).
-    Coarse ids are dense 0..k-1 ordered by label value (the reference
-    compacts via Partition::compact, GenericPartition.hpp:200).
+
+    ``compact=False`` (default, the scale path): the label VALUE itself
+    is the coarse node id — labels are already valid longs (kernel
+    partitions carry min-member-node-id labels), the quotient semantics
+    (summed parallel weights, intra-cluster self-loops) don't care
+    whether the id space is dense, and PLM runs coarsen once per level,
+    so a dense renumbering here would put every level's full label set
+    through a global sort for nothing. ``compact=True`` matches the
+    reference's Partition::compact dense 0..k-1 numbering ordered by
+    label (GenericPartition.hpp:200) via the partitioned two-phase
+    renumbering in plans/ids.py (no single-partition window either way).
     """
-    compacted = (
-        labels.select("label")
-        .distinct()
-        .withColumn("coarse_id", F.dense_rank().over(Window.orderBy("label")) - 1)
-    )
-    mapping = labels.join(compacted, "label").select("id", "coarse_id")
+    if compact:
+        from networkit_spark.plans.ids import dense_ids
+
+        compacted = dense_ids(
+            labels.select("label").distinct(), ["label"], "coarse_id"
+        )
+        mapping = labels.join(compacted, "label").select("id", "coarse_id")
+        coarse_vertices = compacted.select(F.col("coarse_id").alias("id"))
+    else:
+        mapping = labels.select("id", F.col("label").alias("coarse_id"))
+        coarse_vertices = labels.select(
+            F.col("label").alias("id")
+        ).distinct()
     e = (
         g.edges.join(
             mapping.select(F.col("id").alias("src"), F.col("coarse_id").alias("csrc")),
@@ -53,7 +71,6 @@ def coarsen(g: Graph, labels: DataFrame) -> tuple[Graph, DataFrame]:
         .agg(F.sum("weight").alias("weight"))
         .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"), "weight")
     )
-    coarse_vertices = compacted.select(F.col("coarse_id").alias("id"))
     return (
         Graph(coarse_edges, coarse_vertices, g.directed, True),
         mapping,

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -122,14 +122,14 @@ def compact_labels(labels: DataFrame) -> DataFrame:
     GenericPartition::compact(useTurbo) analogue
     (/root/reference/include/networkit/structures/GenericPartition.hpp:200).
     With min-id labels this reproduces the sequential BFS numbering
-    (seeds scanned in ascending id order)."""
-    distinct = labels.select("label").distinct()
-    ranks = distinct.withColumn(
-        "compact", F.dense_rank().over(Window.orderBy("label")) - 1
-    )
-    return (
-        labels.join(F.broadcast(ranks), "label")
-        .select("id", F.col("compact").alias("label"))
+    (seeds scanned in ascending id order). Two-phase partitioned
+    renumbering (plans/ids.py) — no single-partition global window, so
+    compaction stays parallel when the label set is web-scale."""
+    from networkit_spark.plans.ids import dense_ids
+
+    ranks = dense_ids(labels.select("label").distinct(), ["label"], "compact")
+    return labels.join(ranks, "label").select(
+        "id", F.col("compact").alias("label")
     )
 
 
@@ -205,12 +205,9 @@ def extract_largest_connected_component(
     )
     vertices = keep
     if compact_graph:
-        # row_number over a global window is a driver-ish bottleneck at
-        # scale; acceptable for the (rare) compaction step — the remap
-        # table is O(#nodes in LCC) and the rewrite joins shuffle on id.
-        remap = keep.withColumn(
-            "new_id", F.row_number().over(Window.orderBy("id")) - 1
-        )
+        from networkit_spark.plans.ids import dense_ids
+
+        remap = dense_ids(keep, ["id"], "new_id")
         edges = (
             edges.join(remap.withColumnRenamed("id", "src"), "src")
             .select(F.col("new_id").alias("src"), "dst", "weight")

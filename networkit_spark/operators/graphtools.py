@@ -8,7 +8,7 @@ pruning, so none of these materialize anything.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -100,10 +100,11 @@ def merge_graph(g1: Graph, g2: Graph) -> Graph:
 
 def continuous_node_ids(g: Graph) -> DataFrame:
     """GraphTools.hpp:362 getContinuousNodeIds — (id, new_id) dense map
-    ordered by old id."""
-    return g.nodes().withColumn(
-        "new_id", F.row_number().over(Window.orderBy("id")) - 1
-    )
+    ordered by old id. Partitioned two-phase renumbering (plans/ids.py),
+    not a single-partition global window."""
+    from networkit_spark.plans.ids import dense_ids
+
+    return dense_ids(g.nodes(), ["id"], "new_id")
 
 
 def compact_graph(g: Graph, mapping: DataFrame | None = None) -> Graph:
@@ -298,9 +299,13 @@ def index_edges(g: Graph) -> DataFrame:
     consecutive 0-based edge ids. Deterministic: ids ordered by
     (src, dst) — a one-time global sort, exactly what the reference's
     sequential assignment produces for its canonical iteration order.
-    Returns edges with an ``edge_id`` column."""
-    w = Window.orderBy("src", "dst")
-    return g.edges.withColumn("edge_id", F.row_number().over(w) - 1)
+    Returns edges with an ``edge_id`` column. Two-phase partitioned
+    renumbering (plans/ids.py) — at web scale the edge table is the
+    biggest relation in the system and must never funnel through one
+    window task."""
+    from networkit_spark.plans.ids import dense_ids
+
+    return dense_ids(g.edges, ["src", "dst"], "edge_id")
 
 
 def random_neighbor(g: Graph, u: int, seed: int = 42) -> int | None:

@@ -276,7 +276,11 @@ def plm(
                 .select("id", F.col("label").alias("c"))
             )
             break
-        coarse_g, mapping = coarsen(cur_g, labels)
+        # compact=True: the coarse ids feed the next level's parity gate
+        # ((u + round) % 2), so the id space must be the dense 0..k-1
+        # ranks the oracle unrolls. The densification is the partitioned
+        # two-phase renumbering (plans/ids.py) — no global window.
+        coarse_g, mapping = coarsen(cur_g, labels, compact=True)
         assign = (
             assign.join(
                 mapping.select(F.col("id").alias("cur"), "coarse_id"), "cur"
@@ -284,8 +288,8 @@ def plm(
             .select("id", F.col("coarse_id").alias("cur"))
             .localCheckpoint(eager=True)
         )
-        # checkpoint BOTH relations: vertices carries a dense_rank window
-        # plan whose attributes otherwise resurface in the next level's
+        # checkpoint BOTH relations: the coarse vertices/edges plans
+        # otherwise carry attributes that resurface in the next level's
         # labels self-joins and can break Catalyst's attribute dedup
         # ("key not found: id#N" in assertOptimized)
         coarse_g.edges = coarse_g.edges.localCheckpoint(eager=True)

@@ -25,7 +25,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
@@ -100,17 +100,18 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
 
 def assign_ids(urls: DataFrame) -> DataFrame:
-    """Dense 0-based node ids: ``row_number over (order by url) - 1``.
+    """Dense 0-based node ids, rank of the url in global sorted order.
 
     Deterministic (mirrors the reference's dense uint64 id space,
-    Globals.hpp:29). The global window is a scale bottleneck only at id
-    *assignment* time (once per crawl snapshot); for 10^12 urls swap in
-    ``zipWithIndex``-style two-phase numbering — the id contract (dense,
-    sorted by url) is what downstream relies on, not this implementation.
+    Globals.hpp:29). Implemented as the two-phase partitioned
+    renumbering in plans/ids.py — range-partition, rank per partition,
+    add per-partition offsets — so 10^12 urls never funnel through a
+    single-partition global window; the id contract (dense, sorted by
+    url) is identical to ``row_number over (order by url) - 1``.
     """
-    return urls.select("url").distinct().withColumn(
-        "id", F.row_number().over(Window.orderBy("url")) - 1
-    )
+    from networkit_spark.plans.ids import dense_ids
+
+    return dense_ids(urls.select("url").distinct(), ["url"], "id")
 
 
 def pages_to_graph(pages: DataFrame, drop_self_loops: bool = True,

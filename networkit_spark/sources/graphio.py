@@ -48,11 +48,9 @@ def read_edge_list(
             .unionByName(raw.select(F.col("dst").alias("old")))
             .distinct()
         )
-        from pyspark.sql import Window
+        from networkit_spark.plans.ids import dense_ids
 
-        ids = ids.withColumn(
-            "new", F.row_number().over(Window.orderBy("old")) - 1
-        )
+        ids = dense_ids(ids, ["old"], "new")
         raw = (
             raw.join(ids.withColumnRenamed("old", "src"), "src")
             .select(F.col("new").alias("src"), "dst", "weight")

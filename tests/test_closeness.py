@@ -68,3 +68,46 @@ def test_closeness_directed_and_sources(spark):
     har = _scores(harmonic_closeness(g, sources=[0, 2])[0])
     assert har[0] == pytest.approx(1 + 0.5)
     assert har[2] == 0.0
+
+
+def test_top_closeness_matches_exact(spark):
+    """top_closeness == exact closeness top-k (same scores, same
+    (score desc, id asc) order) on a graph with degree spread, and the
+    pruning bound must fire before sweeping every node."""
+    from networkit_spark.operators.closeness import top_closeness
+
+    # wheel + tail: hub 0 touches a 10-cycle 1..10, path 11-12-13 hangs
+    # off node 1 -> clear closeness ordering with a spread of scores
+    edges = [(0, i) for i in range(1, 11)]
+    edges += [(i, i + 1) for i in range(1, 10)] + [(10, 1)]
+    edges += [(1, 11), (11, 12), (12, 13)]
+    g = Graph.from_pandas(spark, edges, n=14)
+    k = 5
+    got, info = top_closeness(g, k=k, batch=4)
+    got_rows = [(r["id"], r["score"]) for r in got.collect()]
+
+    exact = _scores(closeness(g, variant=GENERALIZED)[0])
+    want = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert [i for i, _ in got_rows] == [i for i, _ in want]
+    for (gi, gs), (wi, ws) in zip(got_rows, want):
+        assert gs == pytest.approx(ws, abs=1e-12)
+    assert info.iterations < 14, "pruning never fired"
+
+
+def test_top_closeness_disconnected_and_small(spark):
+    from networkit_spark.operators.closeness import top_closeness
+
+    g = Graph.from_pandas(spark, [(0, 1), (2, 3), (3, 4)], n=6)
+    got, _ = top_closeness(g, k=3, batch=2)
+    rows = [(r["id"], r["score"]) for r in got.collect()]
+    exact = _scores(closeness(g, variant=GENERALIZED)[0])
+    want = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert [i for i, _ in rows] == [i for i, _ in want]
+
+
+def test_top_closeness_directed_raises(spark):
+    from networkit_spark.operators.closeness import top_closeness
+
+    g = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
+    with pytest.raises(ValueError, match="directed"):
+        top_closeness(g)

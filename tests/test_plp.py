@@ -80,7 +80,7 @@ def test_coarsen_quotient(spark):
     labels_df = spark.createDataFrame(
         [(0, 100), (1, 100), (2, 100), (3, 200), (4, 200)], "id long, label long"
     )
-    coarse, mapping = coarsen(g, labels_df)
+    coarse, mapping = coarsen(g, labels_df, compact=True)
     e = {(r["src"], r["dst"]): r["weight"] for r in coarse.edges.collect()}
     # cluster 100 -> coarse 0 (3 intra edges), cluster 200 -> coarse 1
     # (1 intra), 2 cross edges
