@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": e.q_diameter,
         "graph_coverage": e.q_coverage,
         "graph_edge_scores": e.q_edge_scores,
+        "graph_linkpred": e.q_linkpred,
+        "graph_sparsify": e.q_sparsify,
         "graph_anf": e.q_anf,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
@@ -150,6 +152,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_diameter": e.SQL_DIAMETER,
         "graph_coverage": e.SQL_COVERAGE,
         "graph_edge_scores": e.SQL_EDGE_SCORES,
+        "graph_linkpred": e.SQL_LINKPRED,
+        "graph_sparsify": e.SQL_SPARSIFY,
         "graph_anf": e.SQL_ANF,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,

@@ -1585,3 +1585,139 @@ ORDER BY c DESC, id ASC LIMIT {k}"""
 
 
 SQL_TOP_CLOSENESS = _top_closeness_sql()
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over non-edges (linkprediction/AdamicAdarIndex.cpp,
+# ResourceAllocationIndex.cpp, JaccardIndex.hpp, MissingLinksFinder.cpp) —
+# all distance-2 candidate pairs of the contract graph scored with the
+# six neighborhood indices; the oracle recomputes the wedge aggregation
+# in plain SQL.
+# ---------------------------------------------------------------------------
+
+def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import link_prediction
+
+    g = load_graph(spark, sf_dir)
+    lp = link_prediction(g)
+    return lp.select(
+        "u",
+        "v",
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        F.col("preferential_attachment").cast("long").alias(
+            "preferential_attachment"
+        ),
+        F.col("total_neighbors").cast("long").alias("total_neighbors"),
+    ).orderBy("u", "v")
+
+
+SQL_LINKPRED = f"""
+WITH {GRAPH_CTES},
+wedge AS (
+  SELECT a1.dst AS u, a2.dst AS v, a1.src AS w
+  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+),
+cand AS (
+  SELECT DISTINCT u, v FROM wedge wx
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = wx.u AND e.dst = wx.v)
+),
+ov AS (
+  SELECT w.u, w.v, COUNT(*) AS cn,
+         SUM(1.0 / LN(d.degree)) AS aa,
+         SUM(1.0 / d.degree) AS ra
+  FROM wedge w
+  JOIN cand c ON c.u = w.u AND c.v = w.v
+  JOIN deg d ON d.id = w.w
+  GROUP BY w.u, w.v
+)
+SELECT o.u, o.v,
+       CAST(o.cn AS BIGINT) AS common_neighbors,
+       ROUND(o.cn * 1.0 / (du.degree + dv.degree - o.cn), 6) AS jaccard,
+       ROUND(o.aa, 6) AS adamic_adar,
+       ROUND(o.ra, 6) AS resource_allocation,
+       CAST(du.degree * dv.degree AS BIGINT) AS preferential_attachment,
+       CAST(du.degree + dv.degree - o.cn AS BIGINT) AS total_neighbors
+FROM ov o
+JOIN deg du ON du.id = o.u
+JOIN deg dv ON dv.id = o.v
+ORDER BY o.u, o.v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sparsification (LocalSimilarityScore.cpp:17-73 + GlobalThresholdFilter
+# .cpp:18-49): local-similarity backbone of the contract graph at
+# threshold 0.4 — the oracle recomputes the per-endpoint similarity
+# ranking (row_number over sim desc, neighbor asc) and the max-exponent
+# aggregation in plain SQL.
+# ---------------------------------------------------------------------------
+
+SPARSIFY_THRESHOLD = 0.4
+
+
+def q_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import (
+        global_threshold_filter,
+        local_similarity_score,
+    )
+
+    g = load_graph(spark, sf_dir)
+    scores = local_similarity_score(g)
+    kept = global_threshold_filter(g, scores, SPARSIFY_THRESHOLD, above=True)
+    return (
+        kept.edges.select("src", "dst")
+        .join(scores, ["src", "dst"])
+        .select("src", "dst", F.round("score", 6).alias("score"))
+        .orderBy("src", "dst")
+    )
+
+
+SQL_SPARSIFY = f"""
+WITH {GRAPH_CTES},
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tedges AS (
+  SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM tri
+  UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+  UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+),
+cnt AS (SELECT x, y, COUNT(*) AS t FROM tedges GROUP BY x, y),
+tes AS (
+  SELECT e.src, e.dst, CAST(COALESCE(c.t, 0) AS DOUBLE) AS t
+  FROM edges e LEFT JOIN cnt c ON c.x = e.src AND c.y = e.dst
+),
+half AS (
+  SELECT src AS i, dst AS j, t FROM tes
+  UNION ALL SELECT dst AS i, src AS j, t FROM tes
+),
+sims AS (
+  SELECT h.i, h.j, di.degree AS di,
+         h.t / (di.degree + dj.degree - h.t) AS sim
+  FROM half h
+  JOIN deg di ON di.id = h.i
+  JOIN deg dj ON dj.id = h.j
+),
+ranked AS (
+  SELECT i, j, di,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY sim DESC, j ASC) AS rank
+  FROM sims
+),
+exps AS (
+  SELECT LEAST(i, j) AS src, GREATEST(i, j) AS dst,
+         CASE WHEN di <= 1 THEN 1.0
+              ELSE 1.0 - LN(CAST(rank AS DOUBLE)) / LN(CAST(di AS DOUBLE))
+         END AS e
+  FROM ranked
+),
+sc AS (SELECT src, dst, MAX(e) AS score FROM exps GROUP BY src, dst)
+SELECT src, dst, ROUND(score, 6) AS score
+FROM sc WHERE score >= {SPARSIFY_THRESHOLD}
+ORDER BY src, dst
+"""
