@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": e.q_eigenvector,
         "graph_katz": e.q_katz,
         "graph_plm": e.q_plm,
+        "graph_leiden": e.q_leiden,
         "graph_kcore": e.q_kcore,
         "graph_bipartite": e.q_bipartite,
         "graph_bfs": e.q_bfs,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": e.q_betweenness,
         "graph_closeness": e.q_closeness,
         "graph_top_closeness": e.q_top_closeness,
+        "graph_closeness_weighted": e.q_closeness_weighted,
         "graph_assortativity": e.q_assortativity,
         "graph_diameter": e.q_diameter,
         "graph_coverage": e.q_coverage,
@@ -138,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_eigenvector": e.SQL_EIGENVECTOR,
         "graph_katz": e.SQL_KATZ,
         "graph_plm": e.SQL_PLM,
+        "graph_leiden": e.SQL_LEIDEN,
         "graph_kcore": e.SQL_KCORE,
         "graph_bipartite": e.SQL_BIPARTITE,
         "graph_bfs": e.SQL_BFS,
@@ -148,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_betweenness": e.SQL_BETWEENNESS,
         "graph_closeness": e.SQL_CLOSENESS,
         "graph_top_closeness": e.SQL_TOP_CLOSENESS,
+        "graph_closeness_weighted": e.SQL_CLOSENESS_WEIGHTED,
         "graph_assortativity": e.SQL_ASSORTATIVITY,
         "graph_diameter": e.SQL_DIAMETER,
         "graph_coverage": e.SQL_COVERAGE,

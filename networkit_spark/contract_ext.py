@@ -1721,3 +1721,240 @@ SELECT src, dst, ROUND(score, 6) AS score
 FROM sc WHERE score >= {SPARSIFY_THRESHOLD}
 ORDER BY src, dst
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted closeness (Closeness.cpp Dijkstra mode / Dijkstra.cpp:15-93 via
+# Bellman-Ford supersteps) — generalized + harmonic from the contract seed
+# set over the deterministic (u+v)%5+1 weights, relaxation-round-capped so
+# the unrolled oracle is identical
+# ---------------------------------------------------------------------------
+
+def q_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.closeness import closeness, harmonic_closeness
+
+    g = load_graph(spark, sf_dir)
+    wedges = g.edges.select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+    )
+    gw = Graph(wedges, None, directed=False, weighted=True)
+    seeds = gw.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    clo, _ = closeness(
+        gw, variant="generalized", sources=seeds, max_hops=BFS_HOPS, weighted=True
+    )
+    har, _ = harmonic_closeness(
+        gw, sources=seeds, max_hops=BFS_HOPS, weighted=True
+    )
+    return (
+        clo.select("id", F.round("score", 6).alias("closeness"))
+        .join(har.select("id", F.round("score", 6).alias("harmonic")), "id")
+        .orderBy("id")
+    )
+
+
+def _closeness_weighted_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        "wadj AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM adj)",
+        f"w0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS dist "
+        f"FROM nodes WHERE id % {BFS_SEED_MOD} = 0)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         LEAST(COALESCE(p.dist, 1e18), COALESCE(m.nd, 1e18)) AS dist
+  FROM w{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + a.w) AS nd
+    FROM wadj a JOIN w{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+agg AS (
+  SELECT s, COUNT(*) AS r, SUM(dist) AS dsum,
+         SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0 END) AS harm
+  FROM w{hops} GROUP BY s
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes)
+SELECT s AS id,
+       ROUND(CASE WHEN dsum > 0
+             THEN (r - 1) * 1.0 / dsum / ((SELECT n FROM nn) - 1)
+             ELSE 0 END, 6) AS closeness,
+       ROUND(harm, 6) AS harmonic
+FROM agg ORDER BY id"""
+    )
+
+
+SQL_CLOSENESS_WEIGHTED = _closeness_weighted_sql()
+
+
+# ---------------------------------------------------------------------------
+# ParallelLeiden (ParallelLeiden.cpp) — deterministic gate variant:
+# 2 synchronous move rounds, 2 refinement rounds (R/T conditions in the
+# vol(G)-scaled integral form), coarsen by the REFINED partition with
+# the coarse graph inheriting the move partition, 2 more move rounds,
+# project, min-id canonical labels. Reuses the PLM move-round SQL; the
+# refinement rounds are unrolled below with identical parity gates,
+# tie-breaks, and the same no-chained-merge guard as operators/leiden.py.
+# ---------------------------------------------------------------------------
+
+LEIDEN_ROUNDS = 2
+LEIDEN_REFINE = 2
+
+
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.leiden import parallel_leiden
+
+    g = load_graph(spark, sf_dir)
+    labels, _ = parallel_leiden(
+        g,
+        gamma=1.0,
+        iterations=1,
+        max_move_rounds=LEIDEN_ROUNDS,
+        max_refine_rounds=LEIDEN_REFINE,
+        max_levels=2,
+    )
+    return labels.orderBy("id")
+
+
+def _leiden_refine_round_sql(q: int, slab: str) -> str:
+    """One synchronous refinement round rl{q-1} -> rl{q} within the move
+    partition ``slab``; VG = 2 * total edge weight, gamma = 1."""
+    vg = "(2 * (SELECT t FROM tw))"
+    return f"""rv{q} AS MATERIALIZED (
+  SELECT r.rl AS c, SUM(v.vol) AS rvol
+  FROM rl{q - 1} r JOIN l0vol v ON v.id = r.id GROUP BY r.rl
+),
+rs{q} AS MATERIALIZED (SELECT rl AS c, COUNT(*) AS sz FROM rl{q - 1} GROUP BY rl),
+cc{q} AS MATERIALIZED (
+  SELECT ru.rl AS c, SUM(i.weight) AS cutc
+  FROM l0intra i
+  JOIN rl{q - 1} ru ON ru.id = i.src
+  JOIN rl{q - 1} rw ON rw.id = i.dst
+  WHERE ru.rl <> rw.rl GROUP BY ru.rl
+),
+sing{q} AS MATERIALIZED (
+  SELECT r.id FROM rl{q - 1} r JOIN rs{q} z ON z.c = r.rl
+  WHERE z.sz = 1 AND r.rl = r.id AND (r.id + {q}) % 2 = 0
+    AND r.id IN (SELECT id FROM l0elig)
+),
+cnd{q} AS MATERIALIZED (
+  SELECT i.src AS u, r.rl AS c, i.s, SUM(i.weight) AS w
+  FROM l0intra i JOIN rl{q - 1} r ON r.id = i.dst
+  WHERE i.src IN (SELECT id FROM sing{q}) AND r.rl <> i.src
+  GROUP BY i.src, r.rl, i.s
+),
+scd{q} AS MATERIALIZED (
+  SELECT c2.u, c2.c, c2.w * {vg} - 1.0 * vn.vol * rv.rvol AS delta
+  FROM cnd{q} c2
+  JOIN rv{q} rv ON rv.c = c2.c
+  LEFT JOIN cc{q} cc ON cc.c = c2.c
+  JOIN l0svol sv ON sv.s = c2.s
+  JOIN l0vol vn ON vn.id = c2.u
+  WHERE COALESCE(cc.cutc, 0.0) * {vg} >= 1.0 * rv.rvol * (sv.svol - rv.rvol)
+    AND c2.w * {vg} - 1.0 * vn.vol * rv.rvol >= 0
+),
+bst{q} AS MATERIALIZED (
+  SELECT u, c FROM (
+    SELECT u, c, ROW_NUMBER() OVER (PARTITION BY u ORDER BY delta DESC, c ASC) AS rn
+    FROM scd{q}
+  ) t WHERE rn = 1
+),
+app{q} AS MATERIALIZED (
+  SELECT u, c FROM bst{q} WHERE c NOT IN (SELECT u FROM bst{q})
+),
+rl{q} AS MATERIALIZED (
+  SELECT r.id, COALESCE(a.c, r.rl) AS rl
+  FROM rl{q - 1} r LEFT JOIN app{q} a ON a.u = r.id
+)"""
+
+
+def _leiden_sql(rounds: int = LEIDEN_ROUNDS, refine: int = LEIDEN_REFINE) -> str:
+    parts = [
+        "tw AS (SELECT COUNT(*) * 1.0 AS t FROM edges)",
+        "l0adj AS MATERIALIZED (SELECT src, dst, 1.0 AS weight FROM adj)",
+        "l0vol AS MATERIALIZED (SELECT id, degree * 1.0 AS vol FROM deg)",
+        "l0lab0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(_plm_move_round_sql("l0", r))
+    slab = f"l0lab{rounds}"
+    parts.append(
+        f"""l0svol AS MATERIALIZED (
+  SELECT l.label AS s, SUM(v.vol) AS svol
+  FROM {slab} l JOIN l0vol v ON v.id = l.id GROUP BY l.label
+),
+l0intra AS MATERIALIZED (
+  SELECT a.src, a.dst, a.weight, lu.label AS s
+  FROM l0adj a
+  JOIN {slab} lu ON lu.id = a.src
+  JOIN {slab} lv ON lv.id = a.dst
+  WHERE lu.label = lv.label
+),
+l0cutu AS MATERIALIZED (SELECT src AS id, SUM(weight) AS cutu FROM l0intra GROUP BY src),
+l0elig AS MATERIALIZED (
+  SELECT l.id FROM {slab} l
+  JOIN l0vol v ON v.id = l.id
+  JOIN l0svol s ON s.s = l.label
+  LEFT JOIN l0cutu c ON c.id = l.id
+  WHERE COALESCE(c.cutu, 0.0) * (2 * (SELECT t FROM tw))
+        >= 1.0 * v.vol * (s.svol - v.vol)
+),
+rl0 AS MATERIALIZED (SELECT id, id AS rl FROM nodes)"""
+    )
+    for q in range(1, refine + 1):
+        parts.append(_leiden_refine_round_sql(q, slab))
+    parts.append(
+        f"""comp AS MATERIALIZED (
+  SELECT rl, CAST(ROW_NUMBER() OVER (ORDER BY rl) - 1 AS BIGINT) AS cid
+  FROM (SELECT DISTINCT rl FROM rl{refine}) t
+),
+cmap AS MATERIALIZED (SELECT r.id, c.cid FROM rl{refine} r JOIN comp c ON c.rl = r.rl),
+cedges AS MATERIALIZED (
+  SELECT LEAST(ms.cid, md.cid) AS src, GREATEST(ms.cid, md.cid) AS dst,
+         SUM(1.0) AS weight
+  FROM edges e JOIN cmap ms ON ms.id = e.src JOIN cmap md ON md.id = e.dst
+  GROUP BY 1, 2
+),
+l1adj AS MATERIALIZED (
+  SELECT src, dst, weight FROM cedges WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM cedges WHERE src <> dst
+),
+l1nodes AS MATERIALIZED (SELECT DISTINCT cid AS id FROM cmap),
+l1vol AS MATERIALIZED (
+  SELECT n.id, COALESCE(aw.w, 0.0) + 2 * COALESCE(lw.w, 0.0) AS vol
+  FROM l1nodes n
+  LEFT JOIN (SELECT src AS id, SUM(weight) AS w FROM l1adj GROUP BY src) aw
+    ON aw.id = n.id
+  LEFT JOIN (SELECT src AS id, SUM(weight) AS w FROM cedges WHERE src = dst
+             GROUP BY src) lw ON lw.id = n.id
+),
+l1lab0 AS MATERIALIZED (
+  SELECT m.cid AS id, MIN(l.label) AS label
+  FROM cmap m JOIN {slab} l ON l.id = m.id GROUP BY m.cid
+)"""
+    )
+    for r in range(1, rounds + 1):
+        parts.append(_plm_move_round_sql("l1", r))
+    parts.append(
+        f"""fin AS MATERIALIZED (
+  SELECT mp.id, l.label AS c
+  FROM cmap mp JOIN l1lab{rounds} l ON l.id = mp.cid
+),
+canon AS (SELECT c, MIN(id) AS label FROM fin GROUP BY c)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\nSELECT f.id, cn.label FROM fin f JOIN canon cn ON cn.c = f.c ORDER BY f.id"
+    )
+
+
+SQL_LEIDEN = _leiden_sql()

@@ -92,6 +92,65 @@ def _tagged_bfs(
     return settled, metrics
 
 
+def _tagged_sssp(
+    g: Graph,
+    src_df: DataFrame,
+    max_hops: int | None,
+    ckpt: Checkpointer,
+) -> tuple[DataFrame, list[dict]]:
+    """(s, v, dist) non-negative WEIGHTED distances from every source —
+    the reference's Dijkstra mode (Closeness.cpp uses Dijkstra when
+    G.isWeighted(), /root/reference/networkit/cpp/distance/
+    Dijkstra.cpp:15-93). Synchronous Bellman-Ford relaxation supersteps
+    (same fixpoint for non-negative weights), multi-source tagged like
+    :func:`_tagged_bfs`; ``max_hops`` = relaxation rounds."""
+    adj = materialize_partitioned(
+        (g.adj() if not g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight"),
+        "src",
+    )
+    dist = src_df.select(
+        F.col("id").alias("s"), F.col("id").alias("v"), F.lit(0.0).alias("dist")
+    )
+    dist = ckpt.cut(dist, 0)
+    frontier = dist
+    metrics: list[dict] = []
+    it = 0
+    cap = max_hops if max_hops is not None else 2**31
+    while it < cap:
+        t0 = time.time()
+        cand = (
+            frontier.hint("shuffle_hash")
+            .join(adj, frontier.v == adj.src)
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = dist.join(cand, ["s", "v"], "full_outer").select(
+            "s",
+            "v",
+            F.least(
+                F.coalesce("dist", F.lit(float("inf"))),
+                F.coalesce("cand", F.lit(float("inf"))),
+            ).alias("new_dist"),
+            "dist",
+        )
+        it += 1
+        merged = ckpt.cut(merged, it)
+        frontier = merged.filter(
+            F.col("dist").isNull() | (F.col("new_dist") < F.col("dist"))
+        ).select("s", "v", F.col("new_dist").alias("dist"))
+        improved = frontier.count()
+        dist = merged.select("s", "v", F.col("new_dist").alias("dist"))
+        metrics.append(
+            ckpt.log(it, state=dist, improved=improved, wall_sec=time.time() - t0)
+        )
+        if improved == 0:
+            break
+    adj.unpersist()
+    return dist, metrics
+
+
 def _sources(g: Graph, sources) -> DataFrame:
     if sources is None:
         return g.nodes()
@@ -108,12 +167,14 @@ def closeness(
     sources=None,
     max_hops: int | None = None,
     check_connectedness: bool = True,
+    weighted: bool = False,
     checkpointer: Checkpointer | None = None,
 ) -> tuple[DataFrame, SuperstepResult]:
     """(id, score) closeness for every node in ``sources`` (default: all
-    nodes = the reference's full run). Unweighted hop distances (the
-    reference's BFS mode; weighted graphs use hop counts too — pass a
-    Dijkstra-equivalent distance table yourself if you need weighted).
+    nodes = the reference's full run). ``weighted=True`` uses the edge
+    weights (the reference's Dijkstra mode, Closeness.cpp:96 /
+    Dijkstra.cpp:15-93, realized as Bellman-Ford supersteps); default
+    is hop distance (BFS mode).
 
     Score per Closeness.hpp:86-100:
       STANDARD:    1/sum(d)            [* (n-1) when normalized]
@@ -141,7 +202,8 @@ def closeness(
                 "standard closeness is not defined on disconnected graphs; "
                 "use the generalized variant"
             )
-    settled, metrics = _tagged_bfs(g, _sources(g, sources), max_hops, ckpt)
+    sweep = _tagged_sssp if weighted else _tagged_bfs
+    settled, metrics = sweep(g, _sources(g, sources), max_hops, ckpt)
     per_src = settled.groupBy(F.col("s").alias("id")).agg(
         F.count("*").alias("r"), F.sum("dist").alias("dsum")
     )
@@ -408,14 +470,17 @@ def harmonic_closeness(
     normalized: bool = False,
     sources=None,
     max_hops: int | None = None,
+    weighted: bool = False,
     checkpointer: Checkpointer | None = None,
 ) -> tuple[DataFrame, SuperstepResult]:
     """(id, score) harmonic closeness: sum of 1/d(u, v) over reachable
-    v != u (HarmonicCloseness.cpp:24-44); normalized divides by n-1."""
+    v != u (HarmonicCloseness.cpp:24-44); normalized divides by n-1.
+    ``weighted=True`` uses Dijkstra-mode weighted distances."""
     spark = g.edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark)
     n = g.number_of_nodes()
-    settled, metrics = _tagged_bfs(g, _sources(g, sources), max_hops, ckpt)
+    sweep = _tagged_sssp if weighted else _tagged_bfs
+    settled, metrics = sweep(g, _sources(g, sources), max_hops, ckpt)
     per_src = settled.filter(F.col("dist") > 0).groupBy(
         F.col("s").alias("id")
     ).agg(F.sum(1.0 / F.col("dist")).alias("score"))

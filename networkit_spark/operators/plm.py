@@ -96,8 +96,13 @@ def _move_phase(
     max_move_rounds: int,
     ckpt: Checkpointer,
     level: int,
+    init_labels: DataFrame | None = None,
 ) -> tuple[DataFrame, bool, list[dict]]:
     """Synchronous local moves to a fixpoint (or the round cap).
+
+    ``init_labels`` (id, label) seeds the starting partition — PLM
+    starts from singletons (the default); Leiden levels inherit the
+    previous level's partition (ParallelLeiden.cpp:49-51).
 
     Returns (labels(id, label), any_move_happened, metrics)."""
     spark = g.edges.sparkSession
@@ -124,7 +129,10 @@ def _move_phase(
         .localCheckpoint(eager=True)
     )
     total = g.total_edge_weight()
-    labels = g.nodes().select("id", F.col("id").alias("label"))
+    if init_labels is None:
+        labels = g.nodes().select("id", F.col("id").alias("label"))
+    else:
+        labels = init_labels.select("id", "label")
     labels = ckpt.cut(labels, level * 1000)
     metrics: list[dict] = []
     any_moved = False

@@ -111,3 +111,27 @@ def test_top_closeness_directed_raises(spark):
     g = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
     with pytest.raises(ValueError, match="directed"):
         top_closeness(g)
+
+
+def test_weighted_closeness(spark):
+    # path 0 -2- 1 -3- 2: from 0 dists are 2, 5 -> dsum 7
+    g = Graph.from_pandas(spark, [(0, 1, 2.0), (1, 2, 3.0)], weighted=True, n=3)
+    gen = _scores(closeness(g, variant=GENERALIZED, weighted=True)[0])
+    assert gen[0] == pytest.approx(2 / 7 / 2)
+    assert gen[1] == pytest.approx(2 / 5 / 2)
+    har = _scores(harmonic_closeness(g, weighted=True)[0])
+    assert har[0] == pytest.approx(1 / 2 + 1 / 5)
+    assert har[2] == pytest.approx(1 / 3 + 1 / 5)
+    # weighted=False keeps hop semantics
+    hop = _scores(closeness(g, variant=GENERALIZED, weighted=False)[0])
+    assert hop[0] == pytest.approx(2 / 3 / 2)
+
+
+def test_weighted_closeness_takes_lighter_detour(spark):
+    # direct edge (0,2) weight 10 vs detour 0-1-2 weight 2+3=5
+    g = Graph.from_pandas(
+        spark, [(0, 1, 2.0), (1, 2, 3.0), (0, 2, 10.0)], weighted=True, n=3
+    )
+    gen = _scores(closeness(g, variant=GENERALIZED, weighted=True)[0])
+    # from 0: d(1)=2, d(2)=5 -> dsum 7
+    assert gen[0] == pytest.approx(2 / 7 / 2)
