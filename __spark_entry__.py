@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_centrality": e.q_degree_centrality,
         "graph_modularity": e.q_modularity,
         "graph_dyn_cc": e.q_dyn_cc,
+        "graph_dyn_wcc": e.q_dyn_wcc,
         "graph_eigenvector": e.q_eigenvector,
         "graph_katz": e.q_katz,
         "graph_plm": e.q_plm,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_centrality": e.SQL_DEGREE_CENTRALITY,
         "graph_modularity": e.SQL_MODULARITY,
         "graph_dyn_cc": e.SQL_DYN_CC,
+        "graph_dyn_wcc": e.SQL_DYN_WCC,
         "graph_eigenvector": e.SQL_EIGENVECTOR,
         "graph_katz": e.SQL_KATZ,
         "graph_plm": e.SQL_PLM,

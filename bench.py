@@ -73,8 +73,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "graph_plm", "graph_bfs", "graph_scc", "graph_pagerank_large",
         "graph_closeness", "graph_betweenness", "graph_assortativity",
         "graph_diameter",
+        "graph_leiden", "graph_top_closeness", "graph_linkpred",
+        "graph_sparsify", "graph_closeness_weighted", "graph_dyn_wcc",
         "dedup_exact", "dedup_minhash_candidates", "text_quality",
         "text_token_count", "sim_cosine_topk", "events_agg",
+        "multimodal_features",
     ]:
         sec, _ = timed(lambda: qs[name](spark, sf_dir).collect())
         queries[name] = round(sec, 3)

@@ -1958,3 +1958,85 @@ canon AS (SELECT c, MIN(id) AS label FROM fin GROUP BY c)"""
 
 
 SQL_LEIDEN = _leiden_sql()
+
+
+# ---------------------------------------------------------------------------
+# DynWeaklyConnectedComponents (components/DynWeaklyConnectedComponents.cpp)
+# — an additions-only batch takes the incremental label-merge path, a
+# removal batch recomputes; final labels = weak components of the
+# modified DIRECTED contract graph (min member id per component).
+# ---------------------------------------------------------------------------
+
+def q_dyn_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.streaming.dynamics import DynWeaklyConnectedComponents
+
+    g = load_directed_graph(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    adds = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.lit("EDGE_ADDITION").alias("type"),
+            (F.col("o_orderkey") * 13 + 5) % 997,
+            (F.col("o_orderkey") * 29 + 11) % 997,
+        )
+        .toDF("type", "u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .withColumn("w", F.lit(1.0))
+    )
+    removes = g.edges.filter((F.col("src") + F.col("dst")) % 7 == 0).select(
+        F.lit("EDGE_REMOVAL").alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    dyn = DynWeaklyConnectedComponents(g)
+    dyn.update_batch(adds)      # additions-only: incremental merge path
+    labels = dyn.update_batch(removes)  # removals: full recompute path
+    return labels.orderBy("id")
+
+
+SQL_DYN_WCC = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 31 + 7) % 997) AS v
+  FROM orders
+  UNION
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 57 + 13) % 997) AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION
+  SELECT DISTINCT ((o_orderkey * 17 + 3) % 997) AS u,
+                  ((o_orderkey * 43 + 11) % 997) AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+dedges AS MATERIALIZED (
+  SELECT DISTINCT u AS src, v AS dst FROM base WHERE u <> v
+),
+adds AS (
+  SELECT DISTINCT u AS src, v AS dst FROM (
+    SELECT (o_orderkey * 13 + 5) % 997 AS u,
+           (o_orderkey * 29 + 11) % 997 AS v
+    FROM orders WHERE o_orderkey % 10 = 0
+  ) WHERE u <> v
+),
+removed AS (SELECT src, dst FROM dedges WHERE (src + dst) % 7 = 0),
+ne AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM dedges UNION SELECT src, dst FROM adds
+  ) t WHERE NOT EXISTS (
+    SELECT 1 FROM removed r WHERE r.src = t.src AND r.dst = t.dst
+  )
+),
+nadj AS (
+  SELECT src, dst FROM ne UNION ALL SELECT dst AS src, src AS dst FROM ne
+),
+nnodes AS (SELECT DISTINCT src AS id FROM nadj),
+reach(id, lbl) AS (
+  SELECT id, id FROM nnodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM reach r JOIN nadj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+)
+SELECT id, MIN(lbl) AS label FROM reach GROUP BY id ORDER BY id
+"""

@@ -106,8 +106,11 @@ class DynConnectedComponents:
 
     def __init__(self, g: Graph) -> None:
         self.g = g
-        labels, _ = connected_components(g)
-        self.labels = labels.localCheckpoint(eager=True)
+        self.labels = self._recompute()
+
+    def _recompute(self) -> DataFrame:
+        labels, _ = connected_components(self.g)
+        return labels.localCheckpoint(eager=True)
 
     def update_batch(self, events: DataFrame) -> DataFrame:
         has_structural_removal = (
@@ -118,8 +121,7 @@ class DynConnectedComponents:
         )
         self.g = apply_events(self.g, events)
         if has_structural_removal:
-            labels, _ = connected_components(self.g)
-            self.labels = labels.localCheckpoint(eager=True)
+            self.labels = self._recompute()
             return self.labels
         # additions only: merge endpoint labels until fixpoint over the
         # (tiny) label-merge graph, driver-side loop on a labels-only DF
@@ -170,6 +172,25 @@ class DynConnectedComponents:
             )
         self.labels = labels.localCheckpoint(eager=True)
         return self.labels
+
+
+class DynWeaklyConnectedComponents(DynConnectedComponents):
+    """Batch-incremental WEAKLY connected components for directed graphs
+    — the reference's DynWeaklyConnectedComponents
+    (/root/reference/networkit/cpp/components/
+    DynWeaklyConnectedComponents.cpp), which is the DynCC template also
+    following in-edges. The addition path is identical (merging two
+    weak components is direction-agnostic — a directed edge joins the
+    endpoint components either way); removals recompute via
+    weakly_connected_components."""
+
+    def _recompute(self) -> DataFrame:
+        from networkit_spark.operators.components import (
+            weakly_connected_components,
+        )
+
+        labels, _ = weakly_connected_components(self.g)
+        return labels.localCheckpoint(eager=True)
 
 
 def stream_components(spark, events_stream: DataFrame, g0: Graph, out_path: str,

@@ -108,3 +108,40 @@ def test_pagerank_warm_start_after_events(spark):
     w = {r["id"]: r["score"] for r in warm.scores.collect()}
     assert all(abs(c[k] - w[k]) < 1e-8 for k in c)
     assert warm.info.iterations <= cold.info.iterations
+
+
+def test_dyn_wcc_matches_recompute(spark):
+    """DynWeaklyConnectedComponents parity vs recompute on every batch
+    kind (DynWeaklyConnectedComponents.cpp contract)."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import weakly_connected_components
+    from networkit_spark.streaming.dynamics import DynWeaklyConnectedComponents
+
+    g = Graph.from_pandas(
+        spark, [(0, 1), (2, 3), (4, 5)], directed=True, n=6
+    )
+    dyn = DynWeaklyConnectedComponents(g)
+    assert {r["label"] for r in dyn.labels.collect()} == {0, 2, 4}
+
+    # additions-only batch -> incremental merge path
+    adds = spark.createDataFrame(
+        [("EDGE_ADDITION", 1, 2, 1.0), ("EDGE_ADDITION", 5, 0, 1.0)],
+        "type string, u long, v long, w double",
+    )
+    labels = dyn.update_batch(adds)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    want = {
+        r["id"]: r["label"]
+        for r in weakly_connected_components(dyn.g)[0].collect()
+    }
+    assert got == want
+    assert len({*got.values()}) == 1  # everything merged into one weak comp
+
+    # removal batch -> recompute path (splits back apart)
+    rem = spark.createDataFrame(
+        [("EDGE_REMOVAL", 1, 2, None), ("EDGE_REMOVAL", 5, 0, None)],
+        "type string, u long, v long, w double",
+    )
+    labels = dyn.update_batch(rem)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
