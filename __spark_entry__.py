@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tri_edge": e.q_tri_edge,
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_betweenness": e.q_betweenness,
+        "graph_approx_betweenness": e.q_approx_betweenness,
         "graph_closeness": e.q_closeness,
         "graph_top_closeness": e.q_top_closeness,
         "graph_closeness_weighted": e.q_closeness_weighted,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_tri_edge": e.SQL_TRI_EDGE,
         "graph_lcc_sampled": e.SQL_LCC_SAMPLED,
         "graph_betweenness": e.SQL_BETWEENNESS,
+        "graph_approx_betweenness": e.SQL_APPROX_BETWEENNESS,
         "graph_closeness": e.SQL_CLOSENESS,
         "graph_top_closeness": e.SQL_TOP_CLOSENESS,
         "graph_closeness_weighted": e.SQL_CLOSENESS_WEIGHTED,

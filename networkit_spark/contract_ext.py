@@ -2040,3 +2040,141 @@ reach(id, lbl) AS (
 )
 SELECT id, MIN(lbl) AS label FROM reach GROUP BY id ORDER BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# ApproxBetweenness (ApproxBetweenness.cpp:29-104, Riondato-Kornaropoulos)
+# — epsilon-delta path-sampling estimator. Both engines derive every
+# "random" draw from md5 (13 hex nibbles / 16^13), so the oracle replays
+# the identical r sampled pairs and the identical backward path choices:
+# full hash-match on a randomized approximation algorithm.
+# ---------------------------------------------------------------------------
+
+ABC_EPS = 0.3
+ABC_DELTA = 0.1
+ABC_VD = 10
+ABC_SEED = 42
+
+
+def _abc_r() -> int:
+    import math
+
+    return int(
+        math.ceil(
+            (1.0 / (ABC_EPS * ABC_EPS))
+            * (math.floor(math.log2(ABC_VD - 2)) + 1 - math.log(ABC_DELTA))
+        )
+    )
+
+
+def q_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.betweenness import approx_betweenness
+
+    g = load_graph(spark, sf_dir)
+    scores, _ = approx_betweenness(
+        g, epsilon=ABC_EPS, delta=ABC_DELTA, seed=ABC_SEED, vd=ABC_VD,
+        max_hops=DIAM_HOPS,
+    )
+    return scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _approx_betweenness_sql(hops: int = DIAM_HOPS) -> str:
+    r = _abc_r()
+
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"CAST(({nib}) AS BIGINT)"
+
+    hu = horner(f"md5('{ABC_SEED}|u|' || CAST(i AS VARCHAR))")
+    hv = horner(f"md5('{ABC_SEED}|v|' || CAST(i AS VARCHAR))")
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "idx AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx FROM nodes)",
+        f"""smp AS MATERIALIZED (
+  SELECT i, hu % (SELECT n FROM nn) AS uidx,
+         (hu % (SELECT n FROM nn) + 1
+          + hv % ((SELECT n FROM nn) - 1)) % (SELECT n FROM nn) AS vidx
+  FROM (SELECT i, {hu} AS hu, {hv} AS hv FROM range({r}) t(i))
+)""",
+        """pairs AS MATERIALIZED (
+  SELECT m.i, iu.id AS s, iv.id AS t
+  FROM smp m JOIN idx iu ON iu.idx = m.uidx JOIN idx iv ON iv.idx = m.vidx
+)""",
+        "f0 AS MATERIALIZED (SELECT DISTINCT s, s AS v, 1.0 AS sigma, "
+        "CAST(0 AS BIGINT) AS dist FROM pairs)",
+        "seen0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for l in range(1, hops + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+  SELECT p.s, a.dst AS v, SUM(p.sigma) AS sigma, CAST({l} AS BIGINT) AS dist
+  FROM f{l - 1} p JOIN adj a ON a.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen{l - 1} t WHERE t.s = p.s AND t.v = a.dst
+  )
+  GROUP BY p.s, a.dst
+),
+seen{l} AS MATERIALIZED (
+  SELECT s, v FROM seen{l - 1} UNION ALL SELECT s, v FROM f{l}
+)"""
+        )
+    sig_union = "\n  UNION ALL ".join(
+        f"SELECT s, v, sigma, dist FROM f{l}" for l in range(hops + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED (\n  {sig_union}\n)")
+    parts.append(
+        """w0 AS MATERIALIZED (
+  SELECT p.i, p.s, p.t, g.dist AS td
+  FROM pairs p JOIN sig g ON g.s = p.s AND g.v = p.t
+  WHERE g.dist > 0
+)"""
+    )
+    for k in range(1, hops + 1):
+        u01 = (
+            horner(
+                f"md5('{ABC_SEED}|p|' || CAST(i AS VARCHAR) || '|{k}')"
+            )
+            + " / POWER(16.0, 13)"
+        )
+        parts.append(
+            f"""pre{k} AS MATERIALIZED (
+  SELECT w.i, w.s, a.src AS z, sz.sigma AS sz, sz.dist AS zd, st.sigma AS st_
+  FROM w{k - 1} w
+  JOIN adj a ON a.dst = w.t
+  JOIN sig sz ON sz.s = w.s AND sz.v = a.src AND sz.dist = w.td - 1
+  JOIN sig st ON st.s = w.s AND st.v = w.t
+),
+ch{k} AS MATERIALIZED (
+  SELECT i, s, z, zd FROM (
+    SELECT i, s, z, zd,
+           SUM(sz) OVER (PARTITION BY i ORDER BY z) AS cum,
+           {u01} * st_ AS thr
+    FROM pre{k}
+  ) q WHERE cum > thr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY i ORDER BY z) = 1
+),
+cb{k} AS (SELECT z AS id FROM ch{k} WHERE z <> s),
+w{k} AS MATERIALIZED (
+  SELECT i, s, z AS t, zd AS td FROM ch{k} WHERE z <> s
+)"""
+        )
+    allc = "\n  UNION ALL ".join(f"SELECT id FROM cb{k}" for k in range(1, hops + 1))
+    parts.append(
+        f"""allc AS (
+  {allc}
+),
+bc AS (SELECT id, COUNT(*) / CAST({r} AS DOUBLE) AS score FROM allc GROUP BY id)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\nSELECT n.id, ROUND(COALESCE(b.score, 0.0), 6) AS score"
+        "\nFROM nodes n LEFT JOIN bc b ON b.id = n.id ORDER BY n.id"
+    )
+
+
+SQL_APPROX_BETWEENNESS = _approx_betweenness_sql()

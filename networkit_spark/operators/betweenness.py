@@ -170,6 +170,229 @@ def betweenness(
     return out, SuperstepResult(iterations=len(metrics), metrics=metrics)
 
 
+def approx_betweenness(
+    g: Graph,
+    epsilon: float = 0.01,
+    delta: float = 0.1,
+    universal_constant: float = 1.0,
+    seed: int = 42,
+    vd: int | None = None,
+    max_hops: int | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """ApproxBetweenness — the Riondato-Kornaropoulos path-sampling
+    estimator with the (epsilon, delta) ADDITIVE error guarantee:
+    every normalized betweenness score is within epsilon with
+    probability >= 1 - delta.
+
+    Reference: /root/reference/networkit/cpp/centrality/
+    ApproxBetweenness.cpp:29-104 —
+      r = ceil((c/eps^2) * (floor(log2(vd - 2)) + 1 - ln(delta)))
+    sampled node pairs (u, v); per pair one SSSP from u, then ONE
+    uniformly random shortest u-v path sampled by walking back from v
+    choosing predecessor z with probability sigma(z)/sigma(t); each
+    interior node of the sampled path gets +1/r. ``vd`` is the diameter
+    estimate the bound needs (the reference runs ESTIMATED_PEDANTIC;
+    pass it explicitly for reproducibility, else the exact iFUB
+    diameter is computed). vd <= 2 returns all zeros like :40-43.
+
+    Determinism (RNG-free, cross-engine): pair sampling and the
+    per-step weighted choice derive uniforms from md5 (first 13 hex
+    nibbles / 16^13 — exact in doubles), so the DuckDB oracle replays
+    the identical paths.
+
+    Spark plan: ONE multi-source sigma-counting BFS from the distinct
+    sampled sources (state O(#sources * n) — by construction
+    #sources <= r, independent of n: THE point of the ep-delta bound),
+    then one backward superstep per path hop over O(r) walk rows with a
+    per-walk cumulative-sigma window (partitioned by walk id, bounded
+    by in-degree).
+    """
+    import math
+
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    nodes = g.nodes().localCheckpoint(eager=True)
+    n = nodes.count()
+    zeros = nodes.select("id", F.lit(0.0).alias("score"))
+    if n < 3:
+        return zeros, SuperstepResult(iterations=0)
+    if vd is None:
+        from networkit_spark.operators.diameter import diameter as _diam
+
+        lo, hi = _diam(g, algo="estimated_range", check=False)
+        vd = int(hi)
+    if vd <= 2:
+        return zeros, SuperstepResult(iterations=0)
+    r = int(
+        math.ceil(
+            (universal_constant / (epsilon * epsilon))
+            * (math.floor(math.log2(vd - 2)) + 1 - math.log(delta))
+        )
+    )
+
+    # -- deterministic pair sample: u = perm[H(i) mod n], v offset from u
+    from networkit_spark.plans.ids import dense_ids
+
+    idx = dense_ids(nodes, ["id"], "idx").localCheckpoint(eager=True)
+
+    def _h(tag: str, col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|{tag}|"), col.cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    samples = (
+        spark.range(r)
+        .select(F.col("id").alias("i"))
+        .select(
+            "i",
+            (_h("u", F.col("i")) % n).alias("uidx"),
+            (
+                (_h("u", F.col("i")) % n + 1 + _h("v", F.col("i")) % (n - 1)) % n
+            ).alias("vidx"),
+        )
+        .join(idx.select(F.col("idx").alias("uidx"), F.col("id").alias("s")), "uidx")
+        .join(idx.select(F.col("idx").alias("vidx"), F.col("id").alias("t")), "vidx")
+        .select("i", "s", "t")
+        .localCheckpoint(eager=True)
+    )
+
+    adj = materialize_partitioned(
+        (g.adj() if not g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst"),
+        "src",
+    )
+    metrics: list[dict] = []
+
+    # -- forward: sigma-counting BFS from the DISTINCT sampled sources
+    frontier = samples.select(F.col("s").alias("s")).distinct().select(
+        "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    frontier = ckpt.cut(frontier, 0)
+    sig = frontier
+    cap = max_hops if max_hops is not None else 2**31
+    lvl = 0
+    while lvl < cap:
+        t0 = time.time()
+        nxt = (
+            frontier.hint("shuffle_hash")
+            .join(adj, frontier.v == adj.src)
+            .groupBy("s", F.col("dst").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                "s", F.col("nv").alias("v"), "sigma",
+                F.lit(lvl + 1).cast("long").alias("dist"),
+            )
+            .join(sig.select("s", "v"), ["s", "v"], "left_anti")
+        )
+        lvl += 1
+        nxt = ckpt.cut(nxt, lvl)
+        cnt = nxt.count()
+        metrics.append(
+            ckpt.log(lvl, phase="fwd", frontier=cnt, wall_sec=time.time() - t0)
+        )
+        if cnt == 0:
+            break
+        sig = ckpt.cut(sig.unionByName(nxt), 100 + lvl)
+        frontier = nxt
+
+    # -- backward: one uniformly-sampled shortest path per reachable pair
+    walk = (
+        samples.join(
+            sig.select("s", F.col("v").alias("t"), F.col("dist").alias("td")),
+            ["s", "t"],
+        )
+        .filter(F.col("td") > 0)
+        .select("i", "s", "t", "td")
+    )
+    walk = ckpt.cut(walk, 200)
+    contribs: DataFrame | None = None
+    step = 0
+    max_steps = (vd + 2) * 2
+    from pyspark.sql import Window
+
+    while step < max_steps:
+        step += 1
+        t0 = time.time()
+        if walk.limit(1).count() == 0:
+            break
+        # predecessors of t: in-neighbors settled at dist(t) - 1
+        back = adj.select(F.col("dst").alias("t"), F.col("src").alias("z"))
+        preds = (
+            walk.join(back, "t")
+            .join(
+                sig.select(
+                    "s", F.col("v").alias("z"), F.col("sigma").alias("sz"),
+                    F.col("dist").alias("zd"),
+                ),
+                ["s", "z"],
+            )
+            .filter(F.col("zd") == F.col("td") - 1)
+            .join(
+                sig.select("s", F.col("v").alias("t"), F.col("sigma").alias("st_")),
+                ["s", "t"],
+            )
+        )
+        w = Window.partitionBy("i").orderBy("z")
+        u01 = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}|p|"),
+                            F.col("i").cast("string"),
+                            F.lit("|"),
+                            F.lit(step).cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**13))
+        )
+        chosen = (
+            preds.withColumn("cum", F.sum("sz").over(w))
+            .withColumn("thr", u01 * F.col("st_"))
+            .filter(F.col("cum") > F.col("thr"))
+            .groupBy("i", "s")
+            .agg(F.min(F.struct("z", "zd")).alias("pick"))
+            .select(
+                "i", "s", F.col("pick.z").alias("z"), F.col("pick.zd").alias("zd")
+            )
+        )
+        chosen = ckpt.cut(chosen, 200 + step)
+        inner = chosen.filter(F.col("z") != F.col("s")).select(F.col("z").alias("id"))
+        contribs = (
+            inner
+            if contribs is None
+            else contribs.unionByName(inner).localCheckpoint(eager=True)
+        )
+        walk = chosen.filter(F.col("z") != F.col("s")).select(
+            "i", "s", F.col("z").alias("t"), F.col("zd").alias("td")
+        )
+        metrics.append(ckpt.log(200 + step, phase="bwd", wall_sec=time.time() - t0))
+    adj.unpersist()
+
+    if contribs is None:
+        return zeros, SuperstepResult(iterations=len(metrics), metrics=metrics)
+    bc = contribs.groupBy("id").agg(
+        (F.count("*") / F.lit(float(r))).alias("score")
+    )
+    out = nodes.join(bc, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    return out, SuperstepResult(iterations=len(metrics), metrics=metrics)
+
+
 def estimate_betweenness(
     g: Graph,
     n_samples: int,

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from networkit_spark.graph import Graph
 from networkit_spark.operators.betweenness import betweenness, estimate_betweenness
 
@@ -64,3 +66,109 @@ def test_estimate_betweenness_scaling(spark):
     got = {r["id"]: r["score"] for r in scores.collect()}
     for k, v in GOLDEN.items():
         assert math.isclose(got[k], 2.0 * v, abs_tol=1e-6)
+
+
+def _approx_bc_replica(edges, n, r_expected, epsilon, delta, vd, seed=42):
+    """Driver-side replay of approx_betweenness's deterministic sampler
+    (same md5 draws, same cumulative-sigma choice) — an independent
+    oracle for the distributed implementation."""
+    import hashlib
+    import math
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    r = int(math.ceil(
+        (1.0 / (epsilon * epsilon))
+        * (math.floor(math.log2(vd - 2)) + 1 - math.log(delta))
+    ))
+    assert r == r_expected
+
+    def h(tag, x):
+        return int(hashlib.md5(f"{seed}|{tag}|{x}".encode()).hexdigest()[:13], 16)
+
+    ids = sorted(range(n))  # dense idx by id == identity here
+    scores = defaultdict(float)
+    for i in range(r):
+        uidx = h("u", i) % n
+        vidx = (uidx + 1 + h("v", i) % (n - 1)) % n
+        s, t = ids[uidx], ids[vidx]
+        # BFS with path counts
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    sigma[y] = 0.0
+                    q.append(y)
+                if dist[y] == dist[x] + 1:
+                    sigma[y] += sigma[x]
+        if t not in dist or dist[t] == 0:
+            continue
+        cur, step = t, 0
+        while cur != s:
+            step += 1
+            preds = sorted(
+                z for z in adj[cur] if dist.get(z) == dist[cur] - 1
+            )
+            u01 = h("p", f"{i}|{step}") / 16**13
+            thr = u01 * sigma[cur]
+            cum = 0.0
+            pick = None
+            for z in preds:
+                cum += sigma[z]
+                if cum > thr:
+                    pick = z
+                    break
+            assert pick is not None
+            if pick != s:
+                scores[pick] += 1.0 / r
+            cur = pick
+    return {i: scores.get(i, 0.0) for i in range(n)}
+
+
+def test_approx_betweenness_matches_replica_and_guarantee(spark):
+    from networkit_spark.operators.betweenness import approx_betweenness, betweenness
+
+    # barbell: two 4-cliques joined by the path 3-8-4 -> node 8 is the
+    # bottleneck with maximal betweenness
+    edges = []
+    edges += [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    edges += [(3, 8), (8, 4)]
+    n = 9
+    g = Graph.from_pandas(spark, edges, n=n)
+    eps, delta, vd = 0.35, 0.1, 4
+    got, info = approx_betweenness(g, epsilon=eps, delta=delta, vd=vd)
+    got_scores = {r["id"]: r["score"] for r in got.collect()}
+
+    import math
+    r = int(math.ceil((1 / eps**2) * (math.floor(math.log2(vd - 2)) + 1 - math.log(delta))))
+    want = _approx_bc_replica(edges, n, r, eps, delta, vd)
+    for i in range(n):
+        assert got_scores[i] == pytest.approx(want[i], abs=1e-12), i
+
+    # epsilon-delta guarantee vs the exact NORMALIZED betweenness
+    exact, _ = betweenness(g)
+    norm = {
+        r["id"]: r["score"] / (n * (n - 1)) for r in exact.collect()
+    }
+    for i in range(n):
+        assert abs(got_scores[i] - norm[i]) <= eps + 1e-12
+    # the bottleneck (exact normalized score 0.444) must be clearly hot;
+    # don't demand strict argmax — node 3's exact score is 0.417, within
+    # sampling noise at this r
+    assert got_scores[8] > 0.25
+
+
+def test_approx_betweenness_small_diameter_zero(spark):
+    from networkit_spark.operators.betweenness import approx_betweenness
+
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2), (0, 2)], n=3)
+    got, _ = approx_betweenness(g, vd=2)
+    assert all(r["score"] == 0.0 for r in got.collect())
