@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_scores": e.q_edge_scores,
         "graph_linkpred": e.q_linkpred,
         "graph_sparsify": e.q_sparsify,
+        "graph_node2vec_walks": e.q_node2vec_walks,
         "graph_anf": e.q_anf,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_edge_scores": e.SQL_EDGE_SCORES,
         "graph_linkpred": e.SQL_LINKPRED,
         "graph_sparsify": e.SQL_SPARSIFY,
+        "graph_node2vec_walks": e.SQL_NODE2VEC,
         "graph_anf": e.SQL_ANF,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,

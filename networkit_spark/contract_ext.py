@@ -2178,3 +2178,91 @@ bc AS (SELECT id, COUNT(*) / CAST({r} AS DOUBLE) AS score FROM allc GROUP BY id)
 
 
 SQL_APPROX_BETWEENNESS = _approx_betweenness_sql()
+
+
+# ---------------------------------------------------------------------------
+# Node2Vec biased random walks (embedding/BiasedRandomWalk.cpp) — p=0.5,
+# q=2.0 (powers of two so every cumulative weight is IEEE-exact in any
+# summation order), walks of length 5 from the contract seed set, every
+# draw an md5 uniform — the oracle replays the walks step by step.
+# ---------------------------------------------------------------------------
+
+N2V_P = 0.5
+N2V_Q = 2.0
+N2V_LEN = 5
+N2V_REPS = 2
+N2V_SEED = 42
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.embedding import biased_random_walks
+
+    g = load_graph(spark, sf_dir)
+    starts = g.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    out, _ = biased_random_walks(
+        g, walk_length=N2V_LEN, walks_per_node=N2V_REPS, p=N2V_P, q=N2V_Q,
+        seed=N2V_SEED, starts=starts,
+    )
+    return out.select("s", "rep", "step", "node").orderBy("s", "rep", "step")
+
+
+def _node2vec_sql() -> str:
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"CAST(({nib}) AS BIGINT)"
+
+    parts = [
+        f"starts AS (SELECT id AS s FROM nodes WHERE id % {BFS_SEED_MOD} = 0)",
+        f"st0 AS MATERIALIZED (SELECT s, r AS rep, CAST(NULL AS BIGINT) AS prev, "
+        f"s AS cur FROM starts, range({N2V_REPS}) t(r))",
+        "o0 AS (SELECT s, rep, CAST(0 AS BIGINT) AS step, cur AS node FROM st0)",
+    ]
+    for k in range(1, N2V_LEN):
+        u01 = (
+            horner(
+                f"md5('{N2V_SEED}|w|' || CAST(s AS VARCHAR) || '|' || "
+                f"CAST(rep AS VARCHAR) || '|{k}')"
+            )
+            + " / POWER(16.0, 13)"
+        )
+        if k == 1:
+            wgt = "1.0"
+        else:
+            wgt = f"""CASE WHEN a.dst = w.prev THEN 1.0 / {N2V_P}
+             WHEN EXISTS (SELECT 1 FROM adj b
+                          WHERE b.src = w.prev AND b.dst = a.dst) THEN 1.0
+             ELSE 1.0 / {N2V_Q} END"""
+        parts.append(
+            f"""cand{k} AS MATERIALIZED (
+  SELECT w.s, w.rep, w.cur, a.dst AS x,
+         {wgt} AS wgt
+  FROM st{k - 1} w JOIN adj a ON a.src = w.cur
+),
+pick{k} AS MATERIALIZED (
+  SELECT s, rep, cur, x FROM (
+    SELECT s, rep, cur, x,
+           SUM(wgt) OVER (PARTITION BY s, rep ORDER BY x) AS cum,
+           {u01} * SUM(wgt) OVER (PARTITION BY s, rep) AS thr
+    FROM cand{k}
+  ) z WHERE cum > thr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s, rep ORDER BY x) = 1
+),
+st{k} AS MATERIALIZED (
+  SELECT s, rep, cur AS prev, x AS cur FROM pick{k}
+),
+o{k} AS (SELECT s, rep, CAST({k} AS BIGINT) AS step, cur AS node FROM st{k})"""
+        )
+    union = "\n  UNION ALL ".join(f"SELECT * FROM o{k}" for k in range(N2V_LEN))
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f",\nwalks AS (\n  {union}\n)"
+        + "\nSELECT s, rep, step, node FROM walks ORDER BY s, rep, step"
+    )
+
+
+SQL_NODE2VEC = _node2vec_sql()

@@ -1,0 +1,141 @@
+"""Node2Vec biased random walks — the embedding front end.
+
+Reference: /root/reference/networkit/cpp/embedding/BiasedRandomWalk.cpp
+(node2vec, Grover & Leskovec 2016):
+  - first step from the start node: UNIFORM over its neighbors
+    (oneWalk, :106-124 — Aux::Random::index over the adjacency);
+  - every later step t -> v -> x is biased by the return/in-out
+    parameters (preprocessNode, :64-99):
+        weight / p   if x == t            (return)
+        weight       if x is a neighbor of t   (stay close)
+        weight / q   otherwise            (explore)
+    normalized per (v, t) — an alias table in the reference;
+  - a walk stops early at an out-degree-0 node (:115-131).
+
+The reference feeds these walks into word2vec SGD (Node2Vec.cpp) —
+model training is out of scope here; the walks themselves are the
+data-pipeline operator (sentence corpus for any embedding trainer, or
+co-occurrence features for the similarity/ANN family in
+functions/similarity.py).
+
+Spark plan: all walks advance in ONE frontier (start, rep, prev, cur);
+each step is a join onto the cached src-partitioned weighted adjacency,
+a left-semi membership probe against prev's neighborhood for the
+bias tier, and a per-walk cumulative-weight window pick (partition =
+one walk, size = degree). Every draw derives from md5 (13 hex nibbles
+/ 16^13), making the walks reproducible run-to-run and engine-to-engine
+(the DuckDB gate oracle replays them exactly).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import (
+    Checkpointer,
+    SuperstepResult,
+    materialize_partitioned,
+)
+
+
+def _u01(seed: int, s_col, rep_col, k: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}|w|"),
+                        s_col.cast("string"),
+                        F.lit("|"),
+                        rep_col.cast("string"),
+                        F.lit(f"|{k}"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+    )
+
+
+def biased_random_walks(
+    g: Graph,
+    walk_length: int = 80,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """(start, rep, step, node) rows of every walk; step 0 is the start
+    node. ``starts`` restricts the start set (default: every node, the
+    reference's doWalks)."""
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    if starts is None:
+        starts = g.nodes()
+    starts = starts.select(F.col("id").cast("long").alias("s"))
+    adjw = materialize_partitioned(
+        g.adj().filter(F.col("src") != F.col("dst")).select("src", "dst", "weight"),
+        "src",
+    )
+    # membership relation for the "x is a neighbor of prev" tier
+    nbr = adjw.select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
+
+    reps = spark.range(walks_per_node).select(F.col("id").alias("rep"))
+    state = starts.crossJoin(F.broadcast(reps)).select(
+        "s", "rep", F.lit(None).cast("long").alias("prev"), F.col("s").alias("cur")
+    )
+    state = ckpt.cut(state, 0)
+    out = state.select("s", "rep", F.lit(0).cast("long").alias("step"),
+                       F.col("cur").alias("node"))
+    out = ckpt.cut(out, 1000)
+    metrics: list[dict] = []
+    for k in range(1, walk_length):
+        t0 = time.time()
+        if state.limit(1).count() == 0:
+            break
+        cand = state.join(adjw, state.cur == adjw.src).select(
+            "s", "rep", "prev", "cur", F.col("dst").alias("x"), "weight"
+        )
+        if k == 1:
+            wgt = F.lit(1.0)  # uniform first hop (oneWalk :121)
+        else:
+            cand = cand.join(
+                nbr.withColumn("near", F.lit(True)),
+                (cand.prev == nbr.pa) & (cand.x == nbr.pb),
+                "left",
+            ).drop("pa", "pb")
+            wgt = (
+                F.when(F.col("x") == F.col("prev"), F.col("weight") / F.lit(p))
+                .when(F.col("near"), F.col("weight"))
+                .otherwise(F.col("weight") / F.lit(q))
+            )
+        cand = cand.withColumn("wgt", wgt)
+        w = Window.partitionBy("s", "rep").orderBy("x")
+        wall = Window.partitionBy("s", "rep")
+        picked = (
+            cand.withColumn("cum", F.sum("wgt").over(w))
+            .withColumn("total", F.sum("wgt").over(wall))
+            .withColumn("thr", _u01(seed, F.col("s"), F.col("rep"), k) * F.col("total"))
+            .filter(F.col("cum") > F.col("thr"))
+            .groupBy("s", "rep")
+            .agg(F.min(F.struct(F.col("x").alias("x"), F.col("cur").alias("cur"))).alias("m"))
+            .select("s", "rep", F.col("m.cur").alias("prev"), F.col("m.x").alias("cur"))
+        )
+        state = ckpt.cut(picked, k)
+        rows = state.select(
+            "s", "rep", F.lit(k).cast("long").alias("step"), F.col("cur").alias("node")
+        )
+        out = ckpt.cut(out.unionByName(rows), 1000 + k)
+        metrics.append(ckpt.log(k, hop=k, wall_sec=time.time() - t0))
+    adjw.unpersist()
+    return out, SuperstepResult(iterations=len(metrics), metrics=metrics)
