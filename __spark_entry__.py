@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz": e.q_katz,
         "graph_plm": e.q_plm,
         "graph_leiden": e.q_leiden,
+        "graph_mapequation": e.q_mapequation,
         "graph_kcore": e.q_kcore,
         "graph_bipartite": e.q_bipartite,
         "graph_bfs": e.q_bfs,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_katz": e.SQL_KATZ,
         "graph_plm": e.SQL_PLM,
         "graph_leiden": e.SQL_LEIDEN,
+        "graph_mapequation": e.SQL_MAPEQUATION,
         "graph_kcore": e.SQL_KCORE,
         "graph_bipartite": e.SQL_BIPARTITE,
         "graph_bfs": e.SQL_BFS,

@@ -2266,3 +2266,115 @@ o{k} AS (SELECT s, rep, CAST({k} AS BIGINT) AS step, cur AS node FROM st{k})"""
 
 
 SQL_NODE2VEC = _node2vec_sql()
+
+
+# ---------------------------------------------------------------------------
+# LouvainMapEquation (community/LouvainMapEquation.cpp) — deterministic
+# synchronous gate variant: 3 parity-gated move rounds on the contract
+# graph, map-equation fitness unrolled (plogp terms with p = x / totalVolume;
+# every cut/volume on this unweighted graph is integral, so the only
+# cross-engine surface is ln itself on identical doubles).
+# ---------------------------------------------------------------------------
+
+MAPEQ_ROUNDS = 3
+
+
+def q_mapequation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.mapequation import louvain_map_equation
+
+    g = load_graph(spark, sf_dir)
+    labels, _ = louvain_map_equation(g, max_iterations=MAPEQ_ROUNDS)
+    return labels.orderBy("id")
+
+
+def _mapeq_round_sql(r: int) -> str:
+    plogp = lambda x: (
+        f"(CASE WHEN {x} > 0 THEN (({x}) / (SELECT tv FROM tv))"
+        f" * LN(({x}) / (SELECT tv FROM tv)) ELSE 0.0 END)"
+    )
+    tc = f"(SELECT tc FROM tc{r})"
+    cdc = "(2 * b.wc - b.vol + 2 * b.loop)"
+    cdt = "(b.vol - 2 * f.w - 2 * b.loop)"
+    stay = (
+        f"{plogp(tc)}"
+        f" + ({plogp('b.cut0 + b.vol0')}"
+        f" - {plogp(f'b.cut0 + {cdc} + b.vol0 - b.vol')})"
+        f" - 2.0 * ({plogp('b.cut0')} - {plogp(f'b.cut0 + {cdc}')})"
+    )
+    chg = (
+        f"{plogp(f'{tc} + {cdc} + {cdt}')}"
+        f" + ({plogp(f'cs2.cut + {cdt} + cs2.cvol + b.vol')}"
+        f" - {plogp('cs2.cut + cs2.cvol')})"
+        f" - 2.0 * ({plogp(f'cs2.cut + {cdt}')} - {plogp('cs2.cut')})"
+    )
+    return f"""cs{r} AS MATERIALIZED (
+  SELECT l.label AS c, SUM(v.vol) AS cvol,
+         COALESCE(SUM(ct.cut), 0.0) AS cut
+  FROM melab{r - 1} l
+  JOIN mevol v ON v.id = l.id
+  LEFT JOIN (
+    SELECT ls.label AS lbl, ls.id, SUM(a.weight) AS cut
+    FROM meadj a
+    JOIN melab{r - 1} ls ON ls.id = a.src
+    JOIN melab{r - 1} ld ON ld.id = a.dst
+    WHERE ls.label <> ld.label
+    GROUP BY ls.label, ls.id
+  ) ct ON ct.id = l.id
+  GROUP BY l.label
+),
+tc{r} AS (SELECT SUM(cut) AS tc FROM cs{r}),
+aff{r} AS MATERIALIZED (
+  SELECT a.src AS u, l.label AS d, SUM(a.weight) AS w
+  FROM meadj a JOIN melab{r - 1} l ON l.id = a.dst GROUP BY a.src, l.label
+),
+base{r} AS MATERIALIZED (
+  SELECT l.id AS u, l.label AS c0,
+         COALESCE(wc.w, 0.0) AS wc, v.vol, 0.0 AS loop,
+         cs.cvol AS vol0, cs.cut AS cut0
+  FROM melab{r - 1} l
+  JOIN mevol v ON v.id = l.id
+  JOIN cs{r} cs ON cs.c = l.label
+  LEFT JOIN aff{r} wc ON wc.u = l.id AND wc.d = l.label
+),
+best{r} AS MATERIALIZED (
+  SELECT u, d FROM (
+    SELECT f.u, f.d,
+           ROW_NUMBER() OVER (
+             PARTITION BY f.u
+             ORDER BY ({chg}) ASC, f.d ASC
+           ) AS rn,
+           ({chg}) AS chg, ({stay}) AS stay
+    FROM aff{r} f
+    JOIN base{r} b ON b.u = f.u
+    JOIN cs{r} cs2 ON cs2.c = f.d
+    WHERE f.d <> b.c0 AND (f.u + {r}) % 2 = 0
+  ) t WHERE rn = 1 AND chg < stay
+),
+melab{r} AS MATERIALIZED (
+  SELECT l.id, COALESCE(bst.d, l.label) AS label
+  FROM melab{r - 1} l LEFT JOIN best{r} bst ON bst.u = l.id
+)"""
+
+
+def _mapequation_sql(rounds: int = MAPEQ_ROUNDS) -> str:
+    parts = [
+        "meadj AS MATERIALIZED (SELECT src, dst, 1.0 AS weight FROM adj)",
+        "mevol AS MATERIALIZED (SELECT id, degree * 1.0 AS vol FROM deg)",
+        "tv AS (SELECT SUM(vol) AS tv FROM mevol)",
+        "melab0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(_mapeq_round_sql(r))
+    parts.append(
+        f"""mecanon AS (SELECT label AS c, MIN(id) AS clabel
+  FROM melab{rounds} GROUP BY label)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT l.id, cn.clabel AS label FROM melab{rounds} l"
+        "\nJOIN mecanon cn ON cn.c = l.label ORDER BY l.id"
+    )
+
+
+SQL_MAPEQUATION = _mapequation_sql()

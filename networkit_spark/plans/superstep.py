@@ -35,6 +35,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with a STATS RESET.
+
+    Spark's Dataset.checkpoint deliberately carries the ORIGIN plan's
+    estimated statistics onto the resulting LogicalRDD. For iterative
+    kernels that is poison: each superstep's join tree multiplies the
+    children's sizeInBytes estimates (SizeInBytesOnlyStatsPlanVisitor),
+    so the carried estimate's DIGIT COUNT grows by the number of
+    state-leaf instances per round — geometric in supersteps. After a
+    few rounds Catalyst burns minutes in BigInteger multiplications
+    (Karatsuba/ToomCook frames under LogicalPlan.stats) just PLANNING a
+    tiny job; measured here: a 3-node coarse graph whose round-2 move
+    job took 278 s with a 950,000-digit sizeInBytes.
+
+    The reset rebuilds the Dataset from the checkpointed InternalRow
+    RDD without origin stats (fresh leaf = defaultSizeInBytes, 19
+    digits, bounded forever). Same blocks, same schema, same rows —
+    only the poisoned estimate is dropped. Falls back to the plain
+    checkpoint if the internal constructor is unavailable.
+    """
+    out = df.localCheckpoint(eager=True)
+    try:
+        spark = out.sparkSession
+        jdf = out._jdf
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, spark)
+    except Exception:  # pragma: no cover — internal API moved
+        return out
+
+
 def materialize_partitioned(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-partition on ``cols``, cache, and materialize.
 
@@ -129,8 +161,10 @@ class Checkpointer:
         # the blocks; persist() is left LAZY — the cache (which guards
         # against per-scan re-execution of checkpoint scans) fills during
         # the next superstep's first scan instead of costing a dedicated
-        # count() job here
-        out = df.localCheckpoint(eager=True)
+        # count() job here. cut_lineage additionally resets the carried
+        # stats estimate (see its docstring) — without it the estimate's
+        # size grows geometrically across supersteps
+        out = cut_lineage(df)
         if self.cache_states:
             out = out.persist()
             self._mem_handles.append(out)
