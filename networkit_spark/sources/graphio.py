@@ -325,3 +325,63 @@ def write_graphml(g: Graph, path: str) -> None:
     lines += ["  </graph>", "</graphml>"]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def read_dgs(spark: SparkSession, path: str):
+    """DGSReader (/root/reference/networkit/cpp/io/DGSReader.cpp:19-125):
+    parse a DGS004 dynamic-graph stream into a GraphEvent DataFrame
+    consumable by streaming.dynamics.apply_events / Dyn* algorithms.
+
+    Node names map to dense ids in FIRST-APPEARANCE order (the
+    reference's Gproxy.addNode() counter). Returns
+    (events(step, type, u, v, w) DataFrame, {name: id}).
+    Driver-side line parser by design — DGS is a fixture/ingest format
+    (the reference reads it sequentially too); the EVENTS become a
+    distributed relation.
+    """
+    names: dict[str, int] = {}
+    rows: list[tuple] = []
+    step = 0
+
+    def nid(name: str) -> int:
+        if name not in names:
+            names[name] = len(names)
+        return names[name]
+
+    with open(path) as f:
+        first = f.readline().strip()
+        if first != "DGS004":
+            raise ValueError(
+                "This does not seem to be a valid DGS file. Expected magic "
+                "cookie 'DGS004' in first line"
+            )
+        f.readline()  # name / clock ticks / event count line
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "st" and len(parts) == 2:
+                step += 1
+                rows.append((step, "TIME_STEP", None, None, None))
+            elif tag == "an" and len(parts) >= 2:
+                rows.append((step, "NODE_ADDITION", nid(parts[1]), None, None))
+            elif tag == "ae" and len(parts) >= 4:
+                rows.append(
+                    (step, "EDGE_ADDITION", nid(parts[2]), nid(parts[3]), 1.0)
+                )
+            elif tag == "ce" and len(parts) == 3:
+                a, b = parts[1].split("-")
+                w = float(parts[2].split("=")[1])
+                rows.append(
+                    (step, "EDGE_WEIGHT_UPDATE", nid(a), nid(b), w)
+                )
+            elif tag == "dn" and len(parts) == 2:
+                rows.append((step, "NODE_REMOVAL", nid(parts[1]), None, None))
+            elif tag == "de" and len(parts) == 2:
+                a, b = parts[1].split("-")
+                rows.append((step, "EDGE_REMOVAL", nid(a), nid(b), None))
+    events = spark.createDataFrame(
+        rows, "step long, type string, u long, v long, w double"
+    )
+    return events, dict(names)

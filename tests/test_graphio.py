@@ -158,3 +158,48 @@ def test_graphml_roundtrip(spark, tmp_path):
     got = sorted((r["src"], r["dst"], r["weight"]) for r in g2.edges.collect())
     assert got == [(0, 1, 2.0), (1, 2, 1.0)]
     assert not g2.directed
+
+
+def test_read_dgs(spark, tmp_path):
+    from networkit_spark.sources.graphio import read_dgs
+    from networkit_spark.streaming.dynamics import apply_events
+    from networkit_spark.graph import Graph
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "g.dgs"
+    p.write_text(
+        "DGS004\n"
+        "test 0 0\n"
+        "an A\nan B\nan C\n"
+        "st 1\n"
+        "ae e1 A B\nae e2 B C\n"
+        "st 2\n"
+        "ce A-B weight=5\n"
+        "de B-C\n"
+    )
+    events, names = read_dgs(spark, str(p))
+    assert names == {"A": 0, "B": 1, "C": 2}
+    kinds = {r["type"] for r in events.collect()}
+    assert kinds == {
+        "TIME_STEP", "NODE_ADDITION", "EDGE_ADDITION",
+        "EDGE_WEIGHT_UPDATE", "EDGE_REMOVAL",
+    }
+    g0 = Graph(
+        spark.createDataFrame([], "src long, dst long, weight double"),
+        vertices=spark.range(0).select(F.col("id")),
+        directed=False, weighted=True,
+    )
+    g1 = apply_events(g0, events.filter(F.col("type") != "TIME_STEP"))
+    got = {(r["src"], r["dst"]): r["weight"] for r in g1.edges.collect()}
+    assert got == {(0, 1): 5.0}  # A-B updated to 5, B-C removed
+    assert {r["id"] for r in g1.nodes().collect()} == {0, 1, 2}
+
+
+def test_read_dgs_bad_magic(spark, tmp_path):
+    from networkit_spark.sources.graphio import read_dgs
+    import pytest as _pytest
+
+    p = tmp_path / "bad.dgs"
+    p.write_text("DGS003\nx 0 0\n")
+    with _pytest.raises(ValueError, match="DGS004"):
+        read_dgs(spark, str(p))
