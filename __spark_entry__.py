@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_betweenness": e.q_betweenness,
         "graph_approx_betweenness": e.q_approx_betweenness,
+        "graph_weighted_betweenness": e.q_weighted_betweenness,
         "graph_closeness": e.q_closeness,
         "graph_top_closeness": e.q_top_closeness,
         "graph_closeness_weighted": e.q_closeness_weighted,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lcc_sampled": e.SQL_LCC_SAMPLED,
         "graph_betweenness": e.SQL_BETWEENNESS,
         "graph_approx_betweenness": e.SQL_APPROX_BETWEENNESS,
+        "graph_weighted_betweenness": e.SQL_WEIGHTED_BETWEENNESS,
         "graph_closeness": e.SQL_CLOSENESS,
         "graph_top_closeness": e.SQL_TOP_CLOSENESS,
         "graph_closeness_weighted": e.SQL_CLOSENESS_WEIGHTED,

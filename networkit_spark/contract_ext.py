@@ -2378,3 +2378,109 @@ def _mapequation_sql(rounds: int = MAPEQ_ROUNDS) -> str:
 
 
 SQL_MAPEQUATION = _mapequation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Weighted betweenness (Betweenness.cpp Dijkstra mode) — Bellman-Ford
+# tagged distances over the (u+v)%5+1 weights from the contract seeds,
+# shortest-path DAG via exact dist(z)+w == dist(t), then sigma/delta
+# fixpoint rounds; Spark runs the SAME fixed round caps the oracle
+# unrolls, so the <=k-round relaxation is identical by construction.
+# ---------------------------------------------------------------------------
+
+WBC_ROUNDS = 14
+
+
+def q_weighted_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.betweenness import weighted_betweenness
+
+    g = load_graph(spark, sf_dir)
+    wedges = g.edges.select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+    )
+    gw = Graph(wedges, None, directed=False, weighted=True)
+    seeds = gw.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    scores, _ = weighted_betweenness(
+        gw, sources=seeds, max_hops=BFS_HOPS,
+        sigma_rounds=WBC_ROUNDS, delta_rounds=WBC_ROUNDS,
+    )
+    return scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _weighted_betweenness_sql(
+    hops: int = BFS_HOPS, rounds: int = WBC_ROUNDS
+) -> str:
+    steps = [
+        "wadj AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM adj)",
+        f"w0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS dist "
+        f"FROM nodes WHERE id % {BFS_SEED_MOD} = 0)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         LEAST(COALESCE(p.dist, 1e18), COALESCE(m.nd, 1e18)) AS dist
+  FROM w{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + a.w) AS nd
+    FROM wadj a JOIN w{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    steps.append(
+        f"""dag AS MATERIALIZED (
+  SELECT d1.s, d1.v AS z, a.dst AS t
+  FROM w{hops} d1
+  JOIN wadj a ON a.src = d1.v
+  JOIN w{hops} d2 ON d2.s = d1.s AND d2.v = a.dst
+  WHERE d1.dist + a.w = d2.dist
+),
+g0 AS MATERIALIZED (
+  SELECT s, v, CASE WHEN s = v THEN 1.0 ELSE 0.0 END AS sig FROM w{hops}
+)"""
+    )
+    for j in range(1, rounds + 1):
+        steps.append(
+            f"""g{j} AS MATERIALIZED (
+  SELECT p.s, p.v,
+         CASE WHEN p.s = p.v THEN 1.0 ELSE COALESCE(m.agg, 0.0) END AS sig
+  FROM g{j - 1} p LEFT JOIN (
+    SELECT d.s, d.t AS v, SUM(q.sig) AS agg
+    FROM dag d JOIN g{j - 1} q ON q.s = d.s AND q.v = d.z
+    GROUP BY d.s, d.t
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    steps.append(
+        f"dl0 AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM w{hops})"
+    )
+    for j in range(1, rounds + 1):
+        steps.append(
+            f"""dl{j} AS MATERIALIZED (
+  SELECT p.s, p.v, COALESCE(m.agg, 0.0) AS delta
+  FROM dl{j - 1} p LEFT JOIN (
+    SELECT d.s, d.z AS v,
+           SUM((sz.sig / st.sig) * (1.0 + dd.delta)) AS agg
+    FROM dag d
+    JOIN g{rounds} sz ON sz.s = d.s AND sz.v = d.z
+    JOIN g{rounds} st ON st.s = d.s AND st.v = d.t
+    JOIN dl{j - 1} dd ON dd.s = d.s AND dd.v = d.t
+    GROUP BY d.s, d.z
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+bc AS (
+  SELECT v AS id, SUM(delta) AS score FROM dl{rounds} WHERE s <> v GROUP BY v
+)
+SELECT n.id, ROUND(COALESCE(b.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN bc b ON b.id = n.id ORDER BY n.id"""
+    )
+
+
+SQL_WEIGHTED_BETWEENNESS = _weighted_betweenness_sql()

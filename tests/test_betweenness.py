@@ -172,3 +172,43 @@ def test_approx_betweenness_small_diameter_zero(spark):
     g = Graph.from_pandas(spark, [(0, 1), (1, 2), (0, 2)], n=3)
     got, _ = approx_betweenness(g, vd=2)
     assert all(r["score"] == 0.0 for r in got.collect())
+
+
+def test_weighted_betweenness_diamond(spark):
+    """Diamond with a too-heavy chord: weighted shortest paths (0-1-3,
+    0-2-3, both cost 2) exclude the direct (0,3) edge of weight 3 —
+    each middle node carries half of both (s,t) orders."""
+    from networkit_spark.operators.betweenness import weighted_betweenness
+
+    edges = [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 1.0), (2, 3, 1.0), (0, 3, 3.0)]
+    g = Graph.from_pandas(spark, edges, weighted=True, n=4)
+    got = {r["id"]: r["score"] for r in weighted_betweenness(g)[0].collect()}
+    assert got == pytest.approx({0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0})
+    # hop metric sees every pair as directly adjacent -> no intermediaries
+    exact_hops = {r["id"]: r["score"] for r in betweenness(g)[0].collect()}
+    assert exact_hops[1] == pytest.approx(0.0)
+
+
+def test_weighted_betweenness_equals_unweighted_on_unit_weights(spark):
+    from networkit_spark.operators.betweenness import weighted_betweenness
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3)]
+    g = Graph.from_pandas(spark, edges, n=5)
+    wref = {r["id"]: r["score"] for r in betweenness(g)[0].collect()}
+    got = {r["id"]: r["score"] for r in weighted_betweenness(g)[0].collect()}
+    for i in wref:
+        assert got[i] == pytest.approx(wref[i], abs=1e-12)
+
+
+def test_weighted_betweenness_sources_and_normalized(spark):
+    from networkit_spark.operators.betweenness import weighted_betweenness
+
+    edges = [(0, 1, 2.0), (1, 2, 2.0)]
+    g = Graph.from_pandas(spark, edges, weighted=True, n=3)
+    got = {r["id"]: r["score"] for r in weighted_betweenness(g, sources=[0])[0].collect()}
+    assert got == pytest.approx({0: 0.0, 1: 1.0, 2: 0.0})
+    nrm = {
+        r["id"]: r["score"]
+        for r in weighted_betweenness(g, normalized=True)[0].collect()
+    }
+    assert nrm[1] == pytest.approx(2.0 / 2.0)  # 2 dependencies / (n-1)(n-2)=2
