@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": e.q_linkpred,
         "graph_sparsify": e.q_sparsify,
         "graph_node2vec_walks": e.q_node2vec_walks,
+        "graph_msf": e.q_msf,
         "graph_anf": e.q_anf,
         "graph_pagerank_large": e.q_pagerank_large,
         "dedup_simhash_sig": e.q_simhash_sig,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_linkpred": e.SQL_LINKPRED,
         "graph_sparsify": e.SQL_SPARSIFY,
         "graph_node2vec_walks": e.SQL_NODE2VEC,
+        "graph_msf": e.SQL_MSF,
         "graph_anf": e.SQL_ANF,
         "graph_pagerank_large": e.SQL_PAGERANK_LARGE,
         "dedup_simhash_sig": e.SQL_SIMHASH_SIG,

@@ -2484,3 +2484,90 @@ FROM nodes n LEFT JOIN bc b ON b.id = n.id ORDER BY n.id"""
 
 
 SQL_WEIGHTED_BETWEENNESS = _weighted_betweenness_sql()
+
+
+# ---------------------------------------------------------------------------
+# Maximum spanning forest (graph/RandomMaximumSpanningForest.cpp with the
+# deterministic (weight desc, src, dst) tie-break) — Boruvka unrolled:
+# per round each component's best cross edge (ROW_NUMBER argmax), merge
+# components by a recursive min-label reach, ten rounds (>= log2(n)).
+# ---------------------------------------------------------------------------
+
+MSF_ROUNDS = 10
+
+
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.spanning import maximum_spanning_forest
+
+    g = load_graph(spark, sf_dir)
+    wedges = g.edges.select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+    )
+    gw = Graph(wedges, None, directed=False, weighted=True)
+    forest, _ = maximum_spanning_forest(gw)
+    return forest.edges.select("src", "dst", "weight").orderBy("src", "dst")
+
+
+def _msf_sql(rounds: int = MSF_ROUNDS) -> str:
+    parts = [
+        "wedges AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM edges)",
+        "lab0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""cr{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, ls.comp AS ca, ld.comp AS cb
+  FROM wedges e
+  JOIN lab{r - 1} ls ON ls.id = e.src
+  JOIN lab{r - 1} ld ON ld.id = e.dst
+  WHERE ls.comp <> ld.comp
+),
+ch{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, w FROM (
+    SELECT c, src, dst, w,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w DESC, src, dst) AS rn
+    FROM (
+      SELECT ca AS c, src, dst, w FROM cr{r}
+      UNION ALL SELECT cb AS c, src, dst, w FROM cr{r}
+    ) h
+  ) t WHERE rn = 1
+),
+cadj{r} AS MATERIALIZED (
+  SELECT ls.comp AS a, ld.comp AS b
+  FROM ch{r} e JOIN lab{r - 1} ls ON ls.id = e.src
+  JOIN lab{r - 1} ld ON ld.id = e.dst
+  UNION
+  SELECT ld.comp, ls.comp
+  FROM ch{r} e JOIN lab{r - 1} ls ON ls.id = e.src
+  JOIN lab{r - 1} ld ON ld.id = e.dst
+),
+reach{r}(c, lbl) AS (
+  SELECT DISTINCT comp, comp FROM lab{r - 1}
+  UNION
+  SELECT a.b AS c, q.lbl
+  FROM reach{r} q JOIN cadj{r} a ON a.a = q.c
+  WHERE q.lbl < a.b
+),
+mc{r} AS MATERIALIZED (SELECT c, MIN(lbl) AS nc FROM reach{r} GROUP BY c),
+lab{r} AS MATERIALIZED (
+  SELECT l.id, m.nc AS comp FROM lab{r - 1} l JOIN mc{r} m ON m.c = l.comp
+)"""
+        )
+    union = "\n  UNION ".join(
+        f"SELECT src, dst, w FROM ch{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH RECURSIVE {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f""",
+forest AS (
+  {union}
+)
+SELECT src, dst, w AS weight FROM forest ORDER BY src, dst"""
+    )
+
+
+SQL_MSF = _msf_sql()

@@ -1,0 +1,160 @@
+"""Spanning forests — Boruvka over DataFrames.
+
+Reference:
+  - SpanningForest (/root/reference/networkit/cpp/graph/
+    SpanningForest.cpp:15-31): any spanning forest (BFS tree per
+    component).
+  - RandomMaximumSpanningForest (/root/reference/networkit/cpp/graph/
+    RandomMaximumSpanningForest.cpp): Kruskal over edges sorted by
+    weight descending with RANDOM tie-break. Deterministic divergence
+    here (same stance as PLP/PLM): ties break by the total order
+    (weight desc, src asc, dst asc), which makes the forest the UNIQUE
+    maximum spanning forest of the perturbed weights — exactly what
+    Kruskal with that comparator returns.
+
+Spark plan: Boruvka — per round every component picks its best incident
+cross-component edge under the global total order (one hash aggregation
+with a struct argmin), the chosen edges merge components via the
+existing min-label pointer-doubling fixpoint on the (tiny) component
+graph, and rounds halve the component count, so O(log n) rounds of
+O(m)-join work. Boruvka under a total edge order is cycle-free, so no
+explicit cycle check is needed. The sequential BFS/Kruskal forms the
+reference uses do not distribute; Boruvka is the classic parallel
+substitute with the same output guarantee under the total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import Checkpointer, SuperstepResult
+
+
+def _boruvka(
+    g: Graph, maximum: bool, ckpt: Checkpointer
+) -> tuple[DataFrame, int]:
+    from networkit_spark.operators.components import _min_label_propagation
+
+    spark = g.edges.sparkSession
+    edges = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg((F.max if maximum else F.min)("weight").alias("weight"))
+    )
+    edges = ckpt.cut(edges, 9100)
+    labels = g.nodes().select("id", F.col("id").alias("comp"))
+    labels = ckpt.cut(labels, 9101)
+    forest: DataFrame | None = None
+    rounds = 0
+    while True:
+        rounds += 1
+        cross = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), F.col("comp").alias("ca")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("cb")),
+                "dst",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        cross = ckpt.cut(cross, 9100 + 10 * rounds)
+        if cross.limit(1).count() == 0:
+            break
+        half = cross.select(F.col("ca").alias("c"), "src", "dst", "weight").unionByName(
+            cross.select(F.col("cb").alias("c"), "src", "dst", "weight")
+        )
+        wkey = (-F.col("weight")) if maximum else F.col("weight")
+        chosen = (
+            half.groupBy("c")
+            .agg(
+                F.min(
+                    F.struct(
+                        wkey.alias("k"),
+                        F.col("src").alias("src"),
+                        F.col("dst").alias("dst"),
+                        F.col("weight").alias("weight"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.src").alias("src"),
+                F.col("m.dst").alias("dst"),
+                F.col("m.weight").alias("weight"),
+            )
+            .distinct()
+        )
+        chosen = ckpt.cut(chosen, 9101 + 10 * rounds)
+        forest = (
+            chosen
+            if forest is None
+            else ckpt.cut(forest.unionByName(chosen), 9102 + 10 * rounds)
+        )
+        # merge components along the chosen edges: min-label fixpoint on
+        # the component graph (pointer doubling handles comp chains)
+        cedges = (
+            chosen.join(
+                labels.select(F.col("id").alias("src"), F.col("comp").alias("ca")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("cb")),
+                "dst",
+            )
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        )
+        cadj = cedges.unionByName(
+            cedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        cnodes = labels.select(F.col("comp").alias("id")).distinct()
+        merged, _ = _min_label_propagation(cadj, cnodes, ckpt, resume=False)
+        labels = ckpt.cut(
+            labels.join(
+                merged.select(F.col("id").alias("comp"), F.col("label").alias("nc")),
+                "comp",
+            ).select("id", F.col("nc").alias("comp")),
+            9103 + 10 * rounds,
+        )
+    if forest is None:
+        forest = spark.createDataFrame([], "src long, dst long, weight double")
+    return forest, rounds
+
+
+def spanning_forest(
+    g: Graph, checkpointer: Checkpointer | None = None
+) -> tuple[Graph, SuperstepResult]:
+    """A deterministic spanning forest (SpanningForest.cpp semantics:
+    one tree per connected component; edge choice here is the
+    (weight asc, src, dst) total order rather than BFS discovery)."""
+    if g.directed:
+        raise ValueError("spanning forests are defined on undirected graphs")
+    ckpt = checkpointer or Checkpointer(g.edges.sparkSession)
+    forest, rounds = _boruvka(g, maximum=False, ckpt=ckpt)
+    return (
+        Graph(forest, g.vertices, directed=False, weighted=g.weighted),
+        SuperstepResult(iterations=rounds),
+    )
+
+
+def maximum_spanning_forest(
+    g: Graph, checkpointer: Checkpointer | None = None
+) -> tuple[Graph, SuperstepResult]:
+    """Deterministic maximum-weight spanning forest
+    (RandomMaximumSpanningForest semantics with the documented
+    (weight desc, src asc, dst asc) tie-break instead of randomness)."""
+    if g.directed:
+        raise ValueError("spanning forests are defined on undirected graphs")
+    ckpt = checkpointer or Checkpointer(g.edges.sparkSession)
+    forest, rounds = _boruvka(g, maximum=True, ckpt=ckpt)
+    return (
+        Graph(forest, g.vertices, directed=False, weighted=g.weighted),
+        SuperstepResult(iterations=rounds),
+    )
