@@ -76,7 +76,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "graph_leiden", "graph_top_closeness", "graph_linkpred",
         "graph_sparsify", "graph_closeness_weighted", "graph_dyn_wcc",
         "graph_mapequation", "graph_approx_betweenness",
-        "graph_weighted_betweenness", "graph_node2vec_walks",
+        "graph_weighted_betweenness", "graph_node2vec_walks", "graph_msf",
         "dedup_exact", "dedup_minhash_candidates", "text_quality",
         "text_token_count", "sim_cosine_topk", "events_agg",
         "multimodal_features",
