@@ -140,3 +140,135 @@ def clustered_random_graph(
     ).withColumn("weight", F.lit(1.0))
     vertices = ids
     return Graph(edges, vertices, directed=False, weighted=False)
+
+
+def lfr_graph(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 10.0,
+    max_degree: int | None = None,
+    degree_exp: float = 2.5,
+    community_exp: float = 1.5,
+    min_community: int | None = None,
+    mu: float = 0.2,
+    seed: int = 42,
+) -> tuple["Graph", "DataFrame"]:
+    """LFR-style benchmark graph (LFRGenerator,
+    /root/reference/networkit/cpp/generators/LFRGenerator.cpp — the
+    Lancichinetti-Fortunato-Radicchi benchmark: power-law degrees with
+    exponent ``degree_exp``, power-law community sizes with
+    ``community_exp``, and a mixing parameter ``mu`` = the expected
+    fraction of each node's edges leaving its community).
+
+    Deterministic simplified variant (this is a fixture/property-test
+    generator, like the reference's): target degrees come from the
+    inverse-CDF of the truncated power law over md5-uniforms; community
+    sizes from a power-law partition of n; node u's edges split into a
+    Bernoulli(1 - mu) intra / mu inter draw per stub, realized as a
+    per-pair hash acceptance like clustered_random_graph (so realized
+    degrees approximate the targets rather than matching exactly — the
+    reference's edge-switching exactness loop is sequential and out of
+    scope, documented). Pair enumeration is O(n^2) draws — fixture
+    scale only.
+
+    Returns (Graph, ground-truth communities (id, label)).
+    """
+    import math
+
+    from networkit_spark.graph import Graph
+
+    if max_degree is None:
+        max_degree = max(2, int(math.sqrt(n)))
+    if min_community is None:
+        min_community = max(4, int(max_degree * 1.2))
+
+    # community sizes: power-law draws until n is covered (driver-side,
+    # #communities values only)
+    import hashlib
+
+    def u01(tag: str, i: int) -> float:
+        h = hashlib.md5(f"{seed}|{tag}|{i}".encode()).hexdigest()[:13]
+        return int(h, 16) / 16**13
+
+    max_community = max(min_community + 1, n // 4)
+    sizes: list[int] = []
+    i = 0
+    while sum(sizes) < n:
+        u = u01("cs", i)
+        i += 1
+        # inverse CDF of p(s) ~ s^-community_exp on [min, max]
+        a = 1.0 - community_exp
+        lo, hi = float(min_community), float(max_community)
+        s = (u * (hi**a - lo**a) + lo**a) ** (1.0 / a)
+        sizes.append(int(s))
+    sizes[-1] -= sum(sizes) - n  # trim overflow into the last community
+    if sizes[-1] < 2 and len(sizes) > 1:
+        sizes[-2] += sizes[-1]
+        sizes.pop()
+    # community of node id: contiguous blocks (deterministic ground truth)
+    bounds = []
+    start = 0
+    for c, s in enumerate(sizes):
+        bounds.append((start, start + s, start))  # label = first member id
+        start += s
+    comm_rows = [(b[0], b[1], b[2]) for b in bounds]
+    cdf = spark.createDataFrame(comm_rows, "lo long, hi long, label long")
+    ids = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    communities = ids.join(
+        F.broadcast(cdf), (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi"))
+    ).select("id", "label")
+
+    # target degree per node from the truncated power law (JVM-side)
+    res = 1 << 30
+    a = 1.0 - degree_exp
+    lo_d, hi_d = 2.0, float(max_degree)
+    u = (
+        F.pmod(F.xxhash64(F.lit(seed), F.lit("deg"), F.col("id")), F.lit(res))
+        / F.lit(float(res))
+    )
+    deg_t = F.pow(
+        u * (F.lit(hi_d**a) - F.lit(lo_d**a)) + F.lit(lo_d**a), F.lit(1.0 / a)
+    )
+    # rescale so the mean lands near avg_degree
+    targets = ids.select("id", deg_t.alias("raw"))
+    mean_raw = float(targets.agg(F.avg("raw")).collect()[0][0])
+    scale = avg_degree / mean_raw if mean_raw > 0 else 1.0
+    targets = targets.select(
+        "id",
+        F.greatest(F.lit(2.0), F.col("raw") * F.lit(scale)).alias("d"),
+    ).join(communities, "id")
+
+    # per-pair acceptance: intra pairs with prob (1-mu)*d_u*d_v/(size-1)/avg,
+    # inter pairs with prob mu*d_u*d_v/(n-size)/avg — expected degree ~ d_u
+    # with an expected mu fraction leaving the community
+    ta = targets.select(
+        F.col("id").alias("src"), F.col("d").alias("du"), F.col("label").alias("cu")
+    )
+    tb = targets.select(
+        F.col("id").alias("dst"), F.col("d").alias("dv"), F.col("label").alias("cv")
+    )
+    csize = communities.groupBy("label").agg(F.count("*").alias("size"))
+    pairs = (
+        ta.join(tb, F.col("src") < F.col("dst"))
+        .join(csize.select(F.col("label").alias("cu"), F.col("size").alias("su")), "cu")
+    )
+    draw = (
+        F.pmod(F.xxhash64(F.lit(seed), F.col("src"), F.col("dst")), F.lit(res))
+        / F.lit(float(res))
+    )
+    same = F.col("cu") == F.col("cv")
+    p_intra = (
+        F.lit(1.0 - mu) * F.col("du") * F.col("dv")
+        / F.greatest(F.col("su") - 1, F.lit(1)) / F.lit(avg_degree)
+    )
+    p_inter = (
+        F.lit(mu) * F.col("du") * F.col("dv")
+        / F.greatest(F.lit(n) - F.col("su"), F.lit(1)) / F.lit(avg_degree)
+    )
+    edges = (
+        pairs.filter(
+            (same & (draw < p_intra)) | (~same & (draw < p_inter))
+        )
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return Graph(edges, ids, directed=False, weighted=False), communities

@@ -44,3 +44,35 @@ def test_top10_pages_by_pagerank(spark):
     want_scores = sorted((round(float(s), 9) for s in oracle_scores), reverse=True)[:10]
     assert got_scores == want_scores
     assert set(got_ids) <= {remap[u] for u in want_top[:20]}
+
+
+def test_lfr_generator_properties(spark):
+    """LFR-style benchmark (generators/LFRGenerator.cpp analogue):
+    ground-truth communities respect the size floor, the realized
+    mixing fraction tracks mu, and degrees spread (power law)."""
+    from pyspark.sql import functions as F
+
+    from networkit_spark.sources.generators import lfr_graph
+
+    g, comms = lfr_graph(spark, n=600, avg_degree=12.0, mu=0.2, seed=7)
+    sizes = [r["size"] for r in comms.groupBy("label").count()
+             .withColumnRenamed("count", "size").collect()]
+    assert sum(sizes) == 600
+    assert min(sizes) >= 2 and len(sizes) >= 3
+
+    lab = comms.select(F.col("id").alias("src"), F.col("label").alias("cu"))
+    lab2 = comms.select(F.col("id").alias("dst"), F.col("label").alias("cv"))
+    e = g.edges.join(lab, "src").join(lab2, "dst")
+    m = e.count()
+    inter = e.filter(F.col("cu") != F.col("cv")).count()
+    assert m > 600  # avg degree well above 2
+    # realized mixing within a loose band around mu
+    assert 0.05 < inter / m < 0.45
+
+    degs = [r["degree"] for r in g.degrees().collect()]
+    assert max(degs) >= 3 * (sum(degs) / len(degs)) / 2  # heavy tail exists
+
+    # determinism: same seed -> identical edge set
+    g2, _ = lfr_graph(spark, n=600, avg_degree=12.0, mu=0.2, seed=7)
+    assert g.edges.exceptAll(g2.edges).count() == 0
+    assert g2.edges.exceptAll(g.edges).count() == 0
