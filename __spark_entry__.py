@@ -36,40 +36,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver rows only the FIRST 50 entries.
+
+    Three blocks, in insertion order:
+      1. PRIORITY — queries that have never held a driver row (round-3
+         verdict: the tail 10 fell past the 50-row cap) plus anything new
+         this round.  These must land in slots 1..N.
+      2. CORE — previously driver-green queries we keep under the gate.
+      3. STABLE TAIL — long-stable queries (driver-green in rounds 2 AND 3)
+         rotated past the cap; they retain pytest + the all-pairs DuckDB
+         rehearsal (tests/test_contract_oracles.py) every round.
+    """
     from networkit_spark import contract as c
     from networkit_spark import contract_docs as d
     from networkit_spark import contract_ext as e
 
     return {
-        # graph kernels (SURVEY.md §2.5-2.6)
-        "graph_degree": c.q_degree,
-        "graph_top_degree": c.q_top_degree,
-        "graph_scalars": c.q_scalars,
-        "graph_cc": c.q_connected_components,
-        "graph_cc_sizes": c.q_component_sizes,
+        # --- PRIORITY: never driver-rowed (round-3 tail) -------------
+        "multimodal_features": e.q_multimodal_features,
+        "graph_sparsify": e.q_sparsify,
+        "graph_node2vec_walks": e.q_node2vec_walks,
+        "graph_msf": e.q_msf,
+        "graph_anf": e.q_anf,
+        "graph_pagerank_large": e.q_pagerank_large,
+        "dedup_simhash_sig": e.q_simhash_sig,
+        "dedup_simhash_candidates": e.q_simhash_candidates,
+        "events_window": e.q_events_window,
+        "sim_lsh_topk": e.q_lsh_topk,
+        # --- PRIORITY: new in round 4 ---------------------------------
+        # (inserted here as they land)
+        # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
-        "graph_plp": c.q_plp,
-        "graph_triangles": c.q_triangles,
-        "graph_lcc": c.q_lcc,
-        "graph_coarsen_cc": c.q_coarsen_cc,
-        # training-data pipeline: dedup
-        "dedup_exact": d.q_dedup_exact,
-        "dedup_minhash_sig": d.q_minhash_sig,
-        "dedup_minhash_candidates": d.q_minhash_candidates,
-        "dedup_jaccard_pairs": d.q_jaccard_pairs,
-        # text analysis
-        "text_token_count": d.q_token_count,
-        "text_quality": d.q_quality,
-        "text_langid": d.q_langid,
-        "text_fingerprint": d.q_fingerprint,
-        # similarity search
-        "sim_cosine_pairs": d.q_cosine_pairs,
-        "sim_cosine_topk": d.q_cosine_topk,
-        # events OLAP
-        "events_agg": d.q_events_agg,
-        "events_top_per_user": d.q_events_top_per_user,
-        # extension set: transforms, centrality, modularity, dynamics,
-        # simhash, windowed events (contract_ext.py)
+        "graph_cc": c.q_connected_components,
         "graph_subgraph_compact": e.q_subgraph_compact,
         "graph_degree_centrality": e.q_degree_centrality,
         "graph_modularity": e.q_modularity,
@@ -98,16 +96,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coverage": e.q_coverage,
         "graph_edge_scores": e.q_edge_scores,
         "graph_linkpred": e.q_linkpred,
-        "graph_sparsify": e.q_sparsify,
-        "graph_node2vec_walks": e.q_node2vec_walks,
-        "graph_msf": e.q_msf,
-        "graph_anf": e.q_anf,
-        "graph_pagerank_large": e.q_pagerank_large,
-        "dedup_simhash_sig": e.q_simhash_sig,
-        "dedup_simhash_candidates": e.q_simhash_candidates,
-        "events_window": e.q_events_window,
-        "sim_lsh_topk": e.q_lsh_topk,
-        "multimodal_features": e.q_multimodal_features,
+        "sim_cosine_pairs": d.q_cosine_pairs,
+        "sim_cosine_topk": d.q_cosine_topk,
+        # --- STABLE TAIL (driver-green r2+r3; pytest-covered) ----------
+        "graph_degree": c.q_degree,
+        "graph_top_degree": c.q_top_degree,
+        "graph_scalars": c.q_scalars,
+        "graph_cc_sizes": c.q_component_sizes,
+        "graph_plp": c.q_plp,
+        "graph_triangles": c.q_triangles,
+        "graph_lcc": c.q_lcc,
+        "graph_coarsen_cc": c.q_coarsen_cc,
+        "dedup_exact": d.q_dedup_exact,
+        "dedup_minhash_sig": d.q_minhash_sig,
+        "dedup_minhash_candidates": d.q_minhash_candidates,
+        "dedup_jaccard_pairs": d.q_jaccard_pairs,
+        "text_token_count": d.q_token_count,
+        "text_quality": d.q_quality,
+        "text_langid": d.q_langid,
+        "text_fingerprint": d.q_fingerprint,
+        "events_agg": d.q_events_agg,
+        "events_top_per_user": d.q_events_top_per_user,
     }
 
 
