@@ -1530,10 +1530,11 @@ def q_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = Graph(edges2, vertices=g.nodes(), directed=False, weighted=False)
     res, info = top_closeness(g2, k=TOPCLO_K, batch=64)
     n = g2.number_of_nodes()
-    assert info.iterations < n // 2, (
-        f"top_closeness swept {info.iterations}/{n} nodes — pruning "
-        "bound never fired"
-    )
+    if info.iterations >= n // 2:  # not `assert` — must survive python -O
+        raise AssertionError(
+            f"top_closeness swept {info.iterations}/{n} nodes — pruning "
+            "bound never fired"
+        )
     return res.select("id", F.round("score", 6).alias("score")).orderBy(
         F.desc("score"), F.asc("id")
     )
@@ -2027,6 +2028,12 @@ ne AS (
     SELECT 1 FROM removed r WHERE r.src = t.src AND r.dst = t.dst
   )
 ),
+-- node universe = endpoints of the SURVIVING edges, deliberately: the
+-- Spark side's load_directed_graph has vertices=None, so its recompute
+-- after the removal batch also labels exactly the final-edge endpoints;
+-- a node isolated by removals is dropped by BOTH engines (pinned by
+-- tests/test_streaming.py::
+-- test_dyn_wcc_isolating_removal_matches_oracle_universe).
 nadj AS (
   SELECT src, dst FROM ne UNION ALL SELECT dst AS src, src AS dst FROM ne
 ),

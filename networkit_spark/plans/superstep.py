@@ -54,6 +54,18 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     digits, bounded forever). Same blocks, same schema, same rows —
     only the poisoned estimate is dropped. Falls back to the plain
     checkpoint if the internal constructor is unavailable.
+
+    Spark-private API caveat (supported range: tested against Spark
+    4.1.x; 3.5-4.1 share the same ``internalCreateDataFrame`` +
+    ``queryExecution().toRdd()`` signatures): unlike Dataset.checkpoint
+    we hand the toRdd InternalRows to internalCreateDataFrame without a
+    per-row ``.copy()``. That is safe precisely because the source here
+    is a CHECKPOINTED LogicalRDD (already-materialized UnsafeRows, not
+    reused iterator buffers). The except-fallback only catches a future
+    Spark REMOVING the API; a silent row-reuse semantic change would
+    not raise — so ``NETWORKIT_SPARK_DEBUG_LINEAGE=1`` turns on a
+    round-trip audit (row count + first-row sample vs the plain
+    localCheckpoint) that tests/test_checkpoint_resume.py exercises.
     """
     out = df.localCheckpoint(eager=True)
     try:
@@ -62,9 +74,30 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         fresh = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(fresh, spark)
+        result = DataFrame(fresh, spark)
     except Exception:  # pragma: no cover — internal API moved
         return out
+    if os.environ.get("NETWORKIT_SPARK_DEBUG_LINEAGE"):
+        n_plain, n_fresh = out.count(), result.count()
+        if n_plain != n_fresh:
+            raise RuntimeError(
+                f"cut_lineage stats-reset changed row count: "
+                f"{n_plain} -> {n_fresh} (Spark internal API semantics "
+                "shifted; fall back to plain localCheckpoint)"
+            )
+        s_plain = sorted(map(str, out.limit(5).collect()))
+        s_fresh = sorted(map(str, result.limit(5).collect()))
+        if n_plain and s_plain != s_fresh and out.schema == result.schema:
+            # limit(5) rows may legitimately differ across plans only if
+            # partition order differs; compare full sorted samples then
+            s_plain = sorted(map(str, out.collect()))
+            s_fresh = sorted(map(str, result.collect()))
+            if s_plain != s_fresh:
+                raise RuntimeError(
+                    "cut_lineage stats-reset changed row CONTENT — "
+                    "Spark internal row-reuse semantics shifted"
+                )
+    return result
 
 
 def materialize_partitioned(df: DataFrame, *cols: str) -> DataFrame:

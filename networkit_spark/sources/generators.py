@@ -196,15 +196,23 @@ def lfr_graph(
     while sum(sizes) < n:
         u = u01("cs", i)
         i += 1
-        # inverse CDF of p(s) ~ s^-community_exp on [min, max]
+        # inverse CDF of p(s) ~ s^-community_exp on [min, max];
+        # exponent 1.0 makes a == 0 — use the log-form inverse CDF
+        # (s = lo * (hi/lo)^u) instead of dividing by zero
         a = 1.0 - community_exp
         lo, hi = float(min_community), float(max_community)
-        s = (u * (hi**a - lo**a) + lo**a) ** (1.0 / a)
+        if abs(a) < 1e-12:
+            s = lo * (hi / lo) ** u
+        else:
+            s = (u * (hi**a - lo**a) + lo**a) ** (1.0 / a)
         sizes.append(int(s))
     sizes[-1] -= sum(sizes) - n  # trim overflow into the last community
-    if sizes[-1] < 2 and len(sizes) > 1:
-        sizes[-2] += sizes[-1]
-        sizes.pop()
+    while len(sizes) > 1 and sizes[-1] < 2:
+        # merge an over-trimmed (possibly negative, when n < the drawn
+        # size) remainder into its neighbor instead of emitting a
+        # degenerate community
+        sizes[-2] += sizes.pop()
+    sizes[-1] = max(1, sizes[-1])  # n < min_community: one tiny community
     # community of node id: contiguous blocks (deterministic ground truth)
     bounds = []
     start = 0
@@ -218,7 +226,8 @@ def lfr_graph(
         F.broadcast(cdf), (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi"))
     ).select("id", "label")
 
-    # target degree per node from the truncated power law (JVM-side)
+    # target degree per node from the truncated power law (JVM-side);
+    # same a == 0 (exponent 1.0) guard as the community-size CDF
     res = 1 << 30
     a = 1.0 - degree_exp
     lo_d, hi_d = 2.0, float(max_degree)
@@ -226,9 +235,12 @@ def lfr_graph(
         F.pmod(F.xxhash64(F.lit(seed), F.lit("deg"), F.col("id")), F.lit(res))
         / F.lit(float(res))
     )
-    deg_t = F.pow(
-        u * (F.lit(hi_d**a) - F.lit(lo_d**a)) + F.lit(lo_d**a), F.lit(1.0 / a)
-    )
+    if abs(a) < 1e-12:
+        deg_t = F.lit(lo_d) * F.pow(F.lit(hi_d / lo_d), u)
+    else:
+        deg_t = F.pow(
+            u * (F.lit(hi_d**a) - F.lit(lo_d**a)) + F.lit(lo_d**a), F.lit(1.0 / a)
+        )
     # rescale so the mean lands near avg_degree
     targets = ids.select("id", deg_t.alias("raw"))
     mean_raw = float(targets.agg(F.avg("raw")).collect()[0][0])

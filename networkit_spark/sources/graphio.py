@@ -340,6 +340,7 @@ def read_dgs(spark: SparkSession, path: str):
     distributed relation.
     """
     names: dict[str, int] = {}
+    edge_names: dict[str, tuple[int, int]] = {}
     rows: list[tuple] = []
     step = 0
 
@@ -347,6 +348,17 @@ def read_dgs(spark: SparkSession, path: str):
         if name not in names:
             names[name] = len(names)
         return names[name]
+
+    def resolve_edge(name: str) -> tuple[int, int]:
+        """Resolve an edge name to endpoint ids via the name map that
+        'ae' events populate (the reference DGSReader keeps such a map,
+        DGSReader.cpp edgeNames); node names may themselves contain
+        hyphens, so the 'u-v' split is only a fallback for edges never
+        declared by an 'ae' line."""
+        if name in edge_names:
+            return edge_names[name]
+        a, b = name.split("-", 1)
+        return nid(a), nid(b)
 
     with open(path) as f:
         first = f.readline().strip()
@@ -367,20 +379,18 @@ def read_dgs(spark: SparkSession, path: str):
             elif tag == "an" and len(parts) >= 2:
                 rows.append((step, "NODE_ADDITION", nid(parts[1]), None, None))
             elif tag == "ae" and len(parts) >= 4:
-                rows.append(
-                    (step, "EDGE_ADDITION", nid(parts[2]), nid(parts[3]), 1.0)
-                )
+                u, v = nid(parts[2]), nid(parts[3])
+                edge_names[parts[1]] = (u, v)
+                rows.append((step, "EDGE_ADDITION", u, v, 1.0))
             elif tag == "ce" and len(parts) == 3:
-                a, b = parts[1].split("-")
+                u, v = resolve_edge(parts[1])
                 w = float(parts[2].split("=")[1])
-                rows.append(
-                    (step, "EDGE_WEIGHT_UPDATE", nid(a), nid(b), w)
-                )
+                rows.append((step, "EDGE_WEIGHT_UPDATE", u, v, w))
             elif tag == "dn" and len(parts) == 2:
                 rows.append((step, "NODE_REMOVAL", nid(parts[1]), None, None))
             elif tag == "de" and len(parts) == 2:
-                a, b = parts[1].split("-")
-                rows.append((step, "EDGE_REMOVAL", nid(a), nid(b), None))
+                u, v = resolve_edge(parts[1])
+                rows.append((step, "EDGE_REMOVAL", u, v, None))
     events = spark.createDataFrame(
         rows, "step long, type string, u long, v long, w double"
     )

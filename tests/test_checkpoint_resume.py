@@ -59,3 +59,17 @@ def test_checkpointer_gc_keeps_recent(spark, tmp_path):
     for step in range(1, 6):
         ck.cut(df, step)
     assert ck.completed_steps() == [4, 5]
+
+
+def test_cut_lineage_debug_roundtrip_audit(spark, monkeypatch):
+    """NETWORKIT_SPARK_DEBUG_LINEAGE audits the stats-reset rebuild
+    (row count + content vs the plain localCheckpoint) so a silent
+    semantic change in Spark's internal internalCreateDataFrame /
+    toRdd contract is caught instead of corrupting kernels."""
+    from networkit_spark.plans.superstep import cut_lineage
+
+    monkeypatch.setenv("NETWORKIT_SPARK_DEBUG_LINEAGE", "1")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS twice")
+    out = cut_lineage(df)
+    rows = sorted((r["id"], r["twice"]) for r in out.collect())
+    assert rows == [(i, 2 * i) for i in range(1000)]

@@ -76,3 +76,20 @@ def test_lfr_generator_properties(spark):
     g2, _ = lfr_graph(spark, n=600, avg_degree=12.0, mu=0.2, seed=7)
     assert g.edges.exceptAll(g2.edges).count() == 0
     assert g2.edges.exceptAll(g.edges).count() == 0
+
+
+def test_lfr_exponent_one_and_tiny_n(spark):
+    """Round-3 ADVICE edge cases: exponent 1.0 (a == 0 in the inverse
+    CDF) must use the log-form instead of dividing by zero, and
+    n < min_community must still yield a valid single community."""
+    from networkit_spark.sources.generators import lfr_graph
+
+    g, comms = lfr_graph(
+        spark, n=120, avg_degree=6.0, degree_exp=1.0, community_exp=1.0, seed=3
+    )
+    assert comms.count() == 120
+    assert g.edges.count() > 0
+
+    g2, comms2 = lfr_graph(spark, n=3, avg_degree=2.0, seed=3)
+    sizes = [r["count"] for r in comms2.groupBy("label").count().collect()]
+    assert sum(sizes) == 3 and all(s >= 1 for s in sizes)

@@ -203,3 +203,27 @@ def test_read_dgs_bad_magic(spark, tmp_path):
     p.write_text("DGS003\nx 0 0\n")
     with _pytest.raises(ValueError, match="DGS004"):
         read_dgs(spark, str(p))
+
+
+def test_read_dgs_hyphenated_node_names(spark, tmp_path):
+    """Round-3 ADVICE: ce/de must resolve edge NAMES through the map
+    populated by 'ae' events (reference DGSReader keeps a name map) —
+    node names containing hyphens must not be mis-split."""
+    from networkit_spark.sources.graphio import read_dgs
+
+    p = tmp_path / "h.dgs"
+    p.write_text(
+        "DGS004\n"
+        "test 0 0\n"
+        "an node-a\nan node-b\n"
+        "ae e1 node-a node-b\n"
+        "ce e1 weight=3\n"
+        "de e1\n"
+    )
+    events, names = read_dgs(spark, str(p))
+    assert names == {"node-a": 0, "node-b": 1}
+    rows = {(r["type"], r["u"], r["v"]) for r in events.collect()}
+    assert ("EDGE_WEIGHT_UPDATE", 0, 1) in rows
+    assert ("EDGE_REMOVAL", 0, 1) in rows
+    # no phantom nodes were minted by splitting 'e1' or 'node-a'
+    assert len(names) == 2

@@ -145,3 +145,48 @@ def test_dyn_wcc_matches_recompute(spark):
     labels = dyn.update_batch(rem)
     got = {r["id"]: r["label"] for r in labels.collect()}
     assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
+
+
+def test_dyn_wcc_isolating_removal_matches_oracle_universe(spark):
+    """Round-3 ADVICE: if a removal strips ALL incident edges from a
+    node, the Spark side (vertices=None, like q_dyn_wcc's
+    load_directed_graph) and the SQL oracle (nodes from surviving
+    edges) must stay row-identical — both omit the isolated node.
+    Cross-checked against a DuckDB replica of SQL_DYN_WCC's recursion
+    shape over the same final edge set."""
+    import duckdb
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.streaming.dynamics import DynWeaklyConnectedComponents
+
+    # 1 has edges only to 0 and 2; removing both isolates node 1
+    edges = [(0, 1), (1, 2), (2, 3), (4, 5)]
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    g = Graph(edges=e, vertices=None, directed=True)
+    dyn = DynWeaklyConnectedComponents(g)
+    removes = spark.createDataFrame(
+        [("EDGE_REMOVAL", 0, 1, None), ("EDGE_REMOVAL", 1, 2, None)],
+        "type string, u long, v long, w double",
+    )
+    labels = dyn.update_batch(removes)
+    got = sorted((r["id"], r["label"]) for r in labels.collect())
+    assert 1 not in {i for i, _ in got}  # isolated node dropped by Spark
+
+    want = duckdb.sql(
+        """
+WITH RECURSIVE ne(src, dst) AS (VALUES (2, 3), (4, 5)),
+nadj AS (SELECT src, dst FROM ne
+         UNION ALL SELECT dst AS src, src AS dst FROM ne),
+nnodes AS (SELECT DISTINCT src AS id FROM nadj),
+reach(id, lbl) AS (
+  SELECT id, id FROM nnodes
+  UNION
+  SELECT a.dst AS id, r.lbl FROM reach r JOIN nadj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+)
+SELECT id, MIN(lbl) AS label FROM reach GROUP BY id ORDER BY id
+        """
+    ).fetchall()
+    assert got == [(int(i), int(l)) for i, l in want]
