@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": e.q_events_window,
         "sim_lsh_topk": e.q_lsh_topk,
         # --- PRIORITY: new in round 4 ---------------------------------
-        # (inserted here as they land)
+        "graph_partition_measures": e.q_partition_measures,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -189,4 +189,6 @@ def oracle_sql() -> dict[str, str]:
         # the SQL (same trick as the unrolled kernel oracles)
         "sim_lsh_topk": e.SQL_LSH_TOPK,
         "multimodal_features": e.SQL_MULTIMODAL,
+        # round 4
+        "graph_partition_measures": e.SQL_PARTITION_MEASURES,
     }

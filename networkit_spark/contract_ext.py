@@ -2578,3 +2578,105 @@ SELECT src, dst, w AS weight FROM forest ORDER BY src, dst"""
 
 
 SQL_MSF = _msf_sql()
+
+
+# ---------------------------------------------------------------------------
+# Partition-comparison measures (community/NMIDistance.cpp:16-127,
+# AdjustedRandMeasure.cpp:5-55, JaccardMeasure.cpp:13-70,
+# NodeStructuralRandMeasure.cpp, EdgeCut.cpp:12-20, Conductance.cpp:14-46)
+# — zeta = 5-class modular partition, eta = degree-class labels (both
+# deterministic AND non-degenerate on the contract graph — CC labels
+# would collapse zeta to one cluster and saturate every measure),
+# conductance over the id-parity 2-partition. One row of six rounded
+# measures. PLM-vs-Leiden on real outputs: tests/test_partitions.py.
+# ---------------------------------------------------------------------------
+
+def q_partition_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.partitions import (
+        conductance,
+        edge_cut,
+        partition_measures,
+    )
+
+    g = load_graph(spark, sf_dir)
+    zeta = g.nodes().select("id", (F.col("id") % 5).alias("label"))
+    eta = g.degrees().select("id", F.col("degree").cast("long").alias("label"))
+    m = partition_measures(zeta, eta).collect()[0]
+    cut = edge_cut(g, eta)
+    parity = g.nodes().select("id", (F.col("id") % 2).alias("label"))
+    cond = conductance(g, parity)
+    return spark.createDataFrame(
+        [
+            (
+                round(float(m["nmid"]), 6),
+                round(float(m["ari_d"]), 6),
+                round(float(m["jac_d"]), 6),
+                round(float(m["rand_d"]), 6),
+                round(cut, 6),
+                round(cond, 6),
+            )
+        ],
+        "nmid double, ari_d double, jac_d double, rand_d double, "
+        "cut double, cond double",
+    )
+
+
+SQL_PARTITION_MEASURES = f"""
+WITH {GRAPH_CTES},
+zeta AS (SELECT id, id % 5 AS label FROM nodes),
+eta AS (SELECT id, degree AS label FROM deg),
+cells AS (
+  SELECT z.label AS c, e.label AS d, CAST(COUNT(*) AS DOUBLE) AS s
+  FROM zeta z JOIN eta e ON e.id = z.id GROUP BY z.label, e.label
+),
+nn AS (SELECT SUM(s) AS n, SUM(s * (s - 1) / 2) AS sum_int FROM cells),
+zc AS (SELECT c, SUM(s) AS sc FROM cells GROUP BY c),
+ec AS (SELECT d, SUM(s) AS sd FROM cells GROUP BY d),
+sz AS (SELECT SUM(sc * (sc - 1) / 2) AS v FROM zc),
+se AS (SELECT SUM(sd * (sd - 1) / 2) AS v FROM ec),
+mi AS (
+  SELECT SUM((s / (SELECT n FROM nn))
+             * LOG2(s * (SELECT n FROM nn) / (zc.sc * ec.sd))) AS v
+  FROM cells JOIN zc ON zc.c = cells.c JOIN ec ON ec.d = cells.d
+),
+hz AS (SELECT SUM(-(sc / (SELECT n FROM nn)) * LOG2(sc / (SELECT n FROM nn))) AS v FROM zc),
+he AS (SELECT SUM(-(sd / (SELECT n FROM nn)) * LOG2(sd / (SELECT n FROM nn))) AS v FROM ec),
+scalars AS (
+  SELECT (SELECT n FROM nn) AS n, (SELECT sum_int FROM nn) AS sum_int,
+         (SELECT v FROM sz) AS sz, (SELECT v FROM se) AS se,
+         (SELECT v FROM mi) AS mi, (SELECT v FROM hz) + (SELECT v FROM he) AS h_sum
+),
+meas AS (
+  SELECT
+    CASE WHEN h_sum = 0 THEN 0.0 ELSE 1.0 - 2.0 * mi / h_sum END AS nmid,
+    CASE WHEN 0.5 * (sz + se) = 0
+           OR 0.5 * (sz + se) = (sz * se) / (n * (n - 1) / 2.0) THEN 0.0
+         ELSE 1.0 - (sum_int - (sz * se) / (n * (n - 1) / 2.0))
+                    / (0.5 * (sz + se) - (sz * se) / (n * (n - 1) / 2.0))
+    END AS ari_d,
+    CASE WHEN n * (n - 1) - 2.0 * (n * (n - 1) / 2.0 + sum_int - sz - se) > 0
+         THEN 1.0 - 2.0 * sum_int
+              / (n * (n - 1) - 2.0 * (n * (n - 1) / 2.0 + sum_int - sz - se))
+         ELSE 0.0 END AS jac_d,
+    (sz + se - 2.0 * sum_int) / (n * (n - 1) / 2.0) AS rand_d
+  FROM scalars
+),
+cut AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM edges e
+  JOIN eta eu ON eu.id = e.src JOIN eta ev ON ev.id = e.dst
+  WHERE eu.label <> ev.label
+),
+pvol AS (
+  SELECT id % 2 AS lbl, CAST(SUM(degree) AS DOUBLE) AS vol
+  FROM deg GROUP BY id % 2
+),
+pcut AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM edges e
+  WHERE e.src % 2 <> e.dst % 2
+)
+SELECT ROUND(nmid, 6) AS nmid, ROUND(ari_d, 6) AS ari_d,
+       ROUND(jac_d, 6) AS jac_d, ROUND(rand_d, 6) AS rand_d,
+       ROUND((SELECT v FROM cut), 6) AS cut,
+       ROUND((SELECT v FROM pcut) / (SELECT MIN(vol) FROM pvol), 6) AS cond
+FROM meas
+"""

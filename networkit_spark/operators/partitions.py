@@ -1,0 +1,153 @@
+"""Partition-comparison and partition-quality measures.
+
+References (semantics matched, execution re-designed for DataFrames):
+  - /root/reference/networkit/cpp/community/NMIDistance.cpp:16-127
+    (NMID = 1 - 2*MI/(H_zeta + H_eta), log base 2, 0 when H_sum == 0)
+  - /root/reference/networkit/cpp/community/DynamicNMIDistance.cpp:129-158
+    (entropy / combineValues)
+  - /root/reference/networkit/cpp/community/AdjustedRandMeasure.cpp:5-55
+    (1 - ARI over pair counts; 0 when maxIndex == 0 or == expectedIndex)
+  - /root/reference/networkit/cpp/community/JaccardMeasure.cpp:13-70
+    (pair-counting Jaccard dissimilarity)
+  - /root/reference/networkit/cpp/community/NodeStructuralRandMeasure.cpp
+    (fraction of node pairs the clusterings disagree on)
+  - /root/reference/networkit/cpp/community/EdgeCut.cpp:12-20
+    (sum of weights of inter-cluster edges)
+  - /root/reference/networkit/cpp/community/Conductance.cpp:14-46
+    (cut / min(vol0, vol1), 2-partitions only)
+
+Everything here is a couple of hash aggregations over the
+(id, label) x (id, label) contingency table — the table itself is the
+only shuffle, O(#clusters^2) rows afterwards.  No reference code is
+copied; the C++ walks per-node arrays, we join relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _contingency(zeta: DataFrame, eta: DataFrame) -> DataFrame:
+    """(c, d, s): size of every non-empty intersection cell — the
+    PartitionIntersection analogue (one shuffle join on id + one agg)."""
+    z = zeta.select("id", F.col("label").alias("c"))
+    e = eta.select("id", F.col("label").alias("d"))
+    return z.join(e, "id").groupBy("c", "d").agg(F.count("*").alias("s"))
+
+
+def partition_measures(zeta: DataFrame, eta: DataFrame) -> DataFrame:
+    """One-row DataFrame with the three reference dissimilarities plus
+    the node-structural Rand disagreement:
+
+    ``nmid``   NMIDistance.getDissimilarity
+    ``ari_d``  AdjustedRandMeasure.getDissimilarity (1 - ARI)
+    ``jac_d``  JaccardMeasure.getDissimilarity
+    ``rand_d`` NodeStructuralRandMeasure (pair disagreement fraction)
+
+    The node universe is the JOIN of the two label relations (both
+    engines label the same universe in practice; mismatched ids would
+    silently shrink n, mirroring the reference's requirement that both
+    partitions cover G's nodes).
+    """
+    cells = _contingency(zeta, eta).cache()
+    # marginals + n from the contingency cells (no second pass over ids)
+    stats = cells.select(
+        F.sum("s").alias("n"),
+        F.sum(F.col("s") * (F.col("s") - 1) / 2).alias("sum_int"),
+    )
+    zc = cells.groupBy("c").agg(F.sum("s").alias("sc"))
+    ec = cells.groupBy("d").agg(F.sum("s").alias("sd"))
+    sum_zeta = zc.select(F.sum(F.col("sc") * (F.col("sc") - 1) / 2).alias("sum_zeta"))
+    sum_eta = ec.select(F.sum(F.col("sd") * (F.col("sd") - 1) / 2).alias("sum_eta"))
+
+    n_row = stats.collect()[0]
+    n = float(n_row["n"])
+    sum_int = float(n_row["sum_int"])
+    sz = float(sum_zeta.collect()[0]["sum_zeta"])
+    se = float(sum_eta.collect()[0]["sum_eta"])
+
+    # mutual information + entropies (log base 2, NMIDistance.cpp:75-104)
+    mi_df = (
+        cells.join(zc, "c")
+        .join(ec, "d")
+        .select(
+            (
+                (F.col("s") / F.lit(n))
+                * F.log2(F.col("s") * F.lit(n) / (F.col("sc") * F.col("sd")))
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("mi"))
+    )
+    hz_df = zc.select(
+        F.sum(-(F.col("sc") / F.lit(n)) * F.log2(F.col("sc") / F.lit(n))).alias("h")
+    )
+    he_df = ec.select(
+        F.sum(-(F.col("sd") / F.lit(n)) * F.log2(F.col("sd") / F.lit(n))).alias("h")
+    )
+    mi = float(mi_df.collect()[0]["mi"] or 0.0)
+    h_sum = float(hz_df.collect()[0]["h"] or 0.0) + float(he_df.collect()[0]["h"] or 0.0)
+    nmid = 0.0 if h_sum == 0.0 else 1.0 - (2.0 * mi) / h_sum
+
+    # adjusted Rand (AdjustedRandMeasure.cpp:27-55)
+    denominator = n * (n - 1) / 2.0
+    max_index = 0.5 * (sz + se)
+    expected_index = (sz * se) / denominator if denominator else 0.0
+    if max_index == 0 or max_index == expected_index:
+        ari_d = 0.0
+    else:
+        ari_d = 1.0 - (sum_int - expected_index) / (max_index - expected_index)
+
+    # Jaccard (JaccardMeasure.cpp:36-66)
+    s11 = sum_int
+    s00 = n * (n - 1) / 2.0 + sum_int - (sz + se)
+    divisor = n * (n - 1) - 2.0 * s00
+    jac_d = 1.0 - (2.0 * s11) / divisor if divisor > 0 else 0.0
+
+    # node-structural Rand disagreement: pairs together in exactly one
+    rand_d = (sz + se - 2.0 * sum_int) / denominator if denominator else 0.0
+
+    cells.unpersist()
+    spark = zeta.sparkSession
+    return spark.createDataFrame(
+        [(nmid, ari_d, jac_d, rand_d)],
+        "nmid double, ari_d double, jac_d double, rand_d double",
+    )
+
+
+def edge_cut(g: Graph, zeta: DataFrame) -> float:
+    """EdgeCut.getQuality: total weight of edges whose endpoints land in
+    different clusters (each stored edge counted once)."""
+    lu = zeta.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+    lv = zeta.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+    row = (
+        g.edges.join(lu, "src")
+        .join(lv, "dst")
+        .filter(F.col("lu") != F.col("lv"))
+        .agg(F.sum("weight").alias("cut"))
+        .collect()[0]
+    )
+    return float(row["cut"] or 0.0)
+
+
+def conductance(g: Graph, zeta: DataFrame) -> float:
+    """Conductance.getQuality: cut / min(vol(A), vol(B)) for a
+    2-partition (Conductance.cpp:14-46; volumes from weightedDegree)."""
+    labels = [r["label"] for r in zeta.select("label").distinct().collect()]
+    if len(labels) != 2:
+        raise ValueError(
+            f"conductance requires a 2-partition, got {len(labels)} subsets"
+        )
+    vols = (
+        g.degrees()
+        .join(zeta, "id")
+        .groupBy("label")
+        .agg(F.sum("w_degree").alias("vol"))
+        .collect()
+    )
+    denom = min(float(r["vol"]) for r in vols)
+    if denom == 0.0:
+        return 0.0
+    return edge_cut(g, zeta) / denom
