@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": e.q_lsh_topk,
         # --- PRIORITY: new in round 4 ---------------------------------
         "graph_partition_measures": e.q_partition_measures,
+        "graph_matching": e.q_matching,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -191,4 +192,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": e.SQL_MULTIMODAL,
         # round 4
         "graph_partition_measures": e.SQL_PARTITION_MEASURES,
+        "graph_matching": e.SQL_MATCHING,
     }

@@ -2680,3 +2680,82 @@ SELECT ROUND(nmid, 6) AS nmid, ROUND(ari_d, 6) AS ari_d,
        ROUND((SELECT v FROM pcut) / (SELECT MIN(vol) FROM pvol), 6) AS cond
 FROM meas
 """
+
+
+# ---------------------------------------------------------------------------
+# Suitor matching (matching/SuitorMatcher.cpp:56-87) — distributed
+# locally-dominant rounds; unique integer weights make the fixpoint the
+# canonical greedy matching in both engines. 12 unrolled rounds in the
+# oracle (Spark converges in <= 6 on the contract graph at sf0.001 and
+# sf0.01; post-convergence rounds are no-ops), convergence raised on.
+# ---------------------------------------------------------------------------
+
+MATCH_ROUNDS = 12
+
+
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.matching import suitor_matching
+
+    g = load_graph(spark, sf_dir)
+    we = g.edges.select(
+        "src",
+        "dst",
+        (((F.col("src") * 1009 + F.col("dst")) * 2654435761) % 2147483648)
+        .cast("double")
+        .alias("weight"),
+    )
+    gw = Graph(we, vertices=g.nodes(), directed=False, weighted=True)
+    m, info = suitor_matching(gw, max_rounds=MATCH_ROUNDS)
+    if not info.converged:  # must survive python -O
+        raise AssertionError(
+            f"suitor_matching did not converge in {MATCH_ROUNDS} rounds"
+        )
+    return m.select("src", "dst", "weight").orderBy("src")
+
+
+def _matching_sql(rounds: int = MATCH_ROUNDS) -> str:
+    parts = [
+        """wadj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(((LEAST(src,dst) * 1009 + GREATEST(src,dst)) * 2654435761)
+              % 2147483648 AS DOUBLE) AS w
+  FROM adj
+)""",
+        "dead0 AS (SELECT id FROM nodes WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""liv{r} AS MATERIALIZED (
+  SELECT a.src, a.dst, a.w FROM wadj a
+  WHERE NOT EXISTS (SELECT 1 FROM dead{r - 1} d WHERE d.id = a.src)
+    AND NOT EXISTS (SELECT 1 FROM dead{r - 1} d WHERE d.id = a.dst)
+),
+best{r} AS MATERIALIZED (
+  SELECT src AS u, dst AS v, w FROM (
+    SELECT src, dst, w,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+    FROM liv{r}
+  ) WHERE rk = 1
+),
+m{r} AS MATERIALIZED (
+  SELECT b1.u AS src, b1.v AS dst, b1.w AS weight
+  FROM best{r} b1 JOIN best{r} b2 ON b2.u = b1.v AND b2.v = b1.u
+  WHERE b1.u < b1.v
+),
+dead{r} AS MATERIALIZED (
+  SELECT id FROM dead{r - 1}
+  UNION SELECT src AS id FROM m{r} UNION SELECT dst AS id FROM m{r}
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT src, dst, weight FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + f",\nmatching AS (\n  {union}\n)\n"
+        + "SELECT src, dst, weight FROM matching ORDER BY src"
+    )
+
+
+SQL_MATCHING = _matching_sql()
