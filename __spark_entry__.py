@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- PRIORITY: new in round 4 ---------------------------------
         "graph_partition_measures": e.q_partition_measures,
         "graph_matching": e.q_matching,
+        "graph_group_degree": e.q_group_degree,
+        "graph_group_harmonic": e.q_group_harmonic,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -193,4 +195,6 @@ def oracle_sql() -> dict[str, str]:
         # round 4
         "graph_partition_measures": e.SQL_PARTITION_MEASURES,
         "graph_matching": e.SQL_MATCHING,
+        "graph_group_degree": e.SQL_GROUP_DEGREE,
+        "graph_group_harmonic": e.SQL_GROUP_HARMONIC,
     }

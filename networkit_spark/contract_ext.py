@@ -2759,3 +2759,167 @@ dead{r} AS MATERIALIZED (
 
 
 SQL_MATCHING = _matching_sql()
+
+
+# ---------------------------------------------------------------------------
+# Group centralities (centrality/GroupDegree.cpp:41-124,
+# GroupHarmonicCloseness.cpp) — exact greedy with the documented
+# smallest-id tie-break; the oracle unrolls the k selection rounds.
+# ---------------------------------------------------------------------------
+
+GROUPDEG_K = 8
+GROUPHARM_K = 4
+
+
+def q_group_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.groupcentrality import group_degree
+
+    g = load_graph(spark, sf_dir)
+    group, score = group_degree(g, k=GROUPDEG_K)
+    return spark.createDataFrame(
+        [(i + 1, u, score) for i, u in enumerate(group)],
+        "rank long, id long, score long",
+    )
+
+
+def _group_degree_sql(k: int = GROUPDEG_K) -> str:
+    parts = [
+        "grp0 AS (SELECT id FROM nodes WHERE FALSE)",
+        "cov0 AS (SELECT id FROM nodes WHERE FALSE)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""gain{i} AS MATERIALIZED (
+  SELECT n.id,
+         COALESCE((SELECT COUNT(*) FROM adj a
+                   WHERE a.src = n.id AND NOT EXISTS
+                     (SELECT 1 FROM cov{i - 1} c WHERE c.id = a.dst)), 0)
+         + CASE WHEN NOT EXISTS
+                  (SELECT 1 FROM cov{i - 1} c WHERE c.id = n.id)
+                THEN 1 ELSE 0 END AS gain
+  FROM nodes n
+  WHERE NOT EXISTS (SELECT 1 FROM grp{i - 1} g WHERE g.id = n.id)
+),
+pick{i} AS MATERIALIZED (
+  SELECT id FROM gain{i} ORDER BY gain DESC, id ASC LIMIT 1
+),
+grp{i} AS MATERIALIZED (
+  SELECT id FROM grp{i - 1} UNION ALL SELECT id FROM pick{i}
+),
+cov{i} AS MATERIALIZED (
+  SELECT id FROM cov{i - 1}
+  UNION SELECT id FROM pick{i}
+  UNION SELECT a.dst AS id FROM adj a
+  WHERE a.src IN (SELECT id FROM pick{i})
+)"""
+        )
+    ranks = "\n  UNION ALL ".join(
+        f"SELECT {i} AS rank, (SELECT id FROM pick{i}) AS id"
+        for i in range(1, k + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + f""",
+ranks AS (
+  {ranks}
+)
+SELECT rank, id, (SELECT COUNT(*) FROM cov{k}) AS score
+FROM ranks ORDER BY rank"""
+    )
+
+
+SQL_GROUP_DEGREE = _group_degree_sql()
+
+
+def q_group_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.groupcentrality import (
+        group_harmonic_closeness,
+    )
+
+    g = load_graph(spark, sf_dir)
+    group, score = group_harmonic_closeness(g, k=GROUPHARM_K)
+    # F.round, not Python round: banker's rounding diverges from
+    # DuckDB's half-away-from-zero on exact .5 ulp boundaries
+    return spark.createDataFrame(
+        [(i + 1, u, score) for i, u in enumerate(group)],
+        "rank long, id long, score double",
+    ).select("rank", "id", F.round("score", 6).alias("score"))
+
+
+def _group_harmonic_sql(k: int = GROUPHARM_K, hops: int = DIAM_HOPS) -> str:
+    steps = [
+        "t0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist "
+        "FROM nodes)"
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    steps.append(
+        f"dd AS MATERIALIZED (SELECT s, v, CAST(dist AS DOUBLE) AS dist "
+        f"FROM t{hops} WHERE dist > 0)"
+    )
+    steps.append("grp0 AS (SELECT id FROM nodes WHERE FALSE)")
+    steps.append(
+        "ds0 AS (SELECT CAST(NULL AS BIGINT) AS v, "
+        "CAST(NULL AS DOUBLE) AS d WHERE FALSE)"
+    )
+    for i in range(1, k + 1):
+        steps.append(
+            f"""cg{i} AS MATERIALIZED (
+  SELECT c.s AS u,
+         SUM(1.0 / LEAST(c.dist, COALESCE(e.d, c.dist))
+             - CASE WHEN e.d IS NOT NULL THEN 1.0 / e.d ELSE 0 END) AS gain
+  FROM dd c LEFT JOIN ds{i - 1} e ON e.v = c.v
+  WHERE NOT EXISTS (SELECT 1 FROM grp{i - 1} g WHERE g.id = c.s)
+    AND NOT EXISTS (SELECT 1 FROM grp{i - 1} g WHERE g.id = c.v)
+  GROUP BY c.s
+),
+gn{i} AS MATERIALIZED (
+  SELECT cg.u,
+         cg.gain - COALESCE((SELECT 1.0 / e.d FROM ds{i - 1} e
+                             WHERE e.v = cg.u), 0) AS gain
+  FROM cg{i} cg
+),
+pick{i} AS MATERIALIZED (
+  SELECT u AS id FROM gn{i} ORDER BY ROUND(gain, 9) DESC, u ASC LIMIT 1
+),
+grp{i} AS MATERIALIZED (
+  SELECT id FROM grp{i - 1} UNION ALL SELECT id FROM pick{i}
+),
+ds{i} AS MATERIALIZED (
+  SELECT COALESCE(e.v, c.v) AS v,
+         LEAST(COALESCE(e.d, c.dist), COALESCE(c.dist, e.d)) AS d
+  FROM ds{i - 1} e FULL OUTER JOIN (
+    SELECT v, dist FROM dd WHERE s = (SELECT id FROM pick{i})
+  ) c ON c.v = e.v
+)"""
+        )
+    ranks = "\n  UNION ALL ".join(
+        f"SELECT {i} AS rank, (SELECT id FROM pick{i}) AS id"
+        for i in range(1, k + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(steps)
+        + f""",
+ranks AS (
+  {ranks}
+),
+score AS (
+  SELECT ROUND(SUM(1.0 / d), 6) AS sc FROM ds{k}
+  WHERE NOT EXISTS (SELECT 1 FROM grp{k} g WHERE g.id = ds{k}.v)
+)
+SELECT rank, id, (SELECT sc FROM score) AS score
+FROM ranks ORDER BY rank"""
+    )
+
+
+SQL_GROUP_HARMONIC = _group_harmonic_sql()

@@ -465,6 +465,23 @@ def top_closeness(
     return out, SuperstepResult(iterations=swept, metrics=metrics)
 
 
+def all_pairs_hop_distances(
+    g: Graph,
+    sources=None,
+    max_hops: int | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """(s, v, dist) hop distances from every source (default: all nodes)
+    via the batched tagged BFS — the distance relation consumed by
+    group_harmonic_closeness and fixture-scale diameter checks.
+    O(n * reachable) rows: all-pairs is fixture-scale; pass ``sources``
+    (a sample) for the scale path."""
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    settled, _ = _tagged_bfs(g, _sources(g, sources), max_hops, ckpt)
+    return settled
+
+
 def harmonic_closeness(
     g: Graph,
     normalized: bool = False,
