@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_matching": e.q_matching,
         "graph_group_degree": e.q_group_degree,
         "graph_group_harmonic": e.q_group_harmonic,
+        "graph_kadabra": e.q_kadabra,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -197,4 +198,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": e.SQL_MATCHING,
         "graph_group_degree": e.SQL_GROUP_DEGREE,
         "graph_group_harmonic": e.SQL_GROUP_HARMONIC,
+        "graph_kadabra": e.SQL_KADABRA,
     }

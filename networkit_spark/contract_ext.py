@@ -2923,3 +2923,224 @@ FROM ranks ORDER BY rank"""
 
 
 SQL_GROUP_HARMONIC = _group_harmonic_sql()
+
+
+# ---------------------------------------------------------------------------
+# KadabraBetweenness (centrality/KadabraBetweenness.cpp, absolute mode)
+# — adaptive epsilon-delta sampling; the oracle replays the identical
+# md5-derandomized sample POOL, the 40-step deltaGuess bisection with
+# 6-dp-quantized exp terms, and the per-epoch computeF/computeG
+# stopping rule, then scores from the epochs the rule consumed.
+# ---------------------------------------------------------------------------
+
+KAD_ERR = 0.25
+KAD_DELTA = 0.1
+KAD_VD = 10
+KAD_SF = 4
+KAD_SEED = 4242
+
+
+def _kad_consts():
+    import math
+
+    omega = 0.5 / (KAD_ERR * KAD_ERR) * (
+        math.log2(KAD_VD - 1) + 1 + math.log(0.5 / KAD_DELTA)
+    )
+    tau = int(math.ceil(omega / KAD_SF))
+    n_epochs = int(math.ceil(omega / tau))
+    return omega, tau, n_epochs
+
+
+def q_kadabra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.kadabra import kadabra_betweenness
+
+    g = load_graph(spark, sf_dir)
+    res, info = kadabra_betweenness(
+        g, err=KAD_ERR, delta=KAD_DELTA, vd=KAD_VD, start_factor=KAD_SF,
+        seed=KAD_SEED, max_hops=DIAM_HOPS,
+    )
+    if not info.converged:  # must survive python -O
+        raise AssertionError("kadabra did not terminate within the pool")
+    return res.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _kadabra_sql(hops: int = DIAM_HOPS) -> str:
+    import math
+
+    omega, tau, n_epochs = _kad_consts()
+    pool = tau * (1 + n_epochs)
+    err2 = KAD_ERR * KAD_ERR
+    thr = KAD_DELTA / 2.0 * (1 - 0.001)
+    dbf4 = KAD_DELTA * 0.001 / 4.0
+
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"CAST(({nib}) AS BIGINT)"
+
+    hu = horner(f"md5('{KAD_SEED}|u|' || CAST(i AS VARCHAR))")
+    hv = horner(f"md5('{KAD_SEED}|v|' || CAST(i AS VARCHAR))")
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "idx AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1"
+        " AS idx FROM nodes)",
+        f"""smp AS MATERIALIZED (
+  SELECT i, hu % (SELECT n FROM nn) AS uidx,
+         (hu % (SELECT n FROM nn) + 1
+          + hv % ((SELECT n FROM nn) - 1)) % (SELECT n FROM nn) AS vidx
+  FROM (SELECT i, {hu} AS hu, {hv} AS hv FROM range({pool}) t(i))
+)""",
+        """pairs AS MATERIALIZED (
+  SELECT m.i, iu.id AS s, iv.id AS t
+  FROM smp m JOIN idx iu ON iu.idx = m.uidx JOIN idx iv ON iv.idx = m.vidx
+)""",
+        "f0 AS MATERIALIZED (SELECT DISTINCT s, s AS v, 1.0 AS sigma, "
+        "CAST(0 AS BIGINT) AS dist FROM pairs)",
+        "seen0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for l in range(1, hops + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+  SELECT p.s, a.dst AS v, SUM(p.sigma) AS sigma, CAST({l} AS BIGINT) AS dist
+  FROM f{l - 1} p JOIN adj a ON a.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen{l - 1} t WHERE t.s = p.s AND t.v = a.dst
+  )
+  GROUP BY p.s, a.dst
+),
+seen{l} AS MATERIALIZED (
+  SELECT s, v FROM seen{l - 1} UNION ALL SELECT s, v FROM f{l}
+)"""
+        )
+    sig_union = "\n  UNION ALL ".join(
+        f"SELECT s, v, sigma, dist FROM f{l}" for l in range(hops + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED (\n  {sig_union}\n)")
+    parts.append(
+        """w0 AS MATERIALIZED (
+  SELECT p.i, p.s, p.t, g.dist AS td
+  FROM pairs p JOIN sig g ON g.s = p.s AND g.v = p.t
+  WHERE g.dist > 0
+)"""
+    )
+    for k in range(1, hops + 1):
+        u01 = (
+            horner(f"md5('{KAD_SEED}|p|' || CAST(i AS VARCHAR) || '|{k}')")
+            + " / POWER(16.0, 13)"
+        )
+        parts.append(
+            f"""pre{k} AS MATERIALIZED (
+  SELECT w.i, w.s, a.src AS z, sz.sigma AS sz, sz.dist AS zd, st.sigma AS st_
+  FROM w{k - 1} w
+  JOIN adj a ON a.dst = w.t
+  JOIN sig sz ON sz.s = w.s AND sz.v = a.src AND sz.dist = w.td - 1
+  JOIN sig st ON st.s = w.s AND st.v = w.t
+),
+ch{k} AS MATERIALIZED (
+  SELECT i, s, z, zd FROM (
+    SELECT i, s, z, zd,
+           SUM(sz) OVER (PARTITION BY i ORDER BY z) AS cum,
+           {u01} * st_ AS thr
+    FROM pre{k}
+  ) q WHERE cum > thr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY i ORDER BY z) = 1
+),
+cb{k} AS (SELECT i, z AS id FROM ch{k} WHERE z <> s),
+w{k} AS MATERIALIZED (
+  SELECT i, s, z AS t, zd AS td FROM ch{k} WHERE z <> s
+)"""
+        )
+    allc = "\n  UNION ALL ".join(
+        f"SELECT i, id FROM cb{k}" for k in range(1, hops + 1)
+    )
+    parts.append(f"allc AS MATERIALIZED (\n  {allc}\n)")
+
+    # phase 1 estimates + 40-step bisection for the deltaGuess exponent
+    parts.append(
+        f"""bet1 AS MATERIALIZED (
+  SELECT id, COUNT(*) / CAST({tau} AS DOUBLE) AS bet
+  FROM allc WHERE i < {tau} GROUP BY id
+)""",
+    )
+    parts.append(
+        f"bs0 AS (SELECT CAST(0 AS DOUBLE) AS a, "
+        f"(1.0/{err2!r}) * LN((SELECT n FROM nn) * {4.0 * (1 - 0.001)!r}"
+        f" / {KAD_DELTA!r}) AS b)"
+    )
+    for j in range(1, 41):
+        parts.append(
+            f"""bs{j} AS (
+  SELECT CASE WHEN s >= {thr!r} THEN c ELSE a END AS a,
+         CASE WHEN s >= {thr!r} THEN b ELSE c END AS b
+  FROM (
+    SELECT p.a, p.b, (p.a + p.b) / 2.0 AS c,
+           (SELECT SUM(2.0 * ROUND(EXP(-((p.a + p.b) / 2.0) * {err2!r}
+                                        / b1.bet), 6))
+            FROM bet1 b1) AS s
+    FROM bs{j - 1} p
+  )
+)"""
+        )
+    parts.append(
+        f"""dgn AS MATERIALIZED (
+  SELECT id, ROUND(EXP(-(SELECT b FROM bs40) * {err2!r} / bet), 9)
+             + {dbf4!r} / (SELECT n FROM nn) AS dg
+  FROM bet1
+)"""
+    )
+
+    # per-epoch cumulative counts + the computeF/computeG stopping rule
+    fins = []
+    cums = []
+    for e in range(1, n_epochs + 1):
+        r_e = float(tau * e)
+        tmp_l = omega / r_e - 1.0 / 3
+        tmp_u = omega / r_e + 1.0 / 3
+        parts.append(
+            f"""cum{e} AS MATERIALIZED (
+  SELECT id, COUNT(*) AS c FROM allc
+  WHERE i >= {tau} AND i < {tau * (e + 1)} GROUP BY id
+),
+fg{e} AS (
+  SELECT COALESCE(cm.c, 0) / {r_e!r} AS bt,
+         COALESCE(d.dg, {dbf4!r} / (SELECT n FROM nn)) AS dv
+  FROM nodes n2
+  LEFT JOIN cum{e} cm ON cm.id = n2.id
+  LEFT JOIN dgn d ON d.id = n2.id
+),
+fin{e} AS (
+  SELECT MIN(CASE WHEN
+      LEAST((LN(1.0/dv)/{r_e!r}) * (-{tmp_l!r}
+             + SQRT({tmp_l!r}*{tmp_l!r} + 2*bt*{omega!r}/LN(1.0/dv))), bt)
+        < {KAD_ERR!r}
+  AND LEAST((LN(1.0/dv)/{r_e!r}) * ({tmp_u!r}
+             + SQRT({tmp_u!r}*{tmp_u!r} + 2*bt*{omega!r}/LN(1.0/dv))),
+            1.0 - bt) < {KAD_ERR!r}
+  THEN 1 ELSE 0 END) AS fin FROM fg{e}
+)"""
+        )
+        fins.append(f"SELECT {e} AS e, fin FROM fin{e}")
+        cums.append(f"SELECT {e} AS e, id, c FROM cum{e}")
+    parts.append("fins AS (\n  " + "\n  UNION ALL ".join(fins) + "\n)")
+    parts.append(
+        f"bstar AS (SELECT COALESCE(MIN(e), {n_epochs}) AS e FROM fins "
+        "WHERE fin = 1)"
+    )
+    parts.append("cums AS (\n  " + "\n  UNION ALL ".join(cums) + "\n)")
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT n2.id,
+       ROUND(COALESCE(cm.c, 0)
+             / CAST({tau} * (SELECT e FROM bstar) AS DOUBLE), 6) AS score
+FROM nodes n2
+LEFT JOIN cums cm ON cm.e = (SELECT e FROM bstar) AND cm.id = n2.id
+ORDER BY n2.id"""
+    )
+
+
+SQL_KADABRA = _kadabra_sql()
