@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_degree": e.q_group_degree,
         "graph_group_harmonic": e.q_group_harmonic,
         "graph_kadabra": e.q_kadabra,
+        "graph_maxflow": e.q_maxflow,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -199,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_degree": e.SQL_GROUP_DEGREE,
         "graph_group_harmonic": e.SQL_GROUP_HARMONIC,
         "graph_kadabra": e.SQL_KADABRA,
+        "graph_maxflow": e.SQL_MAXFLOW,
     }

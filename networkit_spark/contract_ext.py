@@ -3144,3 +3144,137 @@ ORDER BY n2.id"""
 
 
 SQL_KADABRA = _kadabra_sql()
+
+
+# ---------------------------------------------------------------------------
+# Max flow, Edmonds-Karp (flow/EdmondsKarp.cpp:116-205) — unit-capacity
+# s-t flow between the min-degree and max-degree contract nodes. The
+# oracle unrolls 8 augmenting rounds (Spark needs <= 4 at sf0.001 and
+# sf0.01; exhausted rounds are no-ops) x 12 BFS levels with the same
+# min-id parent rule; flow value, minimal-cut size and id-sum are all
+# engine-independent (max-flow/min-cut uniqueness).
+# ---------------------------------------------------------------------------
+
+FLOW_AUGS = 8
+FLOW_LVLS = 12
+
+
+def q_maxflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.flow import edmonds_karp
+
+    g = load_graph(spark, sf_dir)
+    deg = g.degrees()
+    s = int(deg.orderBy(F.asc("degree"), F.asc("id")).limit(1).collect()[0]["id"])
+    t = int(deg.orderBy(F.desc("degree"), F.asc("id")).limit(1).collect()[0]["id"])
+    gu = Graph(
+        g.edges.select("src", "dst", F.lit(1.0).alias("weight")),
+        vertices=g.nodes(),
+    )
+    val, source_set, info = edmonds_karp(gu, s, t, max_augments=FLOW_AUGS)
+    if info.iterations >= FLOW_AUGS:  # must survive python -O
+        raise AssertionError("edmonds_karp hit the augment unroll bound")
+    row = source_set.agg(
+        F.count("*").alias("cut_size"), F.sum("id").alias("cut_sum")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(float(val), int(row["cut_size"]), int(row["cut_sum"]))],
+        "flow double, cut_size long, cut_sum long",
+    )
+
+
+def _maxflow_sql(augs: int = FLOW_AUGS, lvls: int = FLOW_LVLS) -> str:
+    parts = [
+        """st AS (
+  SELECT (SELECT id FROM deg ORDER BY degree ASC, id ASC LIMIT 1) AS s,
+         (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1) AS t
+)""",
+        "darcs AS MATERIALIZED (SELECT src, dst FROM adj)",
+        "fl0 AS (SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT)"
+        " AS dst, CAST(NULL AS DOUBLE) AS f WHERE FALSE)",
+    ]
+    for a in range(1, augs + 1):
+        blocks = [
+            f"""ra{a} AS MATERIALIZED (
+  SELECT d.src, d.dst,
+         1.0 - COALESCE(f1.f, 0) + COALESCE(f2.f, 0) AS r
+  FROM darcs d
+  LEFT JOIN fl{a - 1} f1 ON f1.src = d.src AND f1.dst = d.dst
+  LEFT JOIN fl{a - 1} f2 ON f2.src = d.dst AND f2.dst = d.src
+  WHERE 1.0 - COALESCE(f1.f, 0) + COALESCE(f2.f, 0) > 0
+)""",
+            f"vz{a}_0 AS (SELECT (SELECT s FROM st) AS v, "
+            f"CAST(NULL AS BIGINT) AS par, 0 AS dist)",
+            f"fr{a}_0 AS (SELECT v FROM vz{a}_0)",
+        ]
+        for l in range(1, lvls + 1):
+            blocks.append(
+                f"""nf{a}_{l} AS MATERIALIZED (
+  SELECT r.dst AS v, MIN(r.src) AS par, {l} AS dist
+  FROM ra{a} r JOIN fr{a}_{l - 1} q ON q.v = r.src
+  WHERE NOT EXISTS (SELECT 1 FROM vz{a}_{l - 1} z WHERE z.v = r.dst)
+  GROUP BY r.dst
+),
+vz{a}_{l} AS MATERIALIZED (
+  SELECT v, par, dist FROM vz{a}_{l - 1}
+  UNION ALL SELECT v, par, dist FROM nf{a}_{l}
+),
+fr{a}_{l} AS (SELECT v FROM nf{a}_{l})"""
+            )
+        pes = [f"pe{a}_0 AS (SELECT (SELECT t FROM st) AS v)"]
+        arcs = []
+        for j in range(1, lvls + 1):
+            pes.append(
+                f"""pe{a}_{j} AS (
+  SELECT z.par AS v FROM pe{a}_{j - 1} p JOIN vz{a}_{lvls} z ON z.v = p.v
+  WHERE z.par IS NOT NULL
+)"""
+            )
+            arcs.append(
+                f"SELECT z.par AS src, p.v AS dst FROM pe{a}_{j - 1} p "
+                f"JOIN vz{a}_{lvls} z ON z.v = p.v WHERE z.par IS NOT NULL"
+            )
+        blocks.extend(pes)
+        blocks.append(
+            f"pa{a} AS MATERIALIZED (\n  " + "\n  UNION ".join(arcs) + "\n)"
+        )
+        blocks.append(
+            f"bn{a} AS (SELECT MIN(r.r) AS b FROM ra{a} r "
+            f"JOIN pa{a} p ON p.src = r.src AND p.dst = r.dst)"
+        )
+        blocks.append(
+            f"""fl{a} AS MATERIALIZED (
+  SELECT src, dst, SUM(f) AS f FROM (
+    SELECT src, dst, f FROM fl{a - 1}
+    UNION ALL
+    SELECT p.src, p.dst, COALESCE((SELECT b FROM bn{a}), 0) AS f FROM pa{a} p
+  ) GROUP BY src, dst
+)"""
+        )
+        parts.extend(blocks)
+    vals = " + ".join(f"COALESCE((SELECT b FROM bn{a}), 0)" for a in range(1, augs + 1))
+    parts.append(
+        f"""raf AS MATERIALIZED (
+  SELECT d.src, d.dst
+  FROM darcs d
+  LEFT JOIN fl{augs} f1 ON f1.src = d.src AND f1.dst = d.dst
+  LEFT JOIN fl{augs} f2 ON f2.src = d.dst AND f2.dst = d.src
+  WHERE 1.0 - COALESCE(f1.f, 0) + COALESCE(f2.f, 0) > 0
+),
+reach(v) AS (
+  SELECT s FROM st
+  UNION
+  SELECT r.dst FROM reach q JOIN raf r ON r.src = q.v
+)"""
+    )
+    return (
+        f"WITH RECURSIVE {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT ROUND({vals}, 6) AS flow,
+       (SELECT COUNT(*) FROM reach) AS cut_size,
+       (SELECT SUM(v) FROM reach) AS cut_sum"""
+    )
+
+
+SQL_MAXFLOW = _maxflow_sql()

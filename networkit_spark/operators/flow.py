@@ -1,0 +1,231 @@
+"""Max-flow (Edmonds-Karp) and CutClustering.
+
+References (semantics matched, execution re-designed for DataFrames):
+  - /root/reference/networkit/cpp/flow/EdmondsKarp.cpp:116-205 —
+    shortest (BFS) augmenting paths on the residual graph until no
+    s-t path remains; getSourceSet = nodes reachable from s in the
+    final residual network (the unique MINIMAL source-side min cut,
+    independent of augmenting order).
+  - /root/reference/networkit/cpp/community/CutClustering.cpp:18-77 —
+    add an artificial sink t wired to every node with weight alpha;
+    scan nodes by descending degree; each unclustered node u becomes
+    the label of its u-t min-cut source side (source sides are nested).
+
+Spark plan: every augmentation is a handful of tiny frontier joins
+(BFS levels on the residual arcs) plus a backward path walk — rows
+O(frontier) per step, state O(n).  The flow relation is a DataFrame of
+directed arcs; the residual view is one join away.  Augmentation count
+is bounded by cut capacity / min positive residual (unit-capacity use:
+<= min degree), so the driver loop is short by construction.  The
+max-flow VALUE and the minimal source set are engine-independent
+(max-flow min-cut uniqueness) — what the cross-engine gate compares.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import (
+    Checkpointer,
+    SuperstepResult,
+    materialize_partitioned,
+)
+
+
+def edmonds_karp(
+    g: Graph,
+    source: int,
+    sink: int,
+    max_augments: int = 10_000,
+    max_path_len: int | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[float, DataFrame, SuperstepResult]:
+    """(flow_value, source_set(id), info) for the s-t max flow.
+
+    Undirected graphs get capacity ``weight`` in BOTH directions
+    (EdmondsKarp::runUndirected); directed use the stored arcs.  The
+    BFS tree picks the smallest predecessor id per node — a documented
+    deterministic refinement (the value and minimal source set do not
+    depend on it).
+    """
+    if source == sink:
+        raise ValueError("source and sink must differ")
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    arcs = (
+        (g.adj() if not g.directed else g.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.col("weight").alias("cap"))
+    )
+    arcs = materialize_partitioned(arcs, "src")
+    # flow on directed arcs (absent row = 0)
+    flow = spark.createDataFrame([], "src long, dst long, f double")
+    total = 0.0
+    metrics: list[dict] = []
+    aug = 0
+    cap_len = max_path_len if max_path_len is not None else 2**31
+    while aug < max_augments:
+        aug += 1
+        t0 = time.time()
+        # residual r(u,v) = cap - f(u,v) + f(v,u)
+        rev = flow.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col("f").alias("fr"),
+        )
+        radj = (
+            arcs.join(flow.hint("shuffle_hash"), ["src", "dst"], "left")
+            .join(rev.hint("shuffle_hash"), ["src", "dst"], "left")
+            .select(
+                "src", "dst",
+                (
+                    F.col("cap")
+                    - F.coalesce("f", F.lit(0.0))
+                    + F.coalesce("fr", F.lit(0.0))
+                ).alias("r"),
+            )
+            .filter(F.col("r") > 0)
+        )
+        radj = ckpt.cut(radj, aug)
+        # BFS levels from source, parent = min residual predecessor
+        visited = spark.createDataFrame(
+            [(source, None, 0)], "v long, par long, dist long"
+        )
+        frontier = visited.select("v")
+        found = False
+        lvl = 0
+        while lvl < cap_len:
+            lvl += 1
+            nxt = (
+                frontier.hint("shuffle_hash")
+                .join(radj, frontier.v == radj.src)
+                .groupBy(F.col("dst").alias("nv"))
+                .agg(F.min("src").alias("par"))
+                .join(
+                    visited.select(F.col("v").alias("nv")), "nv", "left_anti"
+                )
+                .select(
+                    F.col("nv").alias("v"), "par",
+                    F.lit(lvl).cast("long").alias("dist"),
+                )
+            )
+            nxt = ckpt.cut(nxt, 100 * aug + lvl)
+            cnt = nxt.count()
+            if cnt == 0:
+                break
+            visited = ckpt.cut(visited.unionByName(nxt), 100 * aug + 50 + lvl)
+            if nxt.filter(F.col("v") == sink).limit(1).count() > 0:
+                found = True
+                break
+            frontier = nxt.select("v")
+        if not found:
+            metrics.append(
+                ckpt.log(aug, phase="done", value=total,
+                         wall_sec=time.time() - t0)
+            )
+            aug -= 1
+            break
+        # walk the parent chain back from the sink (<= lvl tiny joins)
+        path: list[tuple[int, int]] = []
+        vmap = visited  # (v, par, dist)
+        cur = sink
+        for _ in range(lvl):
+            row = vmap.filter(F.col("v") == cur).collect()[0]
+            par = row["par"]
+            if par is None:
+                break
+            path.append((int(par), cur))
+            cur = int(par)
+        path_df = spark.createDataFrame(path, "src long, dst long")
+        bottleneck = float(
+            radj.join(F.broadcast(path_df), ["src", "dst"])
+            .agg(F.min("r").alias("b"))
+            .collect()[0]["b"]
+        )
+        total += bottleneck
+        flow = ckpt.cut(
+            flow.unionByName(
+                path_df.select("src", "dst", F.lit(bottleneck).alias("f"))
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("f").alias("f")),
+            1000 + aug,
+        )
+        metrics.append(
+            ckpt.log(aug, phase="augment", pushed=bottleneck, path_len=len(path),
+                     value=total, wall_sec=time.time() - t0)
+        )
+    # minimal source side: residual reachability from s (final residual)
+    rev = flow.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("f").alias("fr")
+    )
+    radj = (
+        arcs.join(flow, ["src", "dst"], "left")
+        .join(rev, ["src", "dst"], "left")
+        .select(
+            "src", "dst",
+            (F.col("cap") - F.coalesce("f", F.lit(0.0))
+             + F.coalesce("fr", F.lit(0.0))).alias("r"),
+        )
+        .filter(F.col("r") > 0)
+    ).localCheckpoint(eager=True)
+    reach = spark.createDataFrame([(source,)], "id long")
+    while True:
+        nxt = (
+            reach.join(radj, reach.id == radj.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(reach, "id", "left_anti")
+        ).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+    arcs.unpersist()
+    return total, reach, SuperstepResult(iterations=aug, metrics=metrics)
+
+
+def cut_clustering(
+    g: Graph, alpha: float, checkpointer: Checkpointer | None = None
+) -> DataFrame:
+    """CutClustering.run: (id, label) — label = the scanning node whose
+    u-sink min-cut source side captured the node.  Scan order: degree
+    DESCENDING, then id (the reference's bucket sort :39-58 places
+    higher-degree nodes first; ties keep node order = ascending id)."""
+    spark = g.edges.sparkSession
+    t = int(
+        g.nodes().agg(F.max("id").alias("m")).collect()[0]["m"]
+    ) + 1
+    base = g.edges.select("src", "dst", "weight")
+    star = g.nodes().select(
+        F.col("id").alias("src"), F.lit(t).alias("dst"),
+        F.lit(float(alpha)).alias("weight"),
+    )
+    aug = Graph(
+        base.unionByName(star),
+        vertices=g.nodes().unionByName(
+            spark.createDataFrame([(t,)], "id long")
+        ),
+        directed=False,
+        weighted=True,
+    )
+    order = [
+        int(r["id"])
+        for r in g.degrees().orderBy(F.desc("degree"), F.asc("id")).collect()
+    ]
+    labels: dict[int, int] = {}
+    for u in order:
+        if u in labels:
+            continue
+        _, source_set, _ = edmonds_karp(aug, u, t,
+                                        checkpointer=checkpointer)
+        for r in source_set.collect():
+            # overwrite: a later source side may ABSORB earlier
+            # clusters (CutClustering.cpp:70-73); nestedness guarantees
+            # it swallows them whole
+            labels[int(r["id"])] = u
+    return spark.createDataFrame(
+        sorted(labels.items()), "id long, label long"
+    )
