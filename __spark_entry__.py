@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_harmonic": e.q_group_harmonic,
         "graph_kadabra": e.q_kadabra,
         "graph_maxflow": e.q_maxflow,
+        "graph_edge_switching": e.q_edge_switching,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -201,4 +202,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_harmonic": e.SQL_GROUP_HARMONIC,
         "graph_kadabra": e.SQL_KADABRA,
         "graph_maxflow": e.SQL_MAXFLOW,
+        "graph_edge_switching": e.SQL_EDGE_SWITCHING,
     }

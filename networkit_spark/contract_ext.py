@@ -3278,3 +3278,106 @@ SELECT ROUND({vals}, 6) AS flow,
 
 
 SQL_MAXFLOW = _maxflow_sql()
+
+
+# ---------------------------------------------------------------------------
+# EdgeSwitching null model (randomization/EdgeSwitching.cpp:10-51,
+# batched-round variant documented in operators/randomization.py) —
+# md5 bucket pairing + md5 coins; the oracle replays 3 rounds edge-set
+# exactly. Degree preservation is pinned in tests/test_randomization.py.
+# ---------------------------------------------------------------------------
+
+ES_ROUNDS = 3
+ES_SEED = 42
+ES_BUCKETS = 64
+
+
+def q_edge_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.randomization import edge_switching
+
+    g = load_graph(spark, sf_dir)
+    out, _ = edge_switching(g, rounds=ES_ROUNDS, seed=ES_SEED,
+                            buckets=ES_BUCKETS)
+    return out.edges.select("src", "dst").orderBy("src", "dst")
+
+
+def _edge_switching_sql(rounds: int = ES_ROUNDS) -> str:
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"CAST(({nib}) AS BIGINT)"
+
+    parts = ["ed0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for r in range(1, rounds + 1):
+        kexpr = horner(
+            f"md5('{ES_SEED}|{r}|' || CAST(src AS VARCHAR) || '|' "
+            f"|| CAST(dst AS VARCHAR))"
+        )
+        cexpr = horner(
+            f"md5('{ES_SEED}|c|{r}|' || CAST(e0.bucket AS VARCHAR) || '|' "
+            f"|| CAST(e0.pid AS VARCHAR))"
+        )
+        parts.append(
+            f"""ky{r} AS MATERIALIZED (
+  SELECT src, dst, k, k % {ES_BUCKETS} AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY k % {ES_BUCKETS}
+                            ORDER BY k, src, dst) - 1 AS rn
+  FROM (SELECT src, dst, {kexpr} AS k FROM ed{r - 1})
+),
+pr{r} AS MATERIALIZED (
+  SELECT *,
+         CASE WHEN coin = 0 THEN LEAST(a, d) ELSE LEAST(a, c) END AS n1s,
+         CASE WHEN coin = 0 THEN GREATEST(a, d) ELSE GREATEST(a, c) END AS n1d,
+         CASE WHEN coin = 0 THEN LEAST(c, b) ELSE LEAST(b, d) END AS n2s,
+         CASE WHEN coin = 0 THEN GREATEST(c, b) ELSE GREATEST(b, d) END AS n2d
+  FROM (
+    SELECT e0.bucket, e0.pid, e0.a, e0.b, e1.c, e1.d, {cexpr} % 2 AS coin
+    FROM (SELECT bucket, rn // 2 AS pid, src AS a, dst AS b FROM ky{r}
+          WHERE rn % 2 = 0) e0
+    JOIN (SELECT bucket, rn // 2 AS pid, src AS c, dst AS d FROM ky{r}
+          WHERE rn % 2 = 1) e1
+      ON e1.bucket = e0.bucket AND e1.pid = e0.pid
+  )
+),
+px{r} AS MATERIALIZED (
+  SELECT * FROM pr{r} p
+  WHERE n1s <> n1d AND n2s <> n2d AND NOT (n1s = n2s AND n1d = n2d)
+    AND NOT EXISTS (SELECT 1 FROM ed{r - 1} e
+                    WHERE e.src = p.n1s AND e.dst = p.n1d)
+    AND NOT EXISTS (SELECT 1 FROM ed{r - 1} e
+                    WHERE e.src = p.n2s AND e.dst = p.n2d)
+),
+cr{r} AS MATERIALIZED (
+  SELECT bucket, pid, n1s AS s, n1d AS t FROM px{r}
+  UNION ALL SELECT bucket, pid, n2s AS s, n2d AS t FROM px{r}
+),
+bad{r} AS MATERIALIZED (
+  SELECT DISTINCT c.bucket, c.pid
+  FROM cr{r} c JOIN (
+    SELECT s, t FROM cr{r} GROUP BY s, t HAVING COUNT(*) > 1
+  ) d ON d.s = c.s AND d.t = c.t
+),
+ap{r} AS MATERIALIZED (
+  SELECT * FROM px{r} p
+  WHERE NOT EXISTS (SELECT 1 FROM bad{r} b
+                    WHERE b.bucket = p.bucket AND b.pid = p.pid)
+),
+ed{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ed{r - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM ap{r} p
+                    WHERE (p.a = e.src AND p.b = e.dst)
+                       OR (p.c = e.src AND p.d = e.dst))
+  UNION ALL SELECT n1s AS src, n1d AS dst FROM ap{r}
+  UNION ALL SELECT n2s AS src, n2d AS dst FROM ap{r}
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + f"\nSELECT src, dst FROM ed{rounds} ORDER BY src, dst"
+    )
+
+
+SQL_EDGE_SWITCHING = _edge_switching_sql()
