@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kadabra": e.q_kadabra,
         "graph_maxflow": e.q_maxflow,
         "graph_edge_switching": e.q_edge_switching,
+        "graph_max_cliques": e.q_max_cliques,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -203,4 +204,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_kadabra": e.SQL_KADABRA,
         "graph_maxflow": e.SQL_MAXFLOW,
         "graph_edge_switching": e.SQL_EDGE_SWITCHING,
+        "graph_max_cliques": e.SQL_MAX_CLIQUES,
     }

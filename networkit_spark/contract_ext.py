@@ -3381,3 +3381,57 @@ ed{r} AS MATERIALIZED (
 
 
 SQL_EDGE_SWITCHING = _edge_switching_sql()
+
+
+# ---------------------------------------------------------------------------
+# MaximalCliques (clique/MaximalCliques.cpp, Eppstein-Löffler-Strash) —
+# gate hashes the (size, count) histogram of ALL maximal cliques; the
+# oracle enumerates cliques by ordered growth (extend by a larger-id
+# node adjacent to every member) up to size 5 (contract max clique = 3
+# at sf0.001 and sf0.01; levels 4-5 are empty guards) and filters
+# maximality relationally.
+# ---------------------------------------------------------------------------
+
+CLIQUE_KMAX = 5
+
+
+def q_max_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.cliques import clique_size_histogram
+
+    g = load_graph(spark, sf_dir)
+    return clique_size_histogram(g).orderBy("size")
+
+
+def _max_cliques_sql(kmax: int = CLIQUE_KMAX) -> str:
+    parts = ["cl1 AS (SELECT [id] AS mem, id AS last FROM nodes)"]
+    for k in range(2, kmax + 1):
+        parts.append(
+            f"""cl{k} AS MATERIALIZED (
+  SELECT list_append(c.mem, w.w) AS mem, w.w AS last
+  FROM cl{k - 1} c, LATERAL (
+    SELECT a.dst AS w FROM adj a
+    WHERE a.dst > c.last AND list_contains(c.mem, a.src)
+    GROUP BY a.dst HAVING COUNT(*) = {k - 1}
+  ) w
+)"""
+        )
+    for k in range(1, kmax + 1):
+        parts.append(
+            f"""mx{k} AS (
+  SELECT mem FROM cl{k} c WHERE NOT EXISTS (
+    SELECT 1 FROM adj a WHERE list_contains(c.mem, a.src)
+    GROUP BY a.dst HAVING COUNT(*) = {k}
+  )
+)"""
+        )
+    hist = "\n  UNION ALL ".join(
+        f"SELECT {k} AS size, COUNT(*) AS count FROM mx{k} HAVING COUNT(*) > 0"
+        for k in range(1, kmax + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + f",\nhist AS (\n  {hist}\n)\nSELECT size, count FROM hist ORDER BY size"
+    )
+
+
+SQL_MAX_CLIQUES = _max_cliques_sql()
