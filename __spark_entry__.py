@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_maxflow": e.q_maxflow,
         "graph_edge_switching": e.q_edge_switching,
         "graph_max_cliques": e.q_max_cliques,
+        "graph_scd_nibble": e.q_scd_nibble,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -103,9 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coverage": e.q_coverage,
         "graph_edge_scores": e.q_edge_scores,
         "graph_linkpred": e.q_linkpred,
-        "sim_cosine_pairs": d.q_cosine_pairs,
         "sim_cosine_topk": d.q_cosine_topk,
         # --- STABLE TAIL (driver-green r2+r3; pytest-covered) ----------
+        "sim_cosine_pairs": d.q_cosine_pairs,
         "graph_degree": c.q_degree,
         "graph_top_degree": c.q_top_degree,
         "graph_scalars": c.q_scalars,
@@ -205,4 +206,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_maxflow": e.SQL_MAXFLOW,
         "graph_edge_switching": e.SQL_EDGE_SWITCHING,
         "graph_max_cliques": e.SQL_MAX_CLIQUES,
+        "graph_scd_nibble": e.SQL_SCD_NIBBLE,
     }

@@ -80,6 +80,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "dedup_exact", "dedup_minhash_candidates", "text_quality",
         "text_token_count", "sim_cosine_topk", "events_agg",
         "multimodal_features",
+        # round 4
+        "graph_partition_measures", "graph_matching", "graph_group_degree",
+        "graph_group_harmonic", "graph_kadabra", "graph_maxflow",
+        "graph_edge_switching", "graph_max_cliques", "graph_kcore",
     ]:
         sec, _ = timed(lambda: qs[name](spark, sf_dir).collect())
         queries[name] = round(sec, 3)

@@ -3435,3 +3435,88 @@ def _max_cliques_sql(kmax: int = CLIQUE_KMAX) -> str:
 
 
 SQL_MAX_CLIQUES = _max_cliques_sql()
+
+
+# ---------------------------------------------------------------------------
+# PageRankNibble SCD (scd/PageRankNibble.cpp:18-100) — synchronous-PPR
+# variant (operators/scd.py): 12 PPR steps from the max-degree seed,
+# eps-truncated support, conductance sweep; ranking key and conductance
+# are 9-dp-rounded in both engines so ulp noise cannot flip the sweep.
+# ---------------------------------------------------------------------------
+
+SCD_ALPHA = 0.15
+SCD_ITERS = 12
+SCD_EPS = 1e-4
+
+
+def q_scd_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scd import page_rank_nibble
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    comm, cond = page_rank_nibble(
+        g, seed, alpha=SCD_ALPHA, iterations=SCD_ITERS, eps=SCD_EPS
+    )
+    return comm.select(
+        "id", F.round(F.lit(cond), 6).alias("cond")
+    ).orderBy("id")
+
+
+def _scd_nibble_sql(iters: int = SCD_ITERS) -> str:
+    oma = 1.0 - SCD_ALPHA
+    parts = [
+        "seed AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1)",
+        "pp0 AS (SELECT (SELECT id FROM seed) AS id, CAST(1.0 AS DOUBLE) AS pr)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pp{t} AS MATERIALIZED (
+  SELECT id, SUM(pr) AS pr FROM (
+    SELECT a.dst AS id, (p.pr * (1.0 / d.degree)) * {oma!r} AS pr
+    FROM pp{t - 1} p JOIN deg d ON d.id = p.id JOIN adj a ON a.src = p.id
+    UNION ALL
+    SELECT (SELECT id FROM seed) AS id, {SCD_ALPHA!r} AS pr
+  ) GROUP BY id
+)"""
+        )
+    parts.append(
+        f"""ranked AS MATERIALIZED (
+  SELECT p.id, p.pr, d.degree,
+         ROW_NUMBER() OVER (ORDER BY ROUND(p.pr / d.degree, 9) DESC,
+                            p.id ASC) AS rk
+  FROM pp{iters} p JOIN deg d ON d.id = p.id
+  WHERE p.pr >= {SCD_EPS!r}
+),
+iwh AS (
+  SELECT GREATEST(ru.rk, rv.rk) AS rk, SUM(1.0) AS iw
+  FROM edges e JOIN ranked ru ON ru.id = e.src JOIN ranked rv ON rv.id = e.dst
+  GROUP BY GREATEST(ru.rk, rv.rk)
+),
+sweep AS (
+  SELECT r.rk,
+         SUM(r.degree * 1.0) OVER (ORDER BY r.rk) AS vol,
+         SUM(COALESCE(h.iw, 0)) OVER (ORDER BY r.rk) AS intc
+  FROM ranked r LEFT JOIN iwh h ON h.rk = r.rk
+),
+conds AS (
+  SELECT rk,
+         ROUND((vol - 2.0 * intc)
+               / LEAST(vol, 2.0 * (SELECT COUNT(*) FROM edges) - vol),
+               9) AS cond
+  FROM sweep
+  WHERE LEAST(vol, 2.0 * (SELECT COUNT(*) FROM edges) - vol) > 0
+),
+best AS (SELECT rk, cond FROM conds ORDER BY cond ASC, rk ASC LIMIT 1)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + """
+SELECT r.id, ROUND((SELECT cond FROM best), 6) AS cond
+FROM ranked r WHERE r.rk <= (SELECT rk FROM best) ORDER BY r.id"""
+    )
+
+
+SQL_SCD_NIBBLE = _scd_nibble_sql()

@@ -1,0 +1,183 @@
+"""Selective community detection — PageRankNibble.
+
+Reference: /root/reference/networkit/cpp/scd/PageRankNibble.cpp
+(:18-100 — personalized-PageRank scores around a seed, nodes ranked by
+pr / weightedDegree, best sweep prefix by conductance
+cut / min(vol, totalVolume - vol)) over
+/root/reference/networkit/cpp/scd/ApproximatePageRank.cpp.
+
+Deterministic Spark-first variant (documented deviations): the PPR
+vector comes from a FIXED number of synchronous power-iteration steps
+pr_{t+1} = alpha * e_seed + (1 - alpha) * W^T pr_t (the reference's
+push algorithm is order-dependent and sequential; the synchronous
+iterate converges to the same PPR limit), truncated to the support
+pr >= eps like Nibble's epsilon support.  The sweep ranking key
+pr / w_degree and the per-prefix conductance are rounded to 9 decimals
+before ordering/argmin so cross-engine float noise cannot flip a rank.
+
+Plan shape: each PPR step is one join + one hash aggregation over the
+adjacency (the PageRank plan); the sweep is windows over the TRUNCATED
+support (support size is bounded by 1/eps mass concentration — the
+windows never see the full graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import (
+    Checkpointer,
+    materialize_partitioned,
+)
+
+
+def page_rank_nibble(
+    g: Graph,
+    seed_node: int,
+    alpha: float = 0.15,
+    iterations: int = 12,
+    eps: float = 1e-4,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, float]:
+    """(community(id), best_conductance) — the seed's best sweep set."""
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    gg = g.remove_self_loops()
+    if gg.directed:
+        # SCD is defined on undirected graphs (the reference
+        # SelectiveCommunityDetector takes G undirected; PageRankNibble.cpp
+        # walks symmetric neighborhoods).  Canonicalize each arc to one
+        # undirected edge — max weight on reciprocal pairs — so sinks
+        # don't have zero degree and volumes count each edge once.
+        und = (
+            gg.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        gg = Graph(und, gg.vertices, directed=False, weighted=gg.weighted)
+    deg = gg.degrees().select("id", "w_degree")
+    adj = materialize_partitioned(
+        gg.adj()
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed(
+            "w_degree", "wd"), "src")
+        .select("src", "dst", (F.col("weight") / F.col("wd")).alias("frac")),
+        "src",
+    )
+    pr = spark.createDataFrame([(int(seed_node), 1.0)], "id long, pr double")
+    teleport = spark.createDataFrame(
+        [(int(seed_node), float(alpha))], "id long, pr double"
+    )
+    for t in range(1, iterations + 1):
+        spread = (
+            pr.hint("shuffle_hash")
+            .join(adj, pr.id == adj.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") * F.col("frac") * F.lit(1.0 - alpha)).alias("pr"),
+            )
+        )
+        pr = ckpt.cut(
+            spread.unionByName(teleport).groupBy("id").agg(
+                F.sum("pr").alias("pr")
+            ),
+            t,
+        )
+    support = (
+        pr.filter(F.col("pr") >= eps)
+        .join(deg, "id")
+        .select(
+            "id", "pr", "w_degree",
+            # isolated seed (w_degree 0) ranks by raw pr — its sweep
+            # prefix has vol 0 and is filtered below, falling back to
+            # the singleton return
+            (
+                -F.round(
+                    F.when(
+                        F.col("w_degree") > 0,
+                        F.col("pr") / F.col("w_degree"),
+                    ).otherwise(F.col("pr")),
+                    9,
+                )
+            ).alias("negkey"),
+        )
+    )
+    # partitioned two-phase ranking (plans/ids.py) — no global-sort
+    # window even though the eps-truncated support is small
+    from networkit_spark.plans.ids import dense_ids
+
+    ranked = (
+        dense_ids(support, ["negkey", "id"], "rk0")
+        .withColumn("rk", F.col("rk0") + 1)
+        .drop("rk0", "negkey")
+        .localCheckpoint(eager=True)
+    )
+    # internal-weight histogram: every support-internal edge lands at
+    # the LATER endpoint's rank; cut(r) = vol(r) - 2 * internal(r)
+    ru = ranked.select(F.col("id").alias("src"), F.col("rk").alias("rku"))
+    rv = ranked.select(F.col("id").alias("dst"), F.col("rk").alias("rkv"))
+    internal = (
+        gg.edges.join(ru, "src").join(rv, "dst")
+        .select(F.greatest("rku", "rkv").alias("rmax"),
+                F.col("weight").alias("wgt"))
+        .groupBy("rmax")
+        .agg(F.sum("wgt").alias("iw"))
+    )
+    total = 2.0 * float(
+        gg.edges.agg(F.sum("weight").alias("s")).collect()[0]["s"] or 0.0
+    )
+    # two-phase prefix sums over the ranked support: per-bucket windows
+    # plus driver-collected bucket offsets (the dense_ids pattern) — no
+    # unpartitioned window anywhere in the sweep
+    bucket_sz = 4096
+    base = (
+        ranked.join(internal.withColumnRenamed("rmax", "rk"), "rk", "left")
+        .withColumn("iw", F.coalesce("iw", F.lit(0.0)))
+        .withColumn("bkt", ((F.col("rk") - 1) / bucket_sz).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    bs = sorted(
+        (int(r["bkt"]), float(r["swd"]), float(r["siw"]))
+        for r in base.groupBy("bkt")
+        .agg(F.sum("w_degree").alias("swd"), F.sum("iw").alias("siw"))
+        .collect()
+    )
+    offsets, cw, ci = [], 0.0, 0.0
+    for bkt, swd, siw in bs:
+        offsets.append((bkt, cw, ci))
+        cw += swd
+        ci += siw
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0.0, 0.0)], "bkt long, owd double, oiw double"
+    )
+    wv = Window.partitionBy("bkt").orderBy("rk")
+    sweep = (
+        base.join(F.broadcast(off_df), "bkt")
+        .withColumn("vol", F.col("owd") + F.sum("w_degree").over(wv))
+        .withColumn("intc", F.col("oiw") + F.sum("iw").over(wv))
+        .withColumn(
+            "den", F.least(F.col("vol"), F.lit(total) - F.col("vol"))
+        )
+        .filter(F.col("den") > 0)
+        .withColumn(
+            "cond",
+            F.round((F.col("vol") - 2.0 * F.col("intc")) / F.col("den"), 9),
+        )
+    )
+    best = sweep.orderBy(F.asc("cond"), F.asc("rk")).limit(1).collect()
+    if not best:
+        return (
+            spark.createDataFrame([(int(seed_node),)], "id long"),
+            1.0,
+        )
+    best_rk, best_cond = int(best[0]["rk"]), float(best[0]["cond"])
+    adj.unpersist()
+    return (
+        ranked.filter(F.col("rk") <= best_rk).select("id").orderBy("id"),
+        best_cond,
+    )
