@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_switching": e.q_edge_switching,
         "graph_max_cliques": e.q_max_cliques,
         "graph_scd_nibble": e.q_scd_nibble,
+        "graph_top_harmonic": e.q_top_harmonic,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -207,4 +208,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_edge_switching": e.SQL_EDGE_SWITCHING,
         "graph_max_cliques": e.SQL_MAX_CLIQUES,
         "graph_scd_nibble": e.SQL_SCD_NIBBLE,
+        "graph_top_harmonic": e.SQL_TOP_HARMONIC,
     }

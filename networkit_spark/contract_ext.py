@@ -3520,3 +3520,87 @@ FROM ranked r WHERE r.rk <= (SELECT rk FROM best) ORDER BY r.id"""
 
 
 SQL_SCD_NIBBLE = _scd_nibble_sql()
+
+
+# ---------------------------------------------------------------------------
+# TopHarmonicCloseness (centrality/TopHarmonicCloseness.cpp:113-167,446-451)
+# — pruned top-k RAW harmonic closeness over the contract graph plus the
+# same deterministic hub overlay as q_top_closeness (the bare contract
+# graph is near-regular and unprunable for ANY bound).
+# ---------------------------------------------------------------------------
+
+TOPHARM_K = 10
+
+
+def q_top_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.closeness import top_harmonic_closeness
+
+    g = load_graph(spark, sf_dir)
+    star = (
+        g.nodes()
+        .filter((F.col("id") % 7 == 1) & (F.col("id") != 0))
+        .select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    )
+    edges2 = (
+        g.edges.select("src", "dst")
+        .unionByName(star)
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    g2 = Graph(edges2, vertices=g.nodes(), directed=False, weighted=False)
+    res, info = top_harmonic_closeness(g2, k=TOPHARM_K, batch=64)
+    n = g2.number_of_nodes()
+    if info.iterations >= n // 2:  # not `assert` — must survive python -O
+        raise AssertionError(
+            f"top_harmonic_closeness swept {info.iterations}/{n} nodes — "
+            "pruning bound never fired"
+        )
+    return res.select("id", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("id")
+    )
+
+
+def _top_harmonic_sql(hops: int = DIAM_HOPS, k: int = TOPHARM_K) -> str:
+    steps = [
+        """star AS (
+  SELECT CAST(0 AS BIGINT) AS src, id AS dst FROM nodes
+  WHERE id % 7 = 1 AND id <> 0
+),
+edges2 AS (
+  SELECT src, dst FROM edges UNION SELECT src, dst FROM star
+),
+adj2 AS (
+  SELECT src, dst FROM edges2 UNION ALL SELECT dst AS src, src AS dst FROM edges2
+)""",
+        "t0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist "
+        "FROM nodes)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj2 a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+sc AS (
+  SELECT s AS id,
+         SUM(CASE WHEN dist > 0 THEN CAST(1.0 AS DOUBLE) / dist
+                  ELSE CAST(0.0 AS DOUBLE) END) AS h
+  FROM t{hops} GROUP BY s
+)
+SELECT id, ROUND(h, 6) AS score FROM sc
+ORDER BY h DESC, id ASC LIMIT {k}"""
+    )
+
+
+SQL_TOP_HARMONIC = _top_harmonic_sql()

@@ -223,7 +223,11 @@ def closeness(
 
 
 def _closeness_upper_bounds(
-    g: Graph, n: int, ckpt: Checkpointer, max_levels: int = 128
+    g: Graph,
+    n: int,
+    ckpt: Checkpointer,
+    max_levels: int = 128,
+    harmonic: bool = False,
 ) -> DataFrame:
     """(id, ub): per-node upper bound on GENERALIZED closeness via the
     reference's neighborhood-growth farness lower bound
@@ -231,6 +235,15 @@ def _closeness_upper_bounds(
     centrality/TopCloseness.cpp:69-158), undirected form with EXACT
     reach (reachL == reachU == component size, from connected
     components — the computeReachable step, TopCloseness.cpp:54-67).
+
+    ``harmonic=True`` returns instead an upper bound on the RAW harmonic
+    closeness sum_{v} 1/d(u,v) (TopHarmonicCloseness.cpp NBcut bound,
+    tightened level-wise): the same growth estimate places the
+    (over-)counted mass at weight 1/L per level — since the cumulative
+    estimated counts dominate the true cumulative counts at every level
+    and the weights 1/L are decreasing, the weighted sum dominates the
+    true harmonic sum; the final overshoot is removed at the last
+    (cheapest) level, preserving domination.
 
     Per level L >= 2 the estimated newly-reached count is
         nn[u] = sum over neighbors v of nbrs[v]
@@ -272,10 +285,12 @@ def _closeness_upper_bounds(
             F.col("d").alias("nbrs"),
             F.lit(0.0).alias("nbrs_old"),
             F.col("d").alias("sumdist"),
+            F.col("d").alias("hsum"),
             (F.col("d") + 1).alias("bign"),
             # isolated nodes finish immediately (TopCloseness.cpp:80-83)
             (F.col("d") == 0).alias("fin"),
             F.when(F.col("d") == 0, 0.0).alias("dsum_lb"),
+            F.when(F.col("d") == 0, 0.0).alias("hub"),
         )
     )
     state = ckpt.cut(state, 0)
@@ -302,12 +317,19 @@ def _closeness_upper_bounds(
         )
         new_bign = F.col("bign") + nn
         new_sum = F.col("sumdist") + F.lit(float(level)) * nn
+        new_hsum = F.col("hsum") + nn / F.lit(float(level))
         # finished when the estimate covers the exact reach, or growth
         # stalls (then true reach <= N already — the reference's
         # reachU[u] = N[u] case, TopCloseness.cpp:125-139 incl. the
         # assert that N >= reachL whenever growth stalls)
         done_now = (new_bign >= F.col("r")) | (nn == 0)
         new_dsum = new_sum - F.lit(float(level)) * (new_bign - F.col("r"))
+        new_hub = new_hsum - (new_bign - F.col("r")) / F.lit(float(level))
+        # always-valid harmonic fallback: d neighbors at 1, everything
+        # else reachable at distance >= 2 (TopHarmonicCloseness.cpp:446)
+        hub_dist2 = F.col("d") + F.greatest(
+            F.lit(0.0), F.col("r") - 1 - F.col("d")
+        ) / F.lit(2.0)
         state = ckpt.cut(
             state.join(sums, "id", "left").select(
                 "id",
@@ -320,6 +342,9 @@ def _closeness_upper_bounds(
                 F.when(F.col("fin"), F.col("sumdist"))
                 .otherwise(new_sum)
                 .alias("sumdist"),
+                F.when(F.col("fin"), F.col("hsum"))
+                .otherwise(new_hsum)
+                .alias("hsum"),
                 F.when(F.col("fin"), F.col("bign"))
                 .otherwise(new_bign)
                 .alias("bign"),
@@ -342,10 +367,29 @@ def _closeness_upper_bounds(
                     )
                 )
                 .alias("dsum_lb"),
+                F.when(F.col("fin"), F.col("hub"))
+                .otherwise(
+                    F.when(
+                        done_now & (new_bign >= F.col("r")),
+                        F.greatest(new_hub, F.lit(0.0)),
+                    ).when(done_now, hub_dist2)
+                )
+                .alias("hub"),
             ),
             level,
         )
     adj.unpersist()
+    if harmonic:
+        # level cap stragglers fall back to the always-valid dist-2
+        # harmonic bound d + (r-1-d)/2
+        return state.select(
+            "id",
+            F.coalesce(
+                "hub",
+                F.col("d")
+                + F.greatest(F.lit(0.0), F.col("r") - 1 - F.col("d")) / 2.0,
+            ).alias("ub"),
+        )
     # level cap hit with stragglers: fall back to the always-valid
     # dist-2 bound 2*(r-1)-d for them
     return state.select(
@@ -445,6 +489,99 @@ def top_closeness(
         for row in exact:
             topk.append((float(row["score"]), int(row["id"])))
         # best-first: score desc, id asc
+        topk.sort(key=lambda t: (-t[0], t[1]))
+        del topk[k:]
+        remaining = remaining.join(
+            src_df.hint("broadcast"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        metrics.append(
+            ckpt.log(
+                swept,
+                swept=swept,
+                kth=topk[k - 1][0] if len(topk) >= k else None,
+                max_ub=max_ub,
+                wall_sec=_time.time() - t0,
+            )
+        )
+    out = spark.createDataFrame(
+        [(i, s) for s, i in topk], "id long, score double"
+    )
+    return out, SuperstepResult(iterations=swept, metrics=metrics)
+
+
+def top_harmonic_closeness(
+    g: Graph,
+    k: int = 10,
+    batch: int = 64,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """Top-k RAW harmonic closeness (sum of 1/d(u,v)) without the
+    all-sources sweep.
+
+    Reference: TopHarmonicCloseness NBcut (/root/reference/networkit/
+    cpp/centrality/TopHarmonicCloseness.cpp:113-167,446-451): rank by a
+    per-node harmonic UPPER bound, sweep best-first, stop when the
+    bound proves no unswept node can beat the current k-th score. The
+    distributed form batches candidates through the multi-source tagged
+    BFS (state O(batch * n)); the initial bound is the level-wise
+    neighborhood-growth bound (strictly tighter than the reference's
+    deg + (reach-deg)/2 seed bound — see
+    :func:`_closeness_upper_bounds` ``harmonic=True``).
+
+    Directed graphs are refused for the same reach-bound reason as
+    :func:`top_closeness`. Returns (top-k (id, score) desc/id asc,
+    SuperstepResult with ``iterations`` = candidates actually swept).
+    """
+    if g.directed:
+        raise ValueError(
+            "top_harmonic_closeness needs exact per-node reach; directed "
+            "reach bounds (SCC condensation) are not implemented"
+        )
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    n = g.number_of_nodes()
+    if n <= 1:
+        return (
+            g.nodes().select("id", F.lit(0.0).alias("score")),
+            SuperstepResult(iterations=0),
+        )
+    cand = _closeness_upper_bounds(g, n, ckpt, harmonic=True).localCheckpoint(
+        eager=True
+    )
+    topk: list[tuple[float, int]] = []
+    swept = 0
+    metrics: list[dict] = []
+    remaining = cand
+    while True:
+        wave = remaining.orderBy(F.desc("ub"), F.asc("id")).limit(batch)
+        wave_rows = wave.collect()
+        if not wave_rows:
+            break
+        kth = topk[k - 1][0] if len(topk) >= k else float("-inf")
+        max_ub = max(r["ub"] for r in wave_rows)
+        if max_ub < kth:
+            break
+        import time as _time
+
+        t0 = _time.time()
+        ids = [int(r["id"]) for r in wave_rows]
+        src_df = spark.createDataFrame([(i,) for i in ids], "id long")
+        settled, _ = _tagged_bfs(g, src_df, None, ckpt)
+        exact = (
+            settled.groupBy(F.col("s").alias("id"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("dist") > 0, 1.0 / F.col("dist"))
+                    ),
+                    F.lit(0.0),
+                ).alias("score")
+            )
+            .collect()
+        )
+        swept += len(ids)
+        for row in exact:
+            topk.append((float(row["score"]), int(row["id"])))
         topk.sort(key=lambda t: (-t[0], t[1]))
         del topk[k:]
         remaining = remaining.join(

@@ -135,3 +135,39 @@ def test_weighted_closeness_takes_lighter_detour(spark):
     gen = _scores(closeness(g, variant=GENERALIZED, weighted=True)[0])
     # from 0: d(1)=2, d(2)=5 -> dsum 7
     assert gen[0] == pytest.approx(2 / 7 / 2)
+
+
+def test_top_harmonic_matches_exact(spark):
+    """top_harmonic_closeness == exact harmonic top-k (raw scores,
+    (score desc, id asc) order) and the bound prunes."""
+    from networkit_spark.operators.closeness import top_harmonic_closeness
+
+    edges = [(0, i) for i in range(1, 11)]
+    edges += [(i, i + 1) for i in range(1, 10)] + [(10, 1)]
+    edges += [(1, 11), (11, 12), (12, 13)]
+    g = Graph.from_pandas(spark, edges, n=14)
+    k = 5
+    got, info = top_harmonic_closeness(g, k=k, batch=4)
+    got_rows = [(r["id"], r["score"]) for r in got.collect()]
+
+    exact = _scores(harmonic_closeness(g)[0])
+    want = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert [i for i, _ in got_rows] == [i for i, _ in want]
+    for (gi, gs), (wi, ws) in zip(got_rows, want):
+        assert gs == pytest.approx(ws, abs=1e-12)
+    assert info.iterations < 14, "pruning never fired"
+
+
+def test_top_harmonic_disconnected_and_directed(spark):
+    from networkit_spark.operators.closeness import top_harmonic_closeness
+
+    g = Graph.from_pandas(spark, [(0, 1), (2, 3), (3, 4)], n=6)
+    got, _ = top_harmonic_closeness(g, k=3, batch=2)
+    rows = [(r["id"], r["score"]) for r in got.collect()]
+    exact = _scores(harmonic_closeness(g)[0])
+    want = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert [i for i, _ in rows] == [i for i, _ in want]
+
+    gd = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
+    with pytest.raises(ValueError, match="directed"):
+        top_harmonic_closeness(gd)
