@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_max_cliques": e.q_max_cliques,
         "graph_scd_nibble": e.q_scd_nibble,
         "graph_top_harmonic": e.q_top_harmonic,
+        "graph_degree_shuffle": e.q_degree_shuffle,
+        "graph_curveball": e.q_curveball,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -209,4 +211,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_max_cliques": e.SQL_MAX_CLIQUES,
         "graph_scd_nibble": e.SQL_SCD_NIBBLE,
         "graph_top_harmonic": e.SQL_TOP_HARMONIC,
+        "graph_degree_shuffle": e.SQL_DEGREE_SHUFFLE,
+        "graph_curveball": e.SQL_CURVEBALL,
     }

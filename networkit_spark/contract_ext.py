@@ -3604,3 +3604,162 @@ ORDER BY h DESC, id ASC LIMIT {k}"""
 
 
 SQL_TOP_HARMONIC = _top_harmonic_sql()
+
+
+# ---------------------------------------------------------------------------
+# DegreePreservingShuffle (randomization/DegreePreservingShuffle.cpp:20-120)
+# — md5-derandomized in-class permutation; the oracle replays the exact
+# ranks with per-degree-class ROW_NUMBERs.
+# ---------------------------------------------------------------------------
+
+DPS_SEED = 42
+
+
+def q_degree_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.randomization import (
+        degree_preserving_shuffle,
+    )
+
+    g = load_graph(spark, sf_dir)
+    _, out = degree_preserving_shuffle(g, seed=DPS_SEED)
+    return out.edges.select("src", "dst").orderBy("src", "dst")
+
+
+SQL_DEGREE_SHUFFLE = f"""WITH {{ctes}},
+key AS (
+  SELECT d.id, d.degree,
+         md5('{DPS_SEED}|' || CAST(d.id AS VARCHAR)) AS rnd
+  FROM deg d
+),
+a AS (
+  SELECT id, degree,
+         ROW_NUMBER() OVER (PARTITION BY degree ORDER BY rnd, id) AS rk
+  FROM key
+),
+b AS (
+  SELECT id AS new_id, degree,
+         ROW_NUMBER() OVER (PARTITION BY degree ORDER BY id) AS rk
+  FROM deg
+),
+m AS (SELECT a.id, b.new_id FROM a JOIN b ON a.degree = b.degree AND a.rk = b.rk)
+SELECT LEAST(ms.new_id, md.new_id) AS src,
+       GREATEST(ms.new_id, md.new_id) AS dst
+FROM edges e JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst
+ORDER BY src, dst""".format(ctes=GRAPH_CTES)
+
+
+# ---------------------------------------------------------------------------
+# GlobalCurveball (randomization/GlobalCurveball.cpp, batched-trade
+# variant — see operators/randomization.py global_curveball for the
+# deviation notes). The oracle replays every trade round: md5 pairing,
+# ownership coins, common-neighbor blocks, per-pair md5 redistribution,
+# and whole-pair reverts on cross-pair created-edge collisions.
+# ---------------------------------------------------------------------------
+
+GC_ROUNDS = 3
+GC_SEED = 42
+
+
+def q_curveball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.randomization import global_curveball
+
+    g = load_graph(spark, sf_dir)
+    out = global_curveball(g, rounds=GC_ROUNDS, seed=GC_SEED)
+    return out.edges.select("src", "dst").orderBy("src", "dst")
+
+
+def _curveball_sql(rounds: int = GC_ROUNDS, seed: int = GC_SEED) -> str:
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"CAST(({nib}) AS BIGINT)"
+
+    parts = ["cb0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for r in range(1, rounds + 1):
+        coin = horner(
+            f"md5('{seed}|o|{r}|' || CAST(src AS VARCHAR) || '|' "
+            f"|| CAST(dst AS VARCHAR))"
+        )
+        parts.append(
+            f"""pm{r} AS MATERIALIZED (
+  SELECT id,
+         (ROW_NUMBER() OVER (
+            ORDER BY md5('{seed}|t|{r}|' || CAST(id AS VARCHAR)), id) - 1)
+         AS rn
+  FROM nodes
+),
+pm2{r} AS (SELECT id, rn // 2 AS pid, rn % 2 AS side FROM pm{r}),
+pr{r} AS (
+  SELECT pid, MAX(CASE WHEN side = 0 THEN id END) AS u,
+              MAX(CASE WHEN side = 1 THEN id END) AS v
+  FROM pm2{r} GROUP BY pid
+),
+ee{r} AS (
+  SELECT e.src, e.dst, a.pid AS psrc, a.side AS ssrc,
+         b.pid AS pdst, b.side AS sdst
+  FROM cb{r - 1} e JOIN pm2{r} a ON a.id = e.src
+                   JOIN pm2{r} b ON b.id = e.dst
+),
+fx{r} AS (SELECT src, dst FROM ee{r} WHERE psrc = pdst),
+it{r} AS (
+  SELECT src, dst,
+         CASE WHEN coin = 0 THEN psrc ELSE pdst END AS pid,
+         CASE WHEN coin = 0 THEN ssrc ELSE sdst END AS side,
+         CASE WHEN coin = 0 THEN dst ELSE src END AS y
+  FROM (SELECT ee{r}.*, {coin} % 2 AS coin FROM ee{r} WHERE psrc <> pdst)
+),
+it2{r} AS MATERIALIZED (
+  SELECT i.src, i.dst, i.pid, i.side, i.y, p.u, p.v,
+         (CASE WHEN i.side = 0 THEN p.v ELSE p.u END) IS NOT NULL
+         AND NOT EXISTS (
+           SELECT 1 FROM cb{r - 1} x
+           WHERE x.src = LEAST(
+                   CASE WHEN i.side = 0 THEN p.v ELSE p.u END, i.y)
+             AND x.dst = GREATEST(
+                   CASE WHEN i.side = 0 THEN p.v ELSE p.u END, i.y)
+         ) AS tr
+  FROM it{r} i JOIN pr{r} p ON p.pid = i.pid
+),
+cu{r} AS (
+  SELECT pid, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cu
+  FROM it2{r} WHERE tr GROUP BY pid
+),
+rk{r} AS (
+  SELECT t.pid, t.src, t.dst, t.y, t.u, t.v, c.cu,
+         (ROW_NUMBER() OVER (PARTITION BY t.pid
+            ORDER BY md5('{seed}|p|{r}|' || CAST(t.pid AS VARCHAR) || '|'
+                         || CAST(t.y AS VARCHAR)), t.y) - 1) AS rk
+  FROM it2{r} t JOIN cu{r} c ON c.pid = t.pid
+  WHERE t.tr
+),
+cr{r} AS (
+  SELECT pid, src, dst,
+         LEAST(CASE WHEN rk < cu THEN u ELSE v END, y) AS ns,
+         GREATEST(CASE WHEN rk < cu THEN u ELSE v END, y) AS nd
+  FROM rk{r}
+),
+bad{r} AS (
+  SELECT DISTINCT c.pid
+  FROM cr{r} c JOIN (
+    SELECT ns, nd FROM cr{r} GROUP BY ns, nd HAVING COUNT(*) > 1
+  ) d ON d.ns = c.ns AND d.nd = c.nd
+),
+cb{r} AS MATERIALIZED (
+  SELECT src, dst FROM fx{r}
+  UNION ALL SELECT src, dst FROM it2{r} WHERE NOT tr
+  UNION ALL SELECT src, dst FROM cr{r} WHERE pid IN (SELECT pid FROM bad{r})
+  UNION ALL SELECT ns AS src, nd AS dst FROM cr{r}
+   WHERE pid NOT IN (SELECT pid FROM bad{r})
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT src, dst FROM cb{rounds} ORDER BY src, dst"
+    )
+
+
+SQL_CURVEBALL = _curveball_sql()

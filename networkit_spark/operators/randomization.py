@@ -173,3 +173,258 @@ def edge_switching(
         weighted=False,
     )
     return out, applied_total
+
+
+def degree_preserving_shuffle(
+    g: Graph, seed: int = 42
+) -> tuple[DataFrame, Graph]:
+    """(mapping (id, new_id), permuted graph).
+
+    Reference: /root/reference/networkit/cpp/randomization/
+    DegreePreservingShuffle.cpp (:20-120 — group nodes by degree
+    (undirected) or (in, out) degree pair (directed) and uniformly
+    permute ids WITHIN each class; the permuted graph has the exact
+    same per-node degree sequence).
+
+    Distributed derandomized form: within each class, the node with the
+    j-th smallest md5(seed|id) key receives the id of the node with the
+    j-th smallest id. Ranks come from two :func:`dense_ids` passes with
+    the class as leading sort key (per-class rank = global rank minus
+    the class minimum) — no per-class global-sort window, so a web
+    graph's giant degree-1 class never lands in one task.
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    nodes = g.nodes()
+    if g.directed:
+        din = g.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("din")
+        )
+        dout = g.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("dout")
+        )
+        cls = (
+            nodes.join(din, "id", "left")
+            .join(dout, "id", "left")
+            .select(
+                "id",
+                F.coalesce("din", F.lit(0)).alias("c1"),
+                F.coalesce("dout", F.lit(0)).alias("c2"),
+            )
+        )
+    else:
+        cls = g.degrees().select(
+            "id", F.col("degree").alias("c1"), F.lit(0).alias("c2")
+        )
+    keyed = cls.withColumn(
+        "rnd", F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id")))
+    )
+    byrnd = dense_ids(keyed, ["c1", "c2", "rnd", "id"], "gr")
+    byid = dense_ids(keyed.select("id", "c1", "c2"), ["c1", "c2", "id"], "gi")
+    a = byrnd.join(
+        byrnd.groupBy("c1", "c2").agg(F.min("gr").alias("m")), ["c1", "c2"]
+    ).select("id", "c1", "c2", (F.col("gr") - F.col("m")).alias("rk"))
+    b = byid.join(
+        byid.groupBy("c1", "c2").agg(F.min("gi").alias("m")), ["c1", "c2"]
+    ).select(
+        F.col("id").alias("new_id"),
+        "c1",
+        "c2",
+        (F.col("gi") - F.col("m")).alias("rk"),
+    )
+    mapping = a.join(b, ["c1", "c2", "rk"]).select("id", "new_id")
+    msrc = mapping.select(
+        F.col("id").alias("src"), F.col("new_id").alias("nsrc")
+    )
+    mdst = mapping.select(
+        F.col("id").alias("dst"), F.col("new_id").alias("ndst")
+    )
+    edges = (
+        g.edges.join(msrc, "src")
+        .join(mdst, "dst")
+        .select(
+            F.col("nsrc").alias("src"), F.col("ndst").alias("dst"), "weight"
+        )
+    )
+    if not g.directed:
+        edges = edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+    return mapping, Graph(
+        edges, vertices=g.vertices, directed=g.directed, weighted=g.weighted
+    )
+
+
+def global_curveball(
+    g: Graph,
+    rounds: int = 3,
+    seed: int = 42,
+    checkpointer: Checkpointer | None = None,
+) -> Graph:
+    """Degree-preserving GlobalCurveball null model.
+
+    Reference: /root/reference/networkit/cpp/randomization/
+    GlobalCurveball.cpp + GlobalCurveballImpl.hpp (each global trade
+    round pairs every node with a partner and, per pair (u, v), keeps
+    the common neighborhood and the u-v edge fixed while uniformly
+    redistributing the disjoint neighbors, preserving both degrees).
+
+    Batched deterministic variant (documented deviation — same
+    stationary degree-preserving family, like :func:`edge_switching`):
+    per round, nodes are paired by md5 rank; every inter-pair edge is
+    OWNED by exactly one of its endpoints' pairs (md5 coin), so no two
+    trades move the same edge; an owned neighbor y of pair (u, v) is
+    tradeable iff the other pair node has no edge to y (the common
+    neighborhood stays fixed, and reassignment can never recreate an
+    existing edge); tradeable items are ranked per pair by md5 and the
+    first c_u (u's original tradeable count) go to u, the rest to v.
+    The one remaining conflict — two different pairs simultaneously
+    CREATING the same edge — reverts both pairs' whole trades
+    (order-independent, degree-preserving). All ranking goes through
+    :func:`~networkit_spark.plans.ids.dense_ids` (no global-sort or
+    per-hub windows); each round is a bounded number of joins and hash
+    aggregations over the edge set.
+    """
+    if g.directed:
+        raise ValueError("global_curveball supports undirected graphs only")
+    from networkit_spark.plans.ids import dense_ids
+
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    nodes = g.nodes().localCheckpoint(eager=True)
+    edges = (
+        g.remove_self_loops()
+        .edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, rounds + 1):
+        nk = nodes.withColumn(
+            "rnd",
+            F.md5(F.concat_ws("|", F.lit(f"{seed}|t|{r}"), F.col("id"))),
+        )
+        perm = dense_ids(nk, ["rnd", "id"], "rn").select(
+            "id",
+            (F.col("rn") / 2).cast("long").alias("pid"),
+            (F.col("rn") % 2).alias("side"),
+        )
+        pairs = perm.groupBy("pid").agg(
+            F.max(F.when(F.col("side") == 0, F.col("id"))).alias("u"),
+            F.max(F.when(F.col("side") == 1, F.col("id"))).alias("v"),
+        )
+        ps = perm.select(
+            F.col("id").alias("src"),
+            F.col("pid").alias("psrc"),
+            F.col("side").alias("ssrc"),
+        )
+        pd_ = perm.select(
+            F.col("id").alias("dst"),
+            F.col("pid").alias("pdst"),
+            F.col("side").alias("sdst"),
+        )
+        ee = edges.join(ps, "src").join(pd_, "dst")
+        fixed = ee.filter(F.col("psrc") == F.col("pdst")).select("src", "dst")
+        coin = _klong(F.lit(f"{seed}|o|{r}"), F.col("src"), F.col("dst")) % 2
+        items = (
+            ee.filter(F.col("psrc") != F.col("pdst"))
+            .withColumn("coin", coin)
+            .select(
+                "src",
+                "dst",
+                F.when(F.col("coin") == 0, F.col("psrc"))
+                .otherwise(F.col("pdst"))
+                .alias("pid"),
+                F.when(F.col("coin") == 0, F.col("ssrc"))
+                .otherwise(F.col("sdst"))
+                .alias("side"),
+                F.when(F.col("coin") == 0, F.col("dst"))
+                .otherwise(F.col("src"))
+                .alias("y"),
+            )
+            .join(pairs, "pid")
+            .withColumn(
+                "o",
+                F.when(F.col("side") == 0, F.col("v")).otherwise(F.col("u")),
+            )
+        )
+        ex = edges.select(
+            F.col("src").alias("xs"),
+            F.col("dst").alias("xd"),
+            F.lit(1).alias("x"),
+        )
+        items = (
+            items.withColumn("ois", F.least("o", "y"))
+            .withColumn("oid", F.greatest("o", "y"))
+            .join(
+                ex,
+                (F.col("ois") == F.col("xs"))
+                & (F.col("oid") == F.col("xd")),
+                "left",
+            )
+            .withColumn("tr", F.col("o").isNotNull() & F.col("x").isNull())
+            .drop("xs", "xd", "x", "ois", "oid")
+        )
+        items = ckpt.cut(items, 10 * r)
+        blocked = items.filter(~F.col("tr")).select("src", "dst")
+        trd = items.filter(F.col("tr")).withColumn(
+            "prnd",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(f"{seed}|p|{r}"), F.col("pid"), F.col("y")
+                )
+            ),
+        )
+        cu = trd.groupBy("pid").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cu")
+        )
+        ranked = dense_ids(trd, ["pid", "prnd", "y"], "gr")
+        ranked = (
+            ranked.join(
+                ranked.groupBy("pid").agg(F.min("gr").alias("m")), "pid"
+            )
+            .withColumn("rk", F.col("gr") - F.col("m"))
+            .join(cu, "pid")
+        )
+        created = ranked.withColumn(
+            "w2",
+            F.when(F.col("rk") < F.col("cu"), F.col("u")).otherwise(
+                F.col("v")
+            ),
+        ).select(
+            "pid",
+            "src",
+            "dst",
+            F.least("w2", "y").alias("ns"),
+            F.greatest("w2", "y").alias("nd"),
+        )
+        dup = (
+            created.groupBy("ns", "nd")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        badp = (
+            created.join(dup.select("ns", "nd"), ["ns", "nd"])
+            .select("pid")
+            .distinct()
+        )
+        good = created.join(badp, "pid", "left_anti").select(
+            F.col("ns").alias("src"), F.col("nd").alias("dst")
+        )
+        reverted = created.join(badp, "pid", "left_semi").select("src", "dst")
+        edges = ckpt.cut(
+            fixed.unionByName(blocked)
+            .unionByName(good)
+            .unionByName(reverted),
+            100 + r,
+        )
+    return Graph(
+        edges.withColumn("weight", F.lit(1.0)),
+        vertices=g.vertices,
+        directed=False,
+        weighted=False,
+    )
