@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_top_harmonic": e.q_top_harmonic,
         "graph_degree_shuffle": e.q_degree_shuffle,
         "graph_curveball": e.q_curveball,
+        "graph_dyn_katz": e.q_dyn_katz,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -213,4 +214,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_top_harmonic": e.SQL_TOP_HARMONIC,
         "graph_degree_shuffle": e.SQL_DEGREE_SHUFFLE,
         "graph_curveball": e.SQL_CURVEBALL,
+        "graph_dyn_katz": e.SQL_DYN_KATZ,
     }

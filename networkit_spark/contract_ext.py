@@ -3763,3 +3763,137 @@ cb{r} AS MATERIALIZED (
 
 
 SQL_CURVEBALL = _curveball_sql()
+
+
+# ---------------------------------------------------------------------------
+# DynKatzCentrality (centrality/DynKatzCentrality.cpp) — pinned-level
+# mode: run L levels statically, apply a deterministic event batch via
+# the sparse delta repair, and hash the full (id, score, bound) table.
+# The oracle recomputes the path counts STATICALLY on the post-event
+# graph, so the gate proves incremental repair == static recompute.
+# alpha = 1/(maxdeg+1) of the ORIGINAL graph (reference pins it); all
+# float folds are left-associative repeated multiplies in both engines.
+# ---------------------------------------------------------------------------
+
+DK_LEVELS = 6
+
+
+def q_dyn_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.dynkatz import DynKatz
+
+    g = load_graph(spark, sf_dir)
+    dk = DynKatz(g, k=10, levels=DK_LEVELS).run()
+    ed = g.edges
+    removes = ed.filter(
+        (F.col("src") * 31 + F.col("dst")) % 23 == 0
+    ).select(
+        F.lit("EDGE_REMOVAL").alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    nodes = g.nodes()
+    cand = (
+        spark.range(15)
+        .select(
+            F.least(
+                F.col("id"), (F.col("id") * F.col("id") * 7 + 3) % 997
+            ).alias("a"),
+            F.greatest(
+                F.col("id"), (F.col("id") * F.col("id") * 7 + 3) % 997
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .join(
+            ed.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+        .join(nodes.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(nodes.withColumnRenamed("id", "b"), "b", "left_semi")
+    )
+    adds = cand.select(
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("a").alias("u"),
+        F.col("b").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    dk.update_batch(adds.unionByName(removes))
+    return (
+        dk.scores()
+        .select(
+            "id",
+            F.round("score", 6).alias("score"),
+            F.round("bound", 6).alias("bound"),
+        )
+        .orderBy("id")
+    )
+
+
+def _dyn_katz_sql(levels: int = DK_LEVELS) -> str:
+    parts = [
+        """md AS (SELECT MAX(degree) AS m FROM deg),
+al AS (SELECT CAST(1.0 AS DOUBLE) / (m + 1) AS a, m FROM md),
+rem AS (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 23 = 0),
+addf AS (
+  SELECT DISTINCT LEAST(i, (i * i * 7 + 3) % 997) AS a,
+                  GREATEST(i, (i * i * 7 + 3) % 997) AS b
+  FROM range(15) t(i)
+  WHERE LEAST(i, (i * i * 7 + 3) % 997)
+        <> GREATEST(i, (i * i * 7 + 3) % 997)
+    AND NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = LEAST(i, (i * i * 7 + 3) % 997)
+                      AND e.dst = GREATEST(i, (i * i * 7 + 3) % 997))
+    AND EXISTS (SELECT 1 FROM nodes n
+                WHERE n.id = LEAST(i, (i * i * 7 + 3) % 997))
+    AND EXISTS (SELECT 1 FROM nodes n
+                WHERE n.id = GREATEST(i, (i * i * 7 + 3) % 997))
+),
+edges3 AS (
+  SELECT src, dst FROM (SELECT src, dst FROM edges
+                        EXCEPT SELECT src, dst FROM rem)
+  UNION SELECT a AS src, b AS dst FROM addf
+),
+adj3 AS (
+  SELECT src, dst FROM edges3
+  UNION ALL SELECT dst AS src, src AS dst FROM edges3
+)""",
+        "np0 AS MATERIALIZED (SELECT id, CAST(1 AS DECIMAL(38,0)) AS np "
+        "FROM nodes)",
+    ]
+    for r in range(1, levels + 1):
+        parts.append(
+            f"""np{r} AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(s.np, 0) AS DECIMAL(38,0)) AS np
+  FROM nodes n LEFT JOIN (
+    SELECT a.src AS id, SUM(p.np) AS np
+    FROM adj3 a JOIN np{r - 1} p ON p.id = a.dst GROUP BY a.src
+  ) s ON s.id = n.id
+)"""
+        )
+    apow = {r: " * ".join(["a"] * r) for r in range(1, levels + 2)}
+    base = "0.0"
+    for r in range(1, levels + 1):
+        base = f"({base} + ({apow[r]}) * CAST(np{r}.np AS DOUBLE))"
+    nxt = f"({apow[levels + 1]})"
+    joins = " ".join(
+        f"JOIN np{r} ON np{r}.id = nodes.id" for r in range(1, levels + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT nodes.id,
+         {base} + {nxt} * CAST(np{levels}.np AS DOUBLE) AS score,
+         {base} + ({nxt} / (1.0 - a * m))
+                  * CAST(np{levels}.np AS DOUBLE) AS bound
+  FROM nodes {joins}, al
+)
+SELECT id, ROUND(score, 6) AS score, ROUND(bound, 6) AS bound
+FROM sc ORDER BY id"""
+    )
+
+
+SQL_DYN_KATZ = _dyn_katz_sql()
