@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_shuffle": e.q_degree_shuffle,
         "graph_curveball": e.q_curveball,
         "graph_dyn_katz": e.q_dyn_katz,
+        "graph_scd_gce": e.q_scd_gce,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -215,4 +216,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_shuffle": e.SQL_DEGREE_SHUFFLE,
         "graph_curveball": e.SQL_CURVEBALL,
         "graph_dyn_katz": e.SQL_DYN_KATZ,
+        "graph_scd_gce": e.SQL_SCD_GCE,
     }

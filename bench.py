@@ -85,7 +85,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "graph_group_harmonic", "graph_kadabra", "graph_maxflow",
         "graph_edge_switching", "graph_max_cliques", "graph_kcore",
         "graph_scd_nibble", "graph_top_harmonic", "graph_degree_shuffle",
-        "graph_curveball", "graph_dyn_katz",
+        "graph_curveball", "graph_dyn_katz", "graph_scd_gce",
     ]:
         sec, _ = timed(lambda: qs[name](spark, sf_dir).collect())
         queries[name] = round(sec, 3)

@@ -3897,3 +3897,95 @@ FROM sc ORDER BY id"""
 
 
 SQL_DYN_KATZ = _dyn_katz_sql()
+
+
+# ---------------------------------------------------------------------------
+# GCE (scd/GCE.cpp objective M) — greedy expansion from the max-degree
+# seed, GCE_STEPS unrolled greedy argmax rounds in the oracle. Scalars
+# are exact small integers in doubles, divisions are single ops, and
+# gains are 9-dp rounded in both engines, so the replayed argmax picks
+# are bit-identical.
+# ---------------------------------------------------------------------------
+
+GCE_STEPS = 12
+
+
+def q_scd_gce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scd import gce_expand
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    com, q = gce_expand(g, [seed], max_steps=GCE_STEPS)
+    return com.select(
+        "id", F.round(F.lit(q), 6).alias("q")
+    ).orderBy("id")
+
+
+def _scd_gce_sql(steps: int = GCE_STEPS) -> str:
+    parts = [
+        """com0 AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1
+)"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        dq = f"""ROUND(CASE WHEN z.cut - s.intdeg + (d.degree - s.intdeg) > 0
+               THEN (z.w + s.intdeg)
+                    / (z.cut - s.intdeg + (d.degree - s.intdeg))
+               ELSE CAST('infinity' AS DOUBLE) END - z.q, 9)"""
+        parts.append(
+            f"""ws{t} AS (
+  SELECT CAST((SELECT COUNT(*) FROM edges e
+               JOIN com{p} x ON x.id = e.src
+               JOIN com{p} y ON y.id = e.dst) AS DOUBLE) AS w,
+         CAST((SELECT COALESCE(SUM(d.degree), 0) FROM deg d
+               JOIN com{p} c ON c.id = d.id) AS DOUBLE) AS vol
+),
+qq{t} AS (
+  SELECT w, vol - 2 * w AS cut,
+         CASE WHEN vol - 2 * w > 0 THEN w / (vol - 2 * w)
+              ELSE CAST('infinity' AS DOUBLE) END AS q
+  FROM ws{t}
+),
+sh{t} AS (
+  SELECT a.src AS v, CAST(COUNT(*) AS DOUBLE) AS intdeg
+  FROM adj a JOIN com{p} c ON c.id = a.dst
+  WHERE a.src NOT IN (SELECT id FROM com{p})
+  GROUP BY a.src
+),
+st{t} AS (
+  SELECT s.v
+  FROM sh{t} s JOIN deg d ON d.id = s.v, qq{t} z
+  WHERE {dq} > 0
+  ORDER BY {dq} DESC, s.v ASC
+  LIMIT 1
+),
+com{t} AS MATERIALIZED (
+  SELECT id FROM com{p} UNION ALL SELECT v AS id FROM st{t}
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f""",
+wsf AS (
+  SELECT CAST((SELECT COUNT(*) FROM edges e
+               JOIN com{steps} x ON x.id = e.src
+               JOIN com{steps} y ON y.id = e.dst) AS DOUBLE) AS w,
+         CAST((SELECT COALESCE(SUM(d.degree), 0) FROM deg d
+               JOIN com{steps} c ON c.id = d.id) AS DOUBLE) AS vol
+),
+qf AS (
+  SELECT CASE WHEN vol - 2 * w > 0 THEN w / (vol - 2 * w)
+              ELSE CAST('infinity' AS DOUBLE) END AS q
+  FROM wsf
+)
+SELECT c.id, ROUND((SELECT q FROM qf), 6) AS q
+FROM com{steps} c ORDER BY c.id"""
+    )
+
+
+SQL_SCD_GCE = _scd_gce_sql()

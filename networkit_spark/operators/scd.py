@@ -181,3 +181,125 @@ def page_rank_nibble(
         ranked.filter(F.col("rk") <= best_rk).select("id").orderBy("id"),
         best_cond,
     )
+
+
+def gce_expand(
+    g: Graph,
+    seeds,
+    max_steps: int = 64,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, float]:
+    """(community(id), final quality) — GCE greedy community expansion,
+    objective M.
+
+    Reference: /root/reference/networkit/cpp/scd/GCE.cpp (:40-46 deltaM =
+    (W_int + intDeg) / (cut - intDeg + extDeg) - Q; :85-110 expand loop:
+    scan the shell for the max positive quality gain, add it, repeat).
+    Documented deviations: argmax ties break by SMALLEST node id (the
+    reference picks uniformly at random among ties); the L objective
+    (boundary-size term) is not implemented; gains are rounded to 9
+    decimals before comparison so ulp noise cannot flip a pick; directed
+    inputs are canonicalized to undirected like :func:`page_rank_nibble`.
+
+    Plan shape: each greedy step is one broadcast join + hash aggregation
+    over the shell (edges incident to C) followed by a 1-row argmax
+    collect; quality scalars live on the driver. The community id set is
+    driver-side, bounded by len(seeds) + max_steps — GCE is a LOCAL
+    method by construction (SelectiveCommunityDetector.hpp).
+    """
+    spark = g.edges.sparkSession
+    gg = g.remove_self_loops()
+    if gg.directed:
+        und = (
+            gg.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        gg = Graph(und, gg.vertices, directed=False, weighted=gg.weighted)
+    adj = materialize_partitioned(gg.adj(), "src")
+    deg = materialize_partitioned(
+        gg.degrees().select("id", "w_degree"), "id"
+    )
+
+    def _scalars(com_set):
+        cdf = spark.createDataFrame([(i,) for i in com_set], "id long")
+        w = float(
+            gg.edges.join(
+                F.broadcast(cdf.withColumnRenamed("id", "src")),
+                "src",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(cdf.withColumnRenamed("id", "dst")),
+                "dst",
+                "left_semi",
+            )
+            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        vol = float(
+            deg.join(F.broadcast(cdf), "id", "left_semi")
+            .agg(F.coalesce(F.sum("w_degree"), F.lit(0.0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        return w, vol - 2.0 * w
+
+    com = {int(s) for s in seeds}
+    w_int, cut = _scalars(com)
+    q = (w_int / cut) if cut > 0 else float("inf")
+    for _ in range(max_steps):
+        com_df = spark.createDataFrame(
+            [(i,) for i in sorted(com)], "cid long"
+        )
+        shell = (
+            adj.join(F.broadcast(com_df), adj.dst == F.col("cid"))
+            .drop("cid")
+            .join(
+                F.broadcast(com_df.withColumnRenamed("cid", "src")),
+                "src",
+                "left_anti",
+            )
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("weight").alias("intdeg"))
+            .join(deg.withColumnRenamed("id", "v"), "v")
+            .withColumn("extdeg", F.col("w_degree") - F.col("intdeg"))
+        )
+        den = F.col("cut") - F.col("intdeg") + F.col("extdeg")
+        best = (
+            shell.withColumn("wc", F.lit(w_int))
+            .withColumn("cut", F.lit(cut))
+            .withColumn(
+                "dq",
+                F.round(
+                    F.when(
+                        den > 0,
+                        (F.col("wc") + F.col("intdeg")) / den,
+                    ).otherwise(F.lit(float("inf")))
+                    - F.lit(q),
+                    9,
+                ),
+            )
+            .filter(F.col("dq") > 0)
+            .orderBy(F.desc("dq"), F.asc("v"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        v = int(best[0]["v"])
+        intdeg = float(best[0]["intdeg"])
+        extdeg = float(best[0]["extdeg"])
+        com.add(v)
+        w_int += intdeg
+        cut = cut - intdeg + extdeg
+        q = (w_int / cut) if cut > 0 else float("inf")
+    adj.unpersist()
+    deg.unpersist()
+    return (
+        spark.createDataFrame([(i,) for i in sorted(com)], "id long"),
+        q,
+    )

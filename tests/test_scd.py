@@ -67,3 +67,86 @@ def test_no_unpartitioned_window(spark):
     # result is still correct with many shuffle partitions
     comm, _ = page_rank_nibble(g, 0)
     assert sorted(r["id"] for r in comm.collect()) == list(range(6))
+
+
+# --- GCE (scd/GCE.cpp, objective M) ----------------------------------------
+
+
+def _gce_replica(edges, seeds, max_steps=64):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    com = set(seeds)
+    w = sum(1 for a, b in edges if a in com and b in com)
+    cut = sum(len(adj[u]) for u in com) - 2 * w
+    q = w / cut if cut > 0 else float("inf")
+    for _ in range(max_steps):
+        shell = {v for u in com for v in adj[u]} - com
+        best_v, best_dq = None, 0.0
+        for v in sorted(shell):
+            intd = len(adj[v] & com)
+            extd = len(adj[v]) - intd
+            den = cut - intd + extd
+            gain = (w + intd) / den if den > 0 else float("inf")
+            dq = round(gain - q, 9)
+            if dq > best_dq:
+                best_v, best_dq = v, dq
+        if best_v is None:
+            break
+        intd = len(adj[best_v] & com)
+        extd = len(adj[best_v]) - intd
+        com.add(best_v)
+        w += intd
+        cut = cut - intd + extd
+        q = w / cut if cut > 0 else float("inf")
+    return sorted(com), q
+
+
+def test_gce_two_cliques(spark):
+    from networkit_spark.operators.scd import gce_expand
+
+    k = 6
+    c1 = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    c2 = [(a + k, b + k) for a, b in c1]
+    edges = c1 + c2 + [(0, k)]
+    g = Graph.from_pandas(spark, edges, n=2 * k)
+    com, q = gce_expand(g, [2])
+    got = [r["id"] for r in com.collect()]
+    want, wq = _gce_replica(edges, [2])
+    assert got == want == list(range(6))
+    assert q == pytest.approx(wq)
+
+
+def test_gce_matches_replica_on_er(spark):
+    from networkit_spark.operators.scd import gce_expand
+    from networkit_spark.sources.generators import erdos_renyi_edges
+    from pyspark.sql import functions as F
+
+    e = erdos_renyi_edges(spark, n_nodes=60, n_edges=180, seed=3)
+    rows = [
+        (r["src"], r["dst"])
+        for r in e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .collect()
+    ]
+    g = Graph.from_pandas(spark, rows, n=60)
+    com, q = gce_expand(g, [0], max_steps=10)
+    got = [r["id"] for r in com.collect()]
+    want, wq = _gce_replica(rows, [0], max_steps=10)
+    assert got == want
+    assert q == pytest.approx(wq)
+
+
+def test_gce_isolated_seed(spark):
+    from networkit_spark.operators.scd import gce_expand
+
+    g = Graph.from_pandas(spark, [(0, 1)], n=3)
+    com, _ = gce_expand(g, [2])
+    assert [r["id"] for r in com.collect()] == [2]
