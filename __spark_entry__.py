@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_curveball": e.q_curveball,
         "graph_dyn_katz": e.q_dyn_katz,
         "graph_scd_gce": e.q_scd_gce,
+        "graph_set_conductance": e.q_set_conductance,
         # --- CORE ------------------------------------------------------
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
@@ -217,4 +218,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_curveball": e.SQL_CURVEBALL,
         "graph_dyn_katz": e.SQL_DYN_KATZ,
         "graph_scd_gce": e.SQL_SCD_GCE,
+        "graph_set_conductance": e.SQL_SET_CONDUCTANCE,
     }

@@ -3989,3 +3989,35 @@ FROM com{steps} c ORDER BY c.id"""
 
 
 SQL_SCD_GCE = _scd_gce_sql()
+
+
+# ---------------------------------------------------------------------------
+# SetConductance (scd/SetConductance.cpp:12-46) over the deterministic
+# set S = {id % 5 == 0}.
+# ---------------------------------------------------------------------------
+
+
+def q_set_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scd import set_conductance
+
+    g = load_graph(spark, sf_dir)
+    s = g.nodes().filter(F.col("id") % 5 == 0)
+    cond = set_conductance(g, s)
+    return spark.createDataFrame(
+        [(round(cond, 6),)], "cond double"
+    )
+
+
+SQL_SET_CONDUCTANCE = f"""WITH {GRAPH_CTES},
+s AS (SELECT id FROM nodes WHERE id % 5 = 0),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS cut,
+    CAST(COUNT(*) AS DOUBLE) AS vol
+  FROM adj a JOIN s ON s.id = a.src LEFT JOIN s d ON d.id = a.dst
+),
+t AS (SELECT CAST(2 * (SELECT COUNT(*) FROM edges) AS DOUBLE) AS total)
+SELECT ROUND(CASE WHEN m.vol > 0 AND t.total - m.vol > 0
+             THEN m.cut / LEAST(m.vol, t.total - m.vol)
+             ELSE 1.0 END, 6) AS cond
+FROM m, t"""

@@ -303,3 +303,54 @@ def gce_expand(
         spark.createDataFrame([(i,) for i in sorted(com)], "id long"),
         q,
     )
+
+
+def set_conductance(g: Graph, nodes: DataFrame) -> float:
+    """Conductance of a node set: cut(S) / min(vol(S), vol(V) - vol(S)),
+    1.0 when either side has no volume.
+
+    Reference: /root/reference/networkit/cpp/scd/SetConductance.cpp
+    (:12-46 — undirected only; self-loops count twice in the volume).
+    Two hash aggregations over the edges incident to S; S itself is a
+    DataFrame, never collected.
+    """
+    if g.directed:
+        raise RuntimeError("SetConductance only supports undirected graphs.")
+    s = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    half = g.adj()  # both orientations; self-loops appear once
+    tagged = (
+        half.join(
+            s.withColumnRenamed("id", "src").withColumn("ins", F.lit(1)),
+            "src",
+            "left",
+        )
+        .join(
+            s.withColumnRenamed("id", "dst").withColumn("ind", F.lit(1)),
+            "dst",
+            "left",
+        )
+        .filter(F.col("ins").isNotNull())
+    )
+    row = tagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ind").isNull(), F.col("weight"))), F.lit(0.0)
+        ).alias("cut"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("src") == F.col("dst"), 2.0 * F.col("weight")
+                ).otherwise(F.col("weight"))
+            ),
+            F.lit(0.0),
+        ).alias("vol"),
+    ).collect()[0]
+    cut, vol = float(row["cut"]), float(row["vol"])
+    total = 2.0 * float(
+        g.edges.agg(
+            F.coalesce(F.sum("weight"), F.lit(0.0)).alias("s")
+        ).collect()[0]["s"]
+    )
+    rest = total - vol
+    if vol > 0 and rest > 0:
+        return cut / min(vol, rest)
+    return 1.0

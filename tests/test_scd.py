@@ -150,3 +150,31 @@ def test_gce_isolated_seed(spark):
     g = Graph.from_pandas(spark, [(0, 1)], n=3)
     com, _ = gce_expand(g, [2])
     assert [r["id"] for r in com.collect()] == [2]
+
+
+# --- SetConductance (scd/SetConductance.cpp) --------------------------------
+
+
+def test_set_conductance(spark):
+    from networkit_spark.operators.scd import set_conductance
+
+    g = _two_cliques(spark)
+    s = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    # cut = 1 (bridge), vol(K6 + bridge endpoint) = 31, rest = 31
+    assert set_conductance(g, s) == pytest.approx(1.0 / 31.0)
+    empty = spark.createDataFrame([], "id long")
+    assert set_conductance(g, empty) == 1.0
+    allnodes = g.nodes()
+    assert set_conductance(g, allnodes) == 1.0  # rest volume 0
+    gd = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
+    with pytest.raises(RuntimeError, match="undirected"):
+        set_conductance(gd, s)
+
+
+def test_set_conductance_self_loop_counts_twice(spark):
+    from networkit_spark.operators.scd import set_conductance
+
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2), (0, 0)], n=3)
+    s = spark.createDataFrame([(0,)], "id long")
+    # vol(S) = 1 (edge 0-1) + 2 (loop twice) = 3; cut = 1; total = 6
+    assert set_conductance(g, s) == pytest.approx(1.0 / 3.0)
