@@ -395,3 +395,236 @@ def read_dgs(spark: SparkSession, path: str):
         rows, "step long, type string, u long, v long, w double"
     )
     return events, dict(names)
+
+
+# ---------------------------------------------------------------------------
+# NetworkitBinary — the reference's native graph format.
+# Reference: /root/reference/include/networkit/io/NetworkitBinaryGraph.hpp
+# (:20-32 Header layout, :40-45 feature masks, :76-130 varint encoding,
+# :132-139 zigzag), NetworkitBinaryWriter.cpp (:227-470 chunked section
+# layout: per section [(chunks-1) x uint64 byte-offsets][uint64 entry
+# count (adj sections only)][payload]; undirected adj keeps v <= u,
+# transpose keeps v >= u), NetworkitBinaryReader.cpp (:37-330).
+# Driver-side parse/serialize like the other fixture-scale writers;
+# parquet remains the declared native format for 100 TB data.
+# ---------------------------------------------------------------------------
+
+_NKBG_MAGIC = b"nkbg004\x00"
+_NKBG_WF = {"none": 0, "varint": 1, "signed_varint": 2, "double": 3,
+            "float": 4}
+
+
+def _nkbg_varint_encode(value: int) -> bytes:
+    if value == 0:
+        return b"\x01"
+    if value >= 1 << 56:
+        return bytes([0]) + value.to_bytes(8, "little")
+    bits = value.bit_length()
+    data_bytes = (bits - 1) // 7
+    head = (1 << data_bytes) | ((value << (data_bytes + 1)) & 0xFF)
+    rest = value >> (7 - data_bytes)
+    return bytes([head]) + rest.to_bytes(data_bytes, "little")
+
+
+def _nkbg_varint_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    head = buf[pos]
+    if head == 0:
+        n, decoded, bits = 8, 0, 0
+    else:
+        n = (head & -head).bit_length() - 1  # index of lowest set bit
+        decoded = head >> (n + 1)
+        bits = 7 - n
+    for i in range(n):
+        decoded |= buf[pos + 1 + i] << bits
+        bits += 8
+    return decoded, pos + 1 + n
+
+
+def _nkbg_zigzag_encode(v: int) -> int:
+    return 2 * v if v >= 0 else -2 * v - 1
+
+
+def _nkbg_zigzag_decode(u: int) -> int:
+    return (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
+
+
+def write_networkit_binary(
+    g: Graph, path: str, chunks: int = 32, weight_format: str | None = None
+) -> None:
+    """Serialize to the reference's nkbg004 binary layout."""
+    import struct
+
+    node_ids = sorted(int(r["id"]) for r in g.nodes().collect())
+    present = set(node_ids)
+    nodes = (max(node_ids) + 1) if node_ids else 0
+    if weight_format is None:
+        weight_format = "double" if g.weighted else "none"
+    wf = _NKBG_WF[weight_format]
+    edges = [
+        (int(r["src"]), int(r["dst"]), float(r["weight"]))
+        for r in g.edges.collect()
+    ]
+    out_adj: list[list[tuple[int, float]]] = [[] for _ in range(nodes)]
+    in_adj: list[list[tuple[int, float]]] = [[] for _ in range(nodes)]
+    for s, d, w in edges:
+        if g.directed:
+            out_adj[s].append((d, w))
+            in_adj[d].append((s, w))
+        else:
+            # adj keeps v <= u (stored at the larger endpoint),
+            # transpose keeps v >= u; a self-loop lands in both
+            lo, hi = min(s, d), max(s, d)
+            out_adj[hi].append((lo, w))
+            in_adj[lo].append((hi, w))
+    for a in out_adj:
+        a.sort()
+    for a in in_adj:
+        a.sort()
+
+    if nodes and chunks > nodes:
+        chunks = nodes
+    chunks = max(chunks, 1)
+    first = [0]
+    acc = 0
+    for _ in range(1, chunks):
+        acc += nodes // chunks
+        first.append(acc)
+    first.append(nodes)
+
+    def _enc_weight(w: float) -> bytes:
+        if wf == 1:
+            return _nkbg_varint_encode(int(w))
+        if wf == 2:
+            return _nkbg_varint_encode(_nkbg_zigzag_encode(int(w)))
+        if wf == 3:
+            return struct.pack("<d", w)
+        if wf == 4:
+            return struct.pack("<f", w)
+        return b""
+
+    def _payload(adj):
+        """per-chunk (bytes, weight_bytes), plus total entry count."""
+        chunk_adj, chunk_w, entries = [], [], 0
+        for c in range(chunks):
+            pa, pw = bytearray(), bytearray()
+            for u in range(first[c], first[c + 1]):
+                if u not in present:
+                    pa += _nkbg_varint_encode(0)
+                    continue
+                pa += _nkbg_varint_encode(len(adj[u]))
+                entries += len(adj[u])
+                for v, w in adj[u]:
+                    pa += _nkbg_varint_encode(v)
+                    pw += _enc_weight(w)
+            chunk_adj.append(bytes(pa))
+            chunk_w.append(bytes(pw))
+        return chunk_adj, chunk_w, entries
+
+    adj_chunks, adjw_chunks, n_out = _payload(out_adj)
+    tr_chunks, trw_chunks, n_in = _payload(in_adj)
+
+    def _prefix(blocks):
+        sums, acc = [], 0
+        for b in blocks:
+            acc += len(b)
+            sums.append(acc)
+        return sums
+
+    def _section(blocks, count):
+        out = bytearray()
+        pre = _prefix(blocks)
+        for c in range(chunks - 1):
+            out += struct.pack("<Q", pre[c])
+        if count is not None:
+            out += struct.pack("<Q", count)
+        for b in blocks:
+            out += b
+        return bytes(out)
+
+    sec_adj = _section(adj_chunks, n_out)
+    sec_tr = _section(tr_chunks, n_in)
+    sec_wadj = _section(adjw_chunks, None) if wf else b""
+    sec_wtr = _section(trw_chunks, None) if wf else b""
+
+    header_size = 8 + 11 * 8
+    off_base = header_size
+    base = bytearray()
+    for u in range(nodes):
+        base.append(0 if u in present else 1)
+    for c in range(1, chunks):
+        base += struct.pack("<Q", first[c])
+    off_adj = off_base + len(base)
+    off_tr = off_adj + len(sec_adj)
+    nxt = off_tr + len(sec_tr)
+    if wf:
+        off_wadj, off_wtr = nxt, nxt + len(sec_wadj)
+    else:
+        off_wadj = off_wtr = 0
+    features = (1 if g.directed else 0) | (wf << 1)
+    header = _NKBG_MAGIC + struct.pack(
+        "<10Q", 0, features, nodes, chunks, off_base, off_adj, off_tr,
+        off_wadj, off_wtr, 0,
+    ) + struct.pack("<Q", 0)
+    with open(path, "wb") as f:
+        f.write(header + bytes(base) + sec_adj + sec_tr + sec_wadj + sec_wtr)
+
+
+def read_networkit_binary(spark: SparkSession, path: str) -> Graph:
+    """Parse nkbg002/003/004 into a Graph (adj + weight sections only —
+    the transpose mirrors the same undirected edges / directed in-edges,
+    and edge ids are consumed by offset, never needed)."""
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic = buf[:8]
+    version = {b"nkbg002\x00": 2, b"nkbg003\x00": 3, b"nkbg004\x00": 4}.get(
+        magic
+    )
+    if version is None:
+        raise ValueError("Reader expected another magic value")
+    vals = struct.unpack_from("<11Q", buf, 8)
+    (_cksum, features, nodes, chunks, off_base, off_adj, _off_tr,
+     off_wadj, _off_wtr, _off_id, _off_idt) = vals
+    directed = bool(features & 0x1)
+    wf = (features & 0xE) >> 1
+    present = []
+    pos = off_base
+    for u in range(nodes):
+        if not (buf[pos] & 0x1):
+            present.append(u)
+        pos += 1
+    first = [0]
+    for _ in range(1, chunks):
+        first.append(struct.unpack_from("<Q", buf, pos)[0])
+        pos += 8
+    first.append(nodes)
+    present_set = set(present)
+
+    apos = off_adj + (chunks - 1) * 8 + 8
+    wpos = off_wadj + (chunks - 1) * 8 if wf else 0
+    rows = []
+    for u in range(nodes):
+        cnt, apos = _nkbg_varint_decode(buf, apos)
+        for _ in range(cnt):
+            v, apos = _nkbg_varint_decode(buf, apos)
+            w = 1.0
+            if wf in (1, 2):
+                raw, wpos = _nkbg_varint_decode(buf, wpos)
+                w = float(raw if wf == 1 else _nkbg_zigzag_decode(raw))
+            elif wf == 3:
+                w = struct.unpack_from("<d", buf, wpos)[0]
+                wpos += 8
+            elif wf == 4:
+                w = float(struct.unpack_from("<f", buf, wpos)[0])
+                wpos += 4
+            if u in present_set and v in present_set:
+                if directed:
+                    rows.append((u, v, w))
+                else:
+                    rows.append((min(u, v), max(u, v), w))
+    v_df = spark.createDataFrame([(i,) for i in present], "id long")
+    e_df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    return Graph.from_edges(
+        e_df, directed=directed, weighted=wf != 0, vertices=v_df
+    )

@@ -227,3 +227,87 @@ def test_read_dgs_hyphenated_node_names(spark, tmp_path):
     assert ("EDGE_REMOVAL", 0, 1) in rows
     # no phantom nodes were minted by splitting 'e1' or 'node-a'
     assert len(names) == 2
+
+
+# --- NetworkitBinary (io/NetworkitBinaryGraph.hpp, nkbg004) -----------------
+
+
+def test_nkbg_varint_spec_examples():
+    from networkit_spark.sources.graphio import (
+        _nkbg_varint_decode,
+        _nkbg_varint_encode,
+    )
+
+    # spec: 0 encodes as a single 0x01 byte
+    assert _nkbg_varint_encode(0) == b"\x01"
+    # spec example: 7-bit value fits in the header byte
+    x = 0b1111110
+    enc = _nkbg_varint_encode(x)
+    assert len(enc) == 1 and enc[0] & 1 == 1
+    for v in [0, 1, 63, 64, 127, 128, 300, 2**20, 2**56 - 1, 2**56,
+              2**64 - 1]:
+        enc = _nkbg_varint_encode(v)
+        dec, pos = _nkbg_varint_decode(enc, 0)
+        assert dec == v and pos == len(enc), v
+    # 8-data-byte case starts with a zero header byte
+    assert _nkbg_varint_encode(2**56)[0] == 0
+
+
+def test_nkbg_roundtrip_undirected(spark, tmp_path):
+    from networkit_spark.sources.graphio import (
+        read_networkit_binary,
+        write_networkit_binary,
+    )
+    from networkit_spark.graph import Graph
+
+    # self-loop + isolated node 5 + hole (node 6 absent from universe)
+    g = Graph.from_pandas(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 0), (2, 2), (0, 4)], n=6
+    )
+    p = str(tmp_path / "g.nkbg")
+    write_networkit_binary(g, p, chunks=3)
+    g2 = read_networkit_binary(spark, p)
+    assert not g2.directed and not g2.weighted
+    assert sorted(r["id"] for r in g2.nodes().collect()) == list(range(6))
+    got = sorted((r["src"], r["dst"]) for r in g2.edges.collect())
+    assert got == sorted(
+        (min(a, b), max(a, b))
+        for a, b in [(0, 1), (1, 2), (2, 3), (3, 0), (2, 2), (0, 4)]
+    )
+
+
+def test_nkbg_roundtrip_directed_weighted(spark, tmp_path):
+    from networkit_spark.sources.graphio import (
+        read_networkit_binary,
+        write_networkit_binary,
+    )
+    from networkit_spark.graph import Graph
+
+    edges = [(0, 1, 0.5), (1, 2, 2.25), (2, 0, 3.0), (0, 2, 1.75)]
+    g = Graph.from_pandas(spark, edges, n=3, directed=True, weighted=True)
+    for fmt, exact in [("double", True), ("float", True),
+                       ("varint", False), ("signed_varint", False)]:
+        p = str(tmp_path / f"g_{fmt}.nkbg")
+        write_networkit_binary(g, p, chunks=2, weight_format=fmt)
+        g2 = read_networkit_binary(spark, p)
+        assert g2.directed and g2.weighted
+        got = sorted(
+            (r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()
+        )
+        if exact:
+            assert got == sorted(edges)
+        else:  # integer formats truncate
+            assert [(s, d) for s, d, _ in got] == sorted(
+                (s, d) for s, d, _ in edges
+            )
+
+
+def test_nkbg_rejects_bad_magic(spark, tmp_path):
+    from networkit_spark.sources.graphio import read_networkit_binary
+
+    p = tmp_path / "bad.nkbg"
+    p.write_bytes(b"notmagic" + b"\x00" * 88)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        read_networkit_binary(spark, str(p))
