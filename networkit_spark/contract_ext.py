@@ -3273,7 +3273,7 @@ reach(v) AS (
         + f"""
 SELECT ROUND({vals}, 6) AS flow,
        (SELECT COUNT(*) FROM reach) AS cut_size,
-       (SELECT SUM(v) FROM reach) AS cut_sum"""
+       (SELECT CAST(SUM(v) AS BIGINT) FROM reach) AS cut_sum"""
     )
 
 

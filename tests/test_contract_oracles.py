@@ -38,6 +38,20 @@ def _duck():
     return con
 
 
+def _type_sig(rows, cols):
+    """Per-column set of value type classes (None excluded), keyed by
+    lowercase column name.  The driver's hash is TYPE-sensitive (it goes
+    through Arrow), so a DuckDB HUGEINT surfacing as ``Decimal`` against a
+    Spark BIGINT ``int`` must fail HERE, not first at the driver
+    (round-4 `graph_maxflow` escape)."""
+    sig = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if v is not None:
+                sig[c].add(type(v).__name__)
+    return sig
+
+
 def _canon(rows, cols):
     """Order-insensitive canonical form: sort columns by name, round
     floats, sort rows."""
@@ -77,6 +91,17 @@ def test_oracle_pair(spark, name):
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sig_s = _type_sig(spark_rows, spark_cols)
+    sig_d = _type_sig(duck_rows, duck_cols)
+    bad_types = {
+        c: (sorted(sig_s[c]), sorted(sig_d[c]))
+        for c in sig_s
+        if sig_s[c] != sig_d[c]
+    }
+    assert not bad_types, (
+        f"{name}: output TYPE mismatch (driver hash is type-sensitive): "
+        f"{bad_types}"
     )
     a = _canon(spark_rows, spark_cols)
     b = _canon(duck_rows, duck_cols)
