@@ -470,8 +470,13 @@ def approx_betweenness(
     contribs: DataFrame | None = None
     step = 0
     max_steps = (vd + 2) * 2
-    from pyspark.sql import Window
+    from networkit_spark.plans.sampling import (
+        bucketed_pred_draw,
+        pred_bucket_width,
+    )
 
+    max_id = int(nodes.agg(F.max("id").alias("m")).collect()[0]["m"] or 0)
+    bw_width = pred_bucket_width(max_id)
     while step < max_steps:
         step += 1
         t0 = time.time()
@@ -494,7 +499,6 @@ def approx_betweenness(
                 ["s", "t"],
             )
         )
-        w = Window.partitionBy("i").orderBy("z")
         u01 = (
             F.conv(
                 F.substring(
@@ -514,16 +518,10 @@ def approx_betweenness(
             ).cast("double")
             / F.lit(float(16**13))
         )
-        chosen = (
-            preds.withColumn("cum", F.sum("sz").over(w))
-            .withColumn("thr", u01 * F.col("st_"))
-            .filter(F.col("cum") > F.col("thr"))
-            .groupBy("i", "s")
-            .agg(F.min(F.struct("z", "zd")).alias("pick"))
-            .select(
-                "i", "s", F.col("pick.z").alias("z"), F.col("pick.zd").alias("zd")
-            )
-        )
+        # hub-safe range-bucketed draw (plans/sampling.py) — identical
+        # pick to the old single-window cumulative sort, never an
+        # O(deg)-row window partition on a hub predecessor set
+        chosen = bucketed_pred_draw(preds, u01, bw_width)
         chosen = ckpt.cut(chosen, 200 + step)
         inner = chosen.filter(F.col("z") != F.col("s")).select(F.col("z").alias("id"))
         contribs = (

@@ -36,10 +36,11 @@ from __future__ import annotations
 import math
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.sampling import bucketed_pred_draw, pred_bucket_width
 from networkit_spark.plans.superstep import (
     Checkpointer,
     SuperstepResult,
@@ -134,6 +135,8 @@ def _path_interiors(
         .select("i", "s", "t", "td")
     )
     walk = ckpt.cut(walk, 200)
+    max_id = int(idx.agg(F.max("id").alias("m")).collect()[0]["m"] or 0)
+    bw_width = pred_bucket_width(max_id)
     out: list[tuple[int, int]] = []
     step = 0
     while step < (cap if max_hops is not None else lvl + 2):
@@ -156,7 +159,6 @@ def _path_interiors(
                 ["s", "t"],
             )
         )
-        w = Window.partitionBy("i").orderBy("z")
         u01 = (
             F.conv(
                 F.substring(
@@ -175,14 +177,10 @@ def _path_interiors(
             ).cast("double")
             / F.lit(float(16**13))
         )
-        chosen = (
-            preds.withColumn("cum", F.sum("sz").over(w))
-            .withColumn("thr", u01 * F.col("st_"))
-            .filter(F.col("cum") > F.col("thr"))
-            .groupBy("i", "s")
-            .agg(F.min(F.struct("z", "zd")).alias("pick"))
-            .select("i", "s", F.col("pick.z").alias("z"), F.col("pick.zd").alias("zd"))
-        )
+        # hub-safe range-bucketed draw (plans/sampling.py) — identical
+        # pick to the old single-window cumulative sort, never an
+        # O(deg)-row window partition on a hub predecessor set
+        chosen = bucketed_pred_draw(preds, u01, bw_width)
         chosen = ckpt.cut(chosen, 200 + step)
         inner = chosen.filter(F.col("z") != F.col("s"))
         out.extend((int(r["i"]), int(r["z"])) for r in inner.collect())
