@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_candidates": e.q_simhash_candidates,
         "events_window": e.q_events_window,
         "sim_lsh_topk": e.q_lsh_topk,
+        # --- PRIORITY: new in round 5 ---------------------------------
+        "graph_group_closeness": e.q_group_closeness,
+        "graph_bmatching": e.q_bmatching,
         # --- PRIORITY: new in round 4 ---------------------------------
         "graph_partition_measures": e.q_partition_measures,
         "graph_matching": e.q_matching,
@@ -219,4 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_katz": e.SQL_DYN_KATZ,
         "graph_scd_gce": e.SQL_SCD_GCE,
         "graph_set_conductance": e.SQL_SET_CONDUCTANCE,
+        # round 5
+        "graph_group_closeness": e.SQL_GROUP_CLOSENESS,
+        "graph_bmatching": e.SQL_BMATCHING,
     }

@@ -2762,6 +2762,98 @@ SQL_MATCHING = _matching_sql()
 
 
 # ---------------------------------------------------------------------------
+# BSuitorMatcher b-matching (matching/BSuitorMatcher.cpp:42-121, Khan
+# et al. 2016): synchronous locally-dominant rounds — every node with
+# remaining capacity rem(u) picks its top rem(u) live incident edges
+# (weight desc, dst asc — the MatchingNode order, hpp:36-41); an edge
+# is matched iff both endpoints picked it.  The oracle replays the same
+# rounds with ROW_NUMBER <= rem; the Spark side must converge within
+# the unrolled round budget (explicit raise).  Parity with the
+# reference's sequential propose/displace loop is pinned by
+# tests/test_matching.py::test_bsuitor_matches_reference_replica.
+# ---------------------------------------------------------------------------
+
+BMATCH_B = 2
+BMATCH_ROUNDS = 14
+
+
+def q_bmatching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.matching import bsuitor_matching
+
+    g = load_graph(spark, sf_dir)
+    we = g.edges.select(
+        "src",
+        "dst",
+        (((F.col("src") * 1009 + F.col("dst")) * 2654435761) % 2147483648)
+        .cast("double")
+        .alias("weight"),
+    )
+    gw = Graph(we, vertices=g.nodes(), directed=False, weighted=True)
+    m, info = bsuitor_matching(gw, b=BMATCH_B, max_rounds=BMATCH_ROUNDS)
+    if not info.converged:  # must survive python -O
+        raise AssertionError(
+            f"bsuitor_matching did not converge in {BMATCH_ROUNDS} rounds"
+        )
+    return m.select("src", "dst", "weight").orderBy("src", "dst")
+
+
+def _bmatching_sql(b: int = BMATCH_B, rounds: int = BMATCH_ROUNDS) -> str:
+    parts = [
+        """wadj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(((LEAST(src,dst) * 1009 + GREATEST(src,dst)) * 2654435761)
+              % 2147483648 AS DOUBLE) AS w
+  FROM adj
+)""",
+        "bm0 AS (SELECT src, dst, w FROM wadj WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""rem{r} AS MATERIALIZED (
+  SELECT n.id, {b} - COALESCE(u.c, 0) AS rem
+  FROM nodes n LEFT JOIN (
+    SELECT id, COUNT(*) AS c FROM (
+      SELECT src AS id FROM bm{r - 1} UNION ALL SELECT dst FROM bm{r - 1}
+    ) GROUP BY id
+  ) u ON u.id = n.id
+),
+liv{r} AS MATERIALIZED (
+  SELECT a.src, a.dst, a.w FROM wadj a
+  JOIN rem{r} r1 ON r1.id = a.src AND r1.rem > 0
+  JOIN rem{r} r2 ON r2.id = a.dst AND r2.rem > 0
+  WHERE NOT EXISTS (SELECT 1 FROM bm{r - 1} m
+                    WHERE (m.src = a.src AND m.dst = a.dst)
+                       OR (m.src = a.dst AND m.dst = a.src))
+),
+pk{r} AS MATERIALIZED (
+  SELECT src, dst, w FROM (
+    SELECT l.src, l.dst, l.w,
+           ROW_NUMBER() OVER (PARTITION BY l.src
+                              ORDER BY l.w DESC, l.dst ASC) AS rk,
+           r1.rem
+    FROM liv{r} l JOIN rem{r} r1 ON r1.id = l.src
+  ) WHERE rk <= rem
+),
+bm{r} AS MATERIALIZED (
+  SELECT src, dst, w FROM bm{r - 1}
+  UNION ALL
+  SELECT p1.src, p1.dst, p1.w
+  FROM pk{r} p1 JOIN pk{r} p2 ON p2.src = p1.dst AND p2.dst = p1.src
+  WHERE p1.src < p1.dst
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + f"\nSELECT src, dst, w AS weight FROM bm{rounds} "
+        "ORDER BY src, dst"
+    )
+
+
+SQL_BMATCHING = _bmatching_sql()
+
+
+# ---------------------------------------------------------------------------
 # Group centralities (centrality/GroupDegree.cpp:41-124,
 # GroupHarmonicCloseness.cpp) — exact greedy with the documented
 # smallest-id tie-break; the oracle unrolls the k selection rounds.
@@ -2923,6 +3015,125 @@ FROM ranks ORDER BY rank"""
 
 
 SQL_GROUP_HARMONIC = _group_harmonic_sql()
+
+
+# ---------------------------------------------------------------------------
+# GroupCloseness (centrality/GroupCloseness.cpp:70-156, H=0): seed = the
+# TopCloseness top-1 (argmax ROUND(generalized closeness, 9), ties id
+# asc — documented determinism rule), d = BFS from seed with unreached
+# pinned 0 (the reference quirk), improvement(u) = d[u] +
+# sum_w max(0, d[w] - d(u,w)) (integer — no float ties), score =
+# (n-k)/sumDist from a fresh group BFS (GroupCloseness.hpp:103-113).
+# The Spark side runs the pruned lazy-greedy; the oracle evaluates the
+# dense argmax each round — identical picks (lazy == eager under
+# submodular bounds).
+# ---------------------------------------------------------------------------
+
+GROUPCLO_K = 4
+
+
+def q_group_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.groupcentrality import group_closeness
+
+    g = load_graph(spark, sf_dir)
+    group, score, _ = group_closeness(g, k=GROUPCLO_K, batch=64)
+    return spark.createDataFrame(
+        [(i + 1, u, score) for i, u in enumerate(group)],
+        "rank long, id long, score double",
+    ).select("rank", "id", F.round("score", 6).alias("score"))
+
+
+def _group_closeness_sql(k: int = GROUPCLO_K, hops: int = DIAM_HOPS) -> str:
+    steps = [
+        "t0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist "
+        "FROM nodes)"
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    steps.append(
+        f"dd AS MATERIALIZED (SELECT s, v, dist FROM t{hops} WHERE dist > 0)"
+    )
+    steps.append("nn AS (SELECT COUNT(*) AS n FROM nodes)")
+    steps.append(
+        """seed AS MATERIALIZED (
+  SELECT s AS id FROM dd GROUP BY s
+  ORDER BY ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(dist) AS DOUBLE)
+                 / ((SELECT n FROM nn) - 1), 9) DESC, s ASC
+  LIMIT 1
+)"""
+    )
+    steps.append(
+        """d0 AS MATERIALIZED (
+  SELECT n.id AS v, COALESCE(x.dist, 0) AS d
+  FROM nodes n LEFT JOIN dd x
+    ON x.s = (SELECT id FROM seed) AND x.v = n.id
+)"""
+    )
+    for i in range(1, k):
+        steps.append(
+            f"""imp{i} AS MATERIALIZED (
+  SELECT c.v AS u,
+         c.d + COALESCE((SELECT SUM(GREATEST(0, d2.d - x.dist))
+                         FROM dd x JOIN d{i - 1} d2 ON d2.v = x.v
+                         WHERE x.s = c.v), 0) AS gain
+  FROM d{i - 1} c WHERE c.d > 0
+),
+pick{i} AS MATERIALIZED (
+  SELECT u AS id FROM imp{i} ORDER BY gain DESC, u ASC LIMIT 1
+),
+d{i} AS MATERIALIZED (
+  SELECT p.v,
+         CASE WHEN p.v = (SELECT id FROM pick{i}) THEN 0
+              ELSE LEAST(p.d, COALESCE(x.dist, p.d)) END AS d
+  FROM d{i - 1} p LEFT JOIN dd x
+    ON x.s = (SELECT id FROM pick{i}) AND x.v = p.v
+)"""
+        )
+    members = " UNION ALL ".join(
+        ["SELECT id FROM seed"]
+        + [f"SELECT id FROM pick{i}" for i in range(1, k)]
+    )
+    ranks = "\n  UNION ALL ".join(
+        ["SELECT 1 AS rank, (SELECT id FROM seed) AS id"]
+        + [
+            f"SELECT {i + 1} AS rank, (SELECT id FROM pick{i}) AS id"
+            for i in range(1, k)
+        ]
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(steps)
+        + f""",
+grp AS ({members}),
+ranks AS (
+  {ranks}
+),
+sumd AS (
+  SELECT SUM(md) AS sd FROM (
+    SELECT v, MIN(dist) AS md FROM dd
+    WHERE s IN (SELECT id FROM grp) AND v NOT IN (SELECT id FROM grp)
+    GROUP BY v
+  )
+)
+SELECT rank, id,
+       ROUND(CASE WHEN (SELECT sd FROM sumd) > 0
+                  THEN ((SELECT CAST(n AS DOUBLE) FROM nn) - {k})
+                       / (SELECT CAST(sd AS DOUBLE) FROM sumd)
+                  ELSE 0.0 END, 6) AS score
+FROM ranks ORDER BY rank"""
+    )
+
+
+SQL_GROUP_CLOSENESS = _group_closeness_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,224 @@ def suitor_reference_replica(edges: list[tuple[int, int, float]],
         if suitor[u] != none and suitor[int(suitor[u])] == u:
             out.add((min(u, int(suitor[u])), max(u, int(suitor[u]))))
     return out
+
+
+def bsuitor_matching(
+    g: Graph,
+    b: int | DataFrame = 2,
+    max_rounds: int = 64,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """b-matching — the reference's BSuitorMatcher re-expressed as
+    distributed locally-dominant rounds.
+
+    Reference: /root/reference/networkit/cpp/matching/BSuitorMatcher.cpp
+    (Khan et al. 2016 b-Suitor: every node proposes to its b best
+    neighbors, displaced suitors re-propose; the MatchingNode total
+    order is weight desc, then SMALLER id ranked higher,
+    BSuitorMatcher.hpp:36-41).  Like Suitor (b=1), the sequential
+    propose/displace loop's FIXPOINT is the unique greedy b-matching
+    under the total edge order (weight desc, src asc, dst asc), computed
+    here by synchronous rounds:
+
+        round: every node with remaining capacity r(u) picks its top
+               r(u) live incident edges; an edge is matched iff BOTH
+               endpoints picked it; capacities shrink by matches.
+
+    The globally heaviest live edge is always mutual, so every round
+    matches at least one edge; zero mutual picks == no live edges ==
+    fixpoint.  Per-node top-r selection runs as r repeated struct-argmax
+    hash aggregations (map-side combine; r <= b is a small constant) —
+    never a per-node sort window, so a hub's adjacency stays
+    distributed (same hub rule as the k-core histogram plan).
+
+    ``b``: uniform int capacity, or a per-node (id, b) DataFrame
+    (BSuitorMatcher.cpp:9 vector form).  Requires an undirected graph
+    without self-loops (constructor guards :10-14).  Ties in weight
+    break to the smaller neighbor id exactly like the reference; with
+    distinct weights the output is the canonical greedy b-matching.
+    Returns (matching(src, dst, weight) canonical src<dst, info).
+    """
+    if g.directed:
+        raise ValueError("bsuitor_matching supports undirected graphs only")
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    gg = g.remove_self_loops()
+    adj = materialize_partitioned(
+        gg.adj().select("src", "dst", "weight"), "src"
+    )
+    if isinstance(b, DataFrame):
+        caps = b.select("id", F.col("b").cast("long").alias("b"))
+    else:
+        if int(b) <= 0:
+            raise ValueError("b must be positive")
+        caps = gg.nodes().select("id", F.lit(int(b)).cast("long").alias("b"))
+    caps = caps.localCheckpoint(eager=True)
+
+    matched = spark.createDataFrame([], "src long, dst long, weight double")
+    rem = caps.select("id", F.col("b").alias("rem"))
+    metrics: list[dict] = []
+    it = 0
+    converged = False
+    while it < max_rounds:
+        t0 = time.time()
+        it += 1
+        # live arcs: unmatched edges whose BOTH endpoints have capacity
+        m_arcs = matched.select("src", "dst").unionByName(
+            matched.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        live = (
+            adj.join(m_arcs.hint("shuffle_hash"), ["src", "dst"], "left_anti")
+            .join(
+                rem.filter(F.col("rem") > 0)
+                .select(F.col("id").alias("src"), F.col("rem").alias("rsrc"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .join(
+                rem.filter(F.col("rem") > 0)
+                .select(F.col("id").alias("dst"))
+                .hint("shuffle_hash"),
+                "dst",
+            )
+        )
+        live = ckpt.cut(live, 1000 + it)
+        max_rem_row = live.agg(F.max("rsrc").alias("m")).collect()[0]
+        max_rem = int(max_rem_row["m"] or 0)
+        if max_rem == 0:
+            converged = True
+            metrics.append(ckpt.log(it, changed=0, wall_sec=time.time() - t0))
+            break
+        # top-r(u) picks: r repeated struct-argmax rounds (hub-safe)
+        picks = spark.createDataFrame(
+            [], "src long, dst long, weight double"
+        )
+        pool = live
+        for j in range(1, max_rem + 1):
+            pk = (
+                pool.filter(F.col("rsrc") >= j)
+                .groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(F.col("weight"), (-F.col("dst")).alias("nd"))
+                    ).alias("p")
+                )
+                .select(
+                    "src",
+                    (-F.col("p.nd")).alias("dst"),
+                    F.col("p.weight").alias("weight"),
+                )
+            )
+            picks = picks.unionByName(pk)
+            if j < max_rem:
+                pool = pool.join(pk.select("src", "dst"), ["src", "dst"],
+                                 "left_anti")
+        picks = ckpt.cut(picks, 2000 + it)
+        other = picks.select(
+            F.col("src").alias("dst"), F.col("dst").alias("src")
+        )
+        mutual = (
+            picks.join(other, ["src", "dst"])
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst", "weight")
+        )
+        mutual = ckpt.cut(mutual, 3000 + it)
+        new_matches = mutual.count()
+        if new_matches == 0:
+            converged = True
+            metrics.append(ckpt.log(it, changed=0, wall_sec=time.time() - t0))
+            break
+        matched = ckpt.cut(matched.unionByName(mutual), 4000 + it)
+        used = (
+            matched.select(F.col("src").alias("id"))
+            .unionByName(matched.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("used"))
+        )
+        rem = ckpt.cut(
+            caps.join(used, "id", "left").select(
+                "id",
+                (F.col("b") - F.coalesce("used", F.lit(0))).alias("rem"),
+            ),
+            5000 + it,
+        )
+        metrics.append(
+            ckpt.log(it, changed=new_matches, wall_sec=time.time() - t0)
+        )
+    adj.unpersist()
+    return matched, SuperstepResult(
+        iterations=it, metrics=metrics, converged=converged
+    )
+
+
+def bsuitor_reference_replica(
+    edges: list[tuple[int, int, float]], n: int, b
+) -> set[tuple[int, int]]:
+    """Driver-side replica of BSuitorMatcher::run (findSuitors /
+    findPreferred / makeSuitor, BSuitorMatcher.cpp:42-87) for
+    cross-checking the distributed fixpoint in tests.  ``b`` is an int
+    or a per-node list.  Returns matched pairs as (min, max) tuples."""
+    bs = [b] * n if isinstance(b, int) else list(b)
+    nbrs: dict[int, list[tuple[int, float]]] = {u: [] for u in range(n)}
+    for u, v, w in edges:
+        nbrs[u].append((v, w))
+        nbrs[v].append((u, w))
+
+    # MatchingNode order: weight desc then smaller id higher (hpp:36-41)
+    def better(a, b2):  # (id, weight) strictly preferred over b2
+        if a[1] != b2[1]:
+            return a[1] > b2[1]
+        return a[0] < b2[0]
+
+    suitors: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    proposed: list[set[int]] = [set() for _ in range(n)]
+
+    def smallest(u):
+        """The min suitor of u under the MatchingNode order, or None."""
+        if len(suitors[u]) < bs[u]:
+            return None
+        m = suitors[u][0]
+        for x in suitors[u][1:]:
+            if better(m, x):
+                m = x
+        return m
+
+    def find_preferred(u):
+        best = None
+        for v, w in nbrs[u]:
+            if v in proposed[u]:
+                continue
+            if best is not None and not better((v, w), best):
+                continue
+            mn = smallest(v)
+            if mn is None or w > mn[1] or (w == mn[1] and u < mn[0]):
+                best = (v, w)
+        return best
+
+    def make_suitor(u, w, v):
+        stack = [(u, w, v)]
+        while stack:
+            u, w, v = stack.pop()
+            mn = smallest(v)
+            if mn is not None:
+                suitors[v].remove(mn)
+            suitors[v].append((u, w))
+            proposed[u].add(v)
+            if mn is not None:
+                proposed[mn[0]].discard(v)
+                nxt = find_preferred(mn[0])
+                if nxt is not None:
+                    stack.append((mn[0], nxt[1], nxt[0]))
+
+    for u in range(n):
+        for _ in range(bs[u]):
+            pref = find_preferred(u)
+            if pref is not None:
+                make_suitor(u, pref[1], pref[0])
+
+    out = set()
+    for u in range(n):
+        for v, _ in suitors[u]:
+            if any(x == u for x, _ in suitors[v]) and u < v:
+                out.add((u, v))
+    return out

@@ -85,3 +85,75 @@ def test_matching_is_valid(spark):
     assert len(nodes) == len(set(nodes))
     eset = {(a, b) for a, b, _ in edges}
     assert all((r["src"], r["dst"]) in eset for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# BSuitorMatcher (BSuitorMatcher.cpp:42-121) — distributed synchronous
+# rounds vs the driver-side replica of findSuitors/makeSuitor.
+# ---------------------------------------------------------------------------
+
+from networkit_spark.operators.matching import (  # noqa: E402
+    bsuitor_matching,
+    bsuitor_reference_replica,
+)
+
+
+def _rand_wedges(n, seed, keep=3):
+    out = []
+    for u in range(n):
+        for v in range(u + 1, n):
+            h = int(hashlib.md5(f"{seed}|{u}|{v}".encode()).hexdigest()[:4], 16)
+            if h % keep == 0:
+                out.append((u, v, _unique_w(u, v, seed)))
+    return out
+
+
+def test_bsuitor_b1_equals_suitor(spark):
+    edges = _rand_wedges(12, seed=11)
+    g = Graph.from_pandas(spark, edges, weighted=True, n=12)
+    m1, _ = suitor_matching(g)
+    m2, _ = bsuitor_matching(g, b=1)
+    assert {(r["src"], r["dst"]) for r in m1.collect()} == {
+        (r["src"], r["dst"]) for r in m2.collect()
+    }
+
+
+@pytest.mark.parametrize("b", [2, 3])
+def test_bsuitor_matches_reference_replica(spark, b):
+    for seed in (4, 9):
+        n = 13
+        edges = _rand_wedges(n, seed)
+        g = Graph.from_pandas(spark, edges, weighted=True, n=n)
+        m, info = bsuitor_matching(g, b=b)
+        got = {(r["src"], r["dst"]) for r in m.collect()}
+        want = bsuitor_reference_replica(edges, n, b)
+        assert got == want
+        assert info.converged
+        # capacity respected
+        from collections import Counter
+
+        cnt = Counter()
+        for u, v in got:
+            cnt[u] += 1
+            cnt[v] += 1
+        assert all(c <= b for c in cnt.values())
+
+
+def test_bsuitor_heterogeneous_b(spark):
+    n = 10
+    edges = _rand_wedges(n, seed=21, keep=2)
+    bs = [1 + (u % 3) for u in range(n)]
+    g = Graph.from_pandas(spark, edges, weighted=True, n=n)
+    b_df = g.edges.sparkSession.createDataFrame(
+        [(u, bs[u]) for u in range(n)], "id long, b long"
+    )
+    m, info = bsuitor_matching(g, b=b_df)
+    got = {(r["src"], r["dst"]) for r in m.collect()}
+    want = bsuitor_reference_replica(edges, n, bs)
+    assert got == want
+
+
+def test_bsuitor_validation(spark):
+    g = Graph.from_pandas(spark, [(0, 1, 1.0)], weighted=True, n=2)
+    with pytest.raises(ValueError):
+        bsuitor_matching(g, b=0)
