@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- PRIORITY: new in round 5 ---------------------------------
         "graph_group_closeness": e.q_group_closeness,
         "graph_bmatching": e.q_bmatching,
+        "graph_dyn_betweenness": e.q_dyn_betweenness,
         # --- PRIORITY: new in round 4 ---------------------------------
         "graph_partition_measures": e.q_partition_measures,
         "graph_matching": e.q_matching,
@@ -225,4 +226,5 @@ def oracle_sql() -> dict[str, str]:
         # round 5
         "graph_group_closeness": e.SQL_GROUP_CLOSENESS,
         "graph_bmatching": e.SQL_BMATCHING,
+        "graph_dyn_betweenness": e.SQL_DYN_BETWEENNESS,
     }

@@ -2854,6 +2854,138 @@ SQL_BMATCHING = _bmatching_sql()
 
 
 # ---------------------------------------------------------------------------
+# DynBetweenness (centrality/DynBetweenness.cpp, iBet) — incremental
+# exact betweenness under edge insertions.  The Spark side initializes
+# on the id%3 subgraph, applies the VALID candidate insertions (both
+# endpoints exist, edge absent — the same predicate the oracle
+# evaluates) one by one through the closed-form pair-dependency deltas;
+# the oracle is a static full Brandes on the post-insertion edge set —
+# the reference's own update-vs-recompute contract
+# (DynBetweennessGTest.cpp:201-246), cross-engine.
+# ---------------------------------------------------------------------------
+
+DYNBC_HOPS = 48
+DYNBC_CANDS = [(3, 501), (63, 903), (198, 786)]
+
+
+def q_dyn_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.dynbetweenness import DynBetweenness
+
+    g = load_graph(spark, sf_dir)
+    e2 = g.edges.filter(
+        (F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0)
+    ).select("src", "dst", F.lit(1.0).alias("weight"))
+    sub = Graph(e2, vertices=None, directed=False, weighted=False)
+    node_ids = {int(r["id"]) for r in sub.nodes().collect()}
+    present = {
+        (int(r["src"]), int(r["dst"]))
+        for r in e2.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).collect()
+    }
+    dyn = DynBetweenness(sub)
+    dyn.run()
+    maxd = dyn.P.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    if int(maxd or 0) > DYNBC_HOPS:  # must survive python -O
+        raise AssertionError(
+            f"subgraph eccentricity {maxd} exceeds the oracle unroll "
+            f"{DYNBC_HOPS}"
+        )
+    for u, v in DYNBC_CANDS:
+        if u in node_ids and v in node_ids \
+                and (min(u, v), max(u, v)) not in present:
+            dyn.update(u, v)
+    return (
+        dyn.scores()
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy("id")
+    )
+
+
+def _dyn_betweenness_sql(hops: int = DYNBC_HOPS) -> str:
+    cand = " UNION ALL ".join(
+        f"SELECT {u} AS u, {v} AS v" for u, v in DYNBC_CANDS
+    )
+    parts = [
+        """e2 AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src % 3 = 0 AND dst % 3 = 0
+),
+n2 AS (SELECT DISTINCT src AS id FROM (
+  SELECT src FROM e2 UNION ALL SELECT dst AS src FROM e2
+))""",
+        f"cand AS ({cand})",
+        """valid AS (
+  SELECT u, v FROM cand
+  WHERE EXISTS (SELECT 1 FROM n2 WHERE n2.id = cand.u)
+    AND EXISTS (SELECT 1 FROM n2 WHERE n2.id = cand.v)
+    AND NOT EXISTS (SELECT 1 FROM e2 e
+                    WHERE e.src = LEAST(cand.u, cand.v)
+                      AND e.dst = GREATEST(cand.u, cand.v))
+)""",
+        """e3 AS MATERIALIZED (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM valid
+),
+adj3 AS (
+  SELECT src, dst FROM e3 UNION ALL SELECT dst AS src, src AS dst FROM e3
+)""",
+        "f0 AS MATERIALIZED (SELECT id AS s, id AS v, 1.0 AS sigma FROM n2)",
+        "seen0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for l in range(1, hops + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+  SELECT p.s, a.dst AS v, SUM(p.sigma) AS sigma
+  FROM f{l - 1} p JOIN adj3 a ON a.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen{l - 1} t WHERE t.s = p.s AND t.v = a.dst
+  )
+  GROUP BY p.s, a.dst
+),
+seen{l} AS MATERIALIZED (
+  SELECT s, v FROM seen{l - 1} UNION ALL SELECT s, v FROM f{l}
+)"""
+        )
+    parts.append(
+        f"d{hops} AS MATERIALIZED (SELECT s, v, sigma, 0.0 AS delta FROM f{hops})"
+    )
+    for l in range(hops - 1, -1, -1):
+        parts.append(
+            f"""d{l} AS MATERIALIZED (
+  SELECT c.s, c.v, c.sigma, COALESCE(x.d, 0.0) AS delta
+  FROM f{l} c LEFT JOIN (
+    SELECT c2.s, c2.v, SUM((c2.sigma / w.sigma) * (1.0 + w.delta)) AS d
+    FROM f{l} c2
+    JOIN adj3 a ON a.src = c2.v
+    JOIN d{l + 1} w ON w.s = c2.s AND w.v = a.dst
+    GROUP BY c2.s, c2.v
+  ) x ON x.s = c.s AND x.v = c.v
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{l}" for l in range(hops + 1)
+    )
+    parts.append(
+        f"""alldep AS (
+  {union}
+),
+bc AS (SELECT v AS id, SUM(delta) AS score FROM alldep WHERE s <> v GROUP BY v)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\nSELECT n.id, ROUND(COALESCE(b.score, 0.0), 6) AS score"
+        "\nFROM n2 n LEFT JOIN bc b ON b.id = n.id ORDER BY n.id"
+    )
+
+
+SQL_DYN_BETWEENNESS = _dyn_betweenness_sql()
+
+
+# ---------------------------------------------------------------------------
 # Group centralities (centrality/GroupDegree.cpp:41-124,
 # GroupHarmonicCloseness.cpp) — exact greedy with the documented
 # smallest-id tie-break; the oracle unrolls the k selection rounds.
