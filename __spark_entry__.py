@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_closeness": e.q_group_closeness,
         "graph_bmatching": e.q_bmatching,
         "graph_dyn_betweenness": e.q_dyn_betweenness,
+        "graph_dyn_approx_betweenness": e.q_dyn_approx_betweenness,
         # --- PRIORITY: new in round 4 ---------------------------------
         "graph_partition_measures": e.q_partition_measures,
         "graph_matching": e.q_matching,
@@ -227,4 +228,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_closeness": e.SQL_GROUP_CLOSENESS,
         "graph_bmatching": e.SQL_BMATCHING,
         "graph_dyn_betweenness": e.SQL_DYN_BETWEENNESS,
+        "graph_dyn_approx_betweenness": e.SQL_DYN_APPROX_BETWEENNESS,
     }

@@ -2085,7 +2085,11 @@ def q_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
 
 
-def _approx_betweenness_sql(hops: int = DIAM_HOPS) -> str:
+def _approx_betweenness_sql(
+    hops: int = DIAM_HOPS, adj: str = "adj", prelude: list[str] | None = None
+) -> str:
+    """``adj``/``prelude`` retarget the sampled-path replay to a modified
+    edge relation (graph_dyn_approx_betweenness inserts edges first)."""
     r = _abc_r()
 
     def horner(expr: str) -> str:
@@ -2119,7 +2123,7 @@ def _approx_betweenness_sql(hops: int = DIAM_HOPS) -> str:
         parts.append(
             f"""f{l} AS MATERIALIZED (
   SELECT p.s, a.dst AS v, SUM(p.sigma) AS sigma, CAST({l} AS BIGINT) AS dist
-  FROM f{l - 1} p JOIN adj a ON a.src = p.v
+  FROM f{l - 1} p JOIN {adj} a ON a.src = p.v
   WHERE NOT EXISTS (
     SELECT 1 FROM seen{l - 1} t WHERE t.s = p.s AND t.v = a.dst
   )
@@ -2151,7 +2155,7 @@ seen{l} AS MATERIALIZED (
             f"""pre{k} AS MATERIALIZED (
   SELECT w.i, w.s, a.src AS z, sz.sigma AS sz, sz.dist AS zd, st.sigma AS st_
   FROM w{k - 1} w
-  JOIN adj a ON a.dst = w.t
+  JOIN {adj} a ON a.dst = w.t
   JOIN sig sz ON sz.s = w.s AND sz.v = a.src AND sz.dist = w.td - 1
   JOIN sig st ON st.s = w.s AND st.v = w.t
 ),
@@ -2178,7 +2182,7 @@ bc AS (SELECT id, COUNT(*) / CAST({r} AS DOUBLE) AS score FROM allc GROUP BY id)
     )
     return (
         f"WITH {GRAPH_CTES},\n"
-        + ",\n".join(parts)
+        + ",\n".join((prelude or []) + parts)
         + "\nSELECT n.id, ROUND(COALESCE(b.score, 0.0), 6) AS score"
         "\nFROM nodes n LEFT JOIN bc b ON b.id = n.id ORDER BY n.id"
     )
@@ -2983,6 +2987,78 @@ bc AS (SELECT v AS id, SUM(delta) AS score FROM alldep WHERE s <> v GROUP BY v)"
 
 
 SQL_DYN_BETWEENNESS = _dyn_betweenness_sql()
+
+
+# ---------------------------------------------------------------------------
+# DynApproxBetweenness (centrality/DynApproxBetweenness.cpp) — the
+# incremental path-resampling estimator.  Spark applies the valid
+# candidate insertions one by one, re-sampling only affected paths; the
+# oracle replays the STATIC approx sampler on the post-insertion edge
+# relation with the same md5 draws — identical by the module's
+# determinism argument (pinned exactly, dyn == static, in
+# tests/test_dynapproxbetweenness.py).
+# ---------------------------------------------------------------------------
+
+DYNABC_CANDS = [(14, 612), (73, 402), (255, 908)]
+
+
+def q_dyn_approx_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.dynapproxbetweenness import (
+        DynApproxBetweenness,
+    )
+
+    g = load_graph(spark, sf_dir)
+    node_ids = {int(r["id"]) for r in g.nodes().collect()}
+    present = {
+        (int(r["src"]), int(r["dst"]))
+        for r in g.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).collect()
+    }
+    dyn = DynApproxBetweenness(
+        g, epsilon=ABC_EPS, delta=ABC_DELTA, seed=ABC_SEED, vd=ABC_VD,
+        max_hops=DIAM_HOPS,
+    )
+    dyn.run()
+    for u, v in DYNABC_CANDS:
+        if u in node_ids and v in node_ids \
+                and (min(u, v), max(u, v)) not in present:
+            dyn.update(u, v)
+    return (
+        dyn.scores()
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy("id")
+    )
+
+
+def _dyn_approx_betweenness_sql(hops: int = DIAM_HOPS) -> str:
+    cand = " UNION ALL ".join(
+        f"SELECT {u} AS u, {v} AS v" for u, v in DYNABC_CANDS
+    )
+    prelude = [
+        f"cand AS ({cand})",
+        """valid AS (
+  SELECT u, v FROM cand
+  WHERE EXISTS (SELECT 1 FROM nodes WHERE nodes.id = cand.u)
+    AND EXISTS (SELECT 1 FROM nodes WHERE nodes.id = cand.v)
+    AND NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = LEAST(cand.u, cand.v)
+                      AND e.dst = GREATEST(cand.u, cand.v))
+)""",
+        """e3 AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM valid
+),
+adj3 AS (
+  SELECT src, dst FROM e3 UNION ALL SELECT dst AS src, src AS dst FROM e3
+)""",
+    ]
+    return _approx_betweenness_sql(hops=hops, adj="adj3", prelude=prelude)
+
+
+SQL_DYN_APPROX_BETWEENNESS = _dyn_approx_betweenness_sql()
 
 
 # ---------------------------------------------------------------------------
