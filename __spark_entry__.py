@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bmatching": e.q_bmatching,
         "graph_dyn_betweenness": e.q_dyn_betweenness,
         "graph_dyn_approx_betweenness": e.q_dyn_approx_betweenness,
+        "graph_approx_closeness": e.q_approx_closeness,
         # --- PRIORITY: new in round 4 ---------------------------------
         "graph_partition_measures": e.q_partition_measures,
         "graph_matching": e.q_matching,
@@ -229,4 +230,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_bmatching": e.SQL_BMATCHING,
         "graph_dyn_betweenness": e.SQL_DYN_BETWEENNESS,
         "graph_dyn_approx_betweenness": e.SQL_DYN_APPROX_BETWEENNESS,
+        "graph_approx_closeness": e.SQL_APPROX_CLOSENESS,
     }

@@ -3062,6 +3062,150 @@ SQL_DYN_APPROX_BETWEENNESS = _dyn_approx_betweenness_sql()
 
 
 # ---------------------------------------------------------------------------
+# ApproxCloseness (centrality/ApproxCloseness.cpp, undirected hybrid
+# estimator) — k md5-ranked samples, pivot argmin (ties to smallest
+# pivot index), LC/HC split + per-pivot distance-level tails; see
+# operators/approxcloseness.py for the documented deterministic
+# deviations.  The oracle replays the identical closed form.
+# ---------------------------------------------------------------------------
+
+APC_K = 16
+APC_EPS = 0.5
+APC_SEED = 42
+
+
+def q_approx_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.approxcloseness import approx_closeness
+
+    g = load_graph(spark, sf_dir)
+    scores, _ = approx_closeness(
+        g, n_samples=APC_K, epsilon=APC_EPS, normalized=True, seed=APC_SEED
+    )
+    return scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _approx_closeness_sql(
+    hops: int = 12, k: int = APC_K, eps: float = APC_EPS, seed: int = APC_SEED
+) -> str:
+    parts = [
+        f"""smp AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5('{seed}|s|' || CAST(id AS VARCHAR)), id) - 1 AS j,
+         id AS sid
+  FROM nodes
+  ORDER BY md5('{seed}|s|' || CAST(id AS VARCHAR)), id
+  LIMIT {k}
+)""",
+        "kk AS (SELECT COUNT(*) AS k FROM smp)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "t0 AS MATERIALIZED (SELECT j, sid AS v, CAST(0 AS BIGINT) AS d FROM smp)",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.j, m.j) AS j, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.d, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS d
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.j, a.dst AS v, MIN(q.d + 1) AS nd
+    FROM adj a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.j, a.dst
+  ) m ON m.j = p.j AND m.v = p.v
+)"""
+        )
+    parts.append(f"dd AS MATERIALIZED (SELECT j, v, d FROM t{hops})")
+    parts.append(
+        """piv AS MATERIALIZED (
+  SELECT v, CAST(d AS DOUBLE) AS delta, j AS pj FROM (
+    SELECT v, d, j, ROW_NUMBER() OVER (PARTITION BY v ORDER BY d, j) AS rk
+    FROM dd
+  ) WHERE rk = 1
+)""",
+    )
+    parts.append(
+        """dps AS MATERIALIZED (
+  SELECT dd.j, s.j AS pj, dd.d AS dsp
+  FROM dd JOIN smp s ON s.sid = dd.v
+)""",
+    )
+    parts.append(
+        f"""cls AS MATERIALIZED (
+  SELECT p.v,
+         SUM(CASE WHEN lc THEN CAST(p.d AS DOUBLE) ELSE 0.0 END) AS lcsum,
+         SUM(CASE WHEN lc THEN 1 ELSE 0 END) AS lcnum,
+         SUM(CASE WHEN lc THEN 0.0 ELSE CAST(p.d AS DOUBLE) END) AS hcsum
+  FROM (
+    SELECT dd.v, dd.d,
+           (CAST(dd.d AS DOUBLE) <= pv.delta * (1.0 / {eps} - 1.0)
+            OR (q.dsp IS NOT NULL
+                AND CAST(q.dsp AS DOUBLE) <= pv.delta / {eps})) AS lc
+    FROM dd
+    JOIN piv pv ON pv.v = dd.v
+    LEFT JOIN dps q ON q.j = dd.j AND q.pj = pv.pj
+    WHERE NOT EXISTS (SELECT 1 FROM smp WHERE smp.sid = dd.v)
+  ) p
+  GROUP BY p.v
+)"""
+    )
+    parts.append(
+        """lvl AS MATERIALIZED (
+  SELECT j, d, COUNT(*) AS cnt, SUM(d) AS sumd FROM dd
+  WHERE NOT EXISTS (SELECT 1 FROM smp WHERE smp.sid = dd.v)
+  GROUP BY j, d
+)"""
+    )
+    parts.append(
+        f"""hs AS MATERIALIZED (
+  SELECT pv.v, SUM(l.sumd) AS hsum, SUM(l.cnt) AS hnum
+  FROM piv pv JOIN lvl l ON l.j = pv.pj
+  WHERE CAST(l.d AS DOUBLE) > pv.delta / {eps}
+    AND NOT EXISTS (SELECT 1 FROM smp WHERE smp.sid = pv.v)
+  GROUP BY pv.v
+)"""
+    )
+    parts.append(
+        f"""est AS (
+  SELECT c.v AS id,
+         CASE WHEN c.lcnum > 0 AND
+                   (COALESCE(CAST(h.hsum AS DOUBLE), 0.0) + c.hcsum
+                    + c.lcsum * (((SELECT n FROM nn) - 1.0)
+                                 - COALESCE(CAST(h.hnum AS DOUBLE), 0.0)
+                                 - (SELECT CAST(k AS DOUBLE) FROM kk)
+                                 + CAST(c.lcnum AS DOUBLE))
+                      / CAST(c.lcnum AS DOUBLE)) > 0
+              THEN ((SELECT n FROM nn) - 1.0)
+                   / (COALESCE(CAST(h.hsum AS DOUBLE), 0.0) + c.hcsum
+                      + c.lcsum * (((SELECT n FROM nn) - 1.0)
+                                   - COALESCE(CAST(h.hnum AS DOUBLE), 0.0)
+                                   - (SELECT CAST(k AS DOUBLE) FROM kk)
+                                   + CAST(c.lcnum AS DOUBLE))
+                        / CAST(c.lcnum AS DOUBLE))
+              ELSE 0.0 END AS score
+  FROM cls c LEFT JOIN hs h ON h.v = c.v
+),
+exct AS (
+  SELECT s.sid AS id,
+         CASE WHEN SUM(dd.d) > 0
+              THEN ((SELECT n FROM nn) - 1.0) / CAST(SUM(dd.d) AS DOUBLE)
+              ELSE 0.0 END AS score
+  FROM smp s JOIN dd ON dd.j = s.j
+  GROUP BY s.sid
+)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + """
+SELECT n.id, ROUND(COALESCE(u.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN (
+  SELECT id, score FROM est UNION ALL SELECT id, score FROM exct
+) u ON u.id = n.id
+ORDER BY n.id"""
+    )
+
+
+SQL_APPROX_CLOSENESS = _approx_closeness_sql()
+
+
+# ---------------------------------------------------------------------------
 # Group centralities (centrality/GroupDegree.cpp:41-124,
 # GroupHarmonicCloseness.cpp) — exact greedy with the documented
 # smallest-id tie-break; the oracle unrolls the k selection rounds.
