@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_betweenness": e.q_dyn_betweenness,
         "graph_dyn_approx_betweenness": e.q_dyn_approx_betweenness,
         "graph_approx_closeness": e.q_approx_closeness,
+        "graph_scd_lfm": e.q_scd_lfm,
         # --- PRIORITY: new in round 4 ---------------------------------
         "graph_partition_measures": e.q_partition_measures,
         "graph_matching": e.q_matching,
@@ -231,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_betweenness": e.SQL_DYN_BETWEENNESS,
         "graph_dyn_approx_betweenness": e.SQL_DYN_APPROX_BETWEENNESS,
         "graph_approx_closeness": e.SQL_APPROX_CLOSENESS,
+        "graph_scd_lfm": e.SQL_SCD_LFM,
     }

@@ -3206,6 +3206,130 @@ SQL_APPROX_CLOSENESS = _approx_closeness_sql()
 
 
 # ---------------------------------------------------------------------------
+# LFMLocal (scd/LFMLocal.cpp, alpha=1 fitness 2w/(2w+cut)) — LFM_STEPS
+# capped add-then-prune rounds from the max-degree seed; each oracle
+# round unrolls the add argmax plus LFM_RM removal argmins (extra
+# removal blocks no-op when the prune loop already converged; the Spark
+# side raises if any round needed more — explicit, survives python -O).
+# Ties break to the smallest id (documented deviation; the reference
+# picks uniformly among ties).
+# ---------------------------------------------------------------------------
+
+LFM_STEPS = 10
+LFM_RM = 2
+
+
+def q_scd_lfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scd import lfm_local
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    com, q, info = lfm_local(g, [seed], alpha=1.0, max_steps=LFM_STEPS)
+    if any(m["removals"] > LFM_RM for m in info.metrics):
+        raise AssertionError(
+            f"lfm_local needed more than {LFM_RM} removals in a round — "
+            "raise the oracle unroll"
+        )
+    return com.select("id", F.round(F.lit(q), 6).alias("q")).orderBy("id")
+
+
+def _scd_lfm_sql(steps: int = LFM_STEPS, rm: int = LFM_RM) -> str:
+    def scal(tag: str, com: str) -> str:
+        return f"""ws{tag} AS (
+  SELECT CAST((SELECT COUNT(*) FROM edges e
+               JOIN {com} x ON x.id = e.src
+               JOIN {com} y ON y.id = e.dst) AS DOUBLE) AS w,
+         CAST((SELECT COALESCE(SUM(d.degree), 0) FROM deg d
+               JOIN {com} c ON c.id = d.id) AS DOUBLE) AS vol
+),
+qq{tag} AS (
+  SELECT w, vol - 2 * w AS cut,
+         CASE WHEN 2 * w + (vol - 2 * w) > 0
+              THEN 2 * w / (2 * w + (vol - 2 * w)) ELSE 0.0 END AS q
+  FROM ws{tag}
+)"""
+
+    parts = [
+        """com0 AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1
+),
+seedn AS (SELECT id FROM com0)"""
+    ]
+    for t in range(1, steps + 1):
+        prev = f"com{t - 1}"
+        parts.append(scal(f"a{t}", prev))
+        dq_add = f"""ROUND(CASE WHEN 2 * (z.w + s.intdeg)
+                     + (z.cut - s.intdeg + (d.degree - s.intdeg)) > 0
+                THEN 2 * (z.w + s.intdeg)
+                     / (2 * (z.w + s.intdeg)
+                        + (z.cut - s.intdeg + (d.degree - s.intdeg)))
+                ELSE 0.0 END - z.q, 9)"""
+        parts.append(
+            f"""sh{t} AS (
+  SELECT a.src AS v, CAST(COUNT(*) AS DOUBLE) AS intdeg
+  FROM adj a JOIN {prev} c ON c.id = a.dst
+  WHERE a.src NOT IN (SELECT id FROM {prev})
+  GROUP BY a.src
+),
+ad{t} AS (
+  SELECT s.v
+  FROM sh{t} s JOIN deg d ON d.id = s.v, qqa{t} z
+  WHERE {dq_add} > 0
+  ORDER BY {dq_add} DESC, s.v ASC
+  LIMIT 1
+),
+cr{t}_0 AS MATERIALIZED (
+  SELECT id FROM {prev} UNION ALL SELECT v AS id FROM ad{t}
+)"""
+        )
+        for k in range(1, rm + 1):
+            cur = f"cr{t}_{k - 1}"
+            parts.append(scal(f"r{t}_{k}", cur))
+            dq_rm = f"""ROUND(z.q - CASE WHEN 2 * (z.w - m.intdeg)
+                     + (z.cut + m.intdeg - (m.degree - m.intdeg)) > 0
+                THEN 2 * (z.w - m.intdeg)
+                     / (2 * (z.w - m.intdeg)
+                        + (z.cut + m.intdeg - (m.degree - m.intdeg)))
+                ELSE 0.0 END, 9)"""
+            parts.append(
+                f"""cm{t}_{k} AS (
+  SELECT c.id AS v,
+         CAST(COALESCE((SELECT COUNT(*) FROM adj a
+                        JOIN {cur} x ON x.id = a.dst
+                        WHERE a.src = c.id), 0) AS DOUBLE) AS intdeg,
+         d.degree
+  FROM {cur} c JOIN deg d ON d.id = c.id
+  WHERE c.id NOT IN (SELECT id FROM seedn)
+),
+rm{t}_{k} AS (
+  SELECT m.v FROM cm{t}_{k} m, qqr{t}_{k} z
+  WHERE {dq_rm} < 0
+  ORDER BY {dq_rm} ASC, m.v ASC
+  LIMIT 1
+),
+cr{t}_{k} AS MATERIALIZED (
+  SELECT id FROM {cur}
+  WHERE id NOT IN (SELECT v FROM rm{t}_{k})
+)"""
+            )
+        parts.append(f"com{t} AS MATERIALIZED (SELECT id FROM cr{t}_{rm})")
+    parts.append(scal("f", f"com{steps}"))
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT c.id, ROUND((SELECT q FROM qqf), 6) AS q
+FROM com{steps} c ORDER BY c.id"""
+    )
+
+
+SQL_SCD_LFM = _scd_lfm_sql()
+
+
+# ---------------------------------------------------------------------------
 # Group centralities (centrality/GroupDegree.cpp:41-124,
 # GroupHarmonicCloseness.cpp) — exact greedy with the documented
 # smallest-id tie-break; the oracle unrolls the k selection rounds.

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from networkit_spark.graph import Graph
 from networkit_spark.plans.superstep import (
     Checkpointer,
+    SuperstepResult,
     materialize_partitioned,
 )
 
@@ -354,3 +355,179 @@ def set_conductance(g: Graph, nodes: DataFrame) -> float:
     if vol > 0 and rest > 0:
         return cut / min(vol, rest)
     return 1.0
+
+
+def lfm_local(
+    g: Graph,
+    seeds,
+    alpha: float = 1.0,
+    max_steps: int = 64,
+) -> tuple[DataFrame, float, SuperstepResult]:
+    """(community(id), final fitness, info) — LFM local expansion.
+
+    Reference: /root/reference/networkit/cpp/scd/LFMLocal.cpp
+    (Lancichinetti-Fortunato-Kertesz fitness
+    f(C) = 2*W_int / (2*W_int + cut)^alpha): greedily add the shell
+    node with the max positive fitness gain (:40-55), then repeatedly
+    REMOVE the non-seed community node with the most negative
+    removal gain until none remains (:60-92); stop when no shell node
+    improves.  Documented deviations: ties break to the SMALLEST node
+    id (the reference picks uniformly at random among ties via
+    IncrementalUniformRandomSelector), and gains are rounded to 9
+    decimals before comparison (cross-engine ulp rule).
+
+    Plan shape mirrors :func:`gce_expand`: each add step is one
+    broadcast join + hash aggregation over the shell and a 1-row argmax
+    collect; each removal step the same over the community (which is
+    driver-side and bounded — LFM is a LOCAL method).  ``info.metrics``
+    records the removals per round (the gate pins an unroll budget).
+    """
+    spark = g.edges.sparkSession
+    gg = g.remove_self_loops()
+    if gg.directed:
+        und = (
+            gg.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        gg = Graph(und, gg.vertices, directed=False, weighted=gg.weighted)
+    adj = materialize_partitioned(gg.adj(), "src")
+    deg = materialize_partitioned(gg.degrees().select("id", "w_degree"), "id")
+    seeds = {int(s) for s in seeds}
+
+    def _quality(w_int: float, cut: float) -> float:
+        den = (2.0 * w_int + cut) ** alpha
+        return (2.0 * w_int) / den if den > 0 else 0.0
+
+    def _scalars(com_set):
+        cdf = spark.createDataFrame([(i,) for i in com_set], "id long")
+        w = float(
+            gg.edges.join(
+                F.broadcast(cdf.withColumnRenamed("id", "src")), "src",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(cdf.withColumnRenamed("id", "dst")), "dst",
+                "left_semi",
+            )
+            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        vol = float(
+            deg.join(F.broadcast(cdf), "id", "left_semi")
+            .agg(F.coalesce(F.sum("w_degree"), F.lit(0.0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        return w, vol - 2.0 * w
+
+    com = set(seeds)
+    w_int, cut = _scalars(com)
+    metrics: list[dict] = []
+    if w_int + cut == 0:  # LFMLocal.cpp:21 — isolated seeds
+        adj.unpersist()
+        deg.unpersist()
+        return (
+            spark.createDataFrame([(i,) for i in sorted(com)], "id long"),
+            _quality(w_int, cut),
+            SuperstepResult(iterations=0, metrics=metrics),
+        )
+    q = _quality(w_int, cut)
+
+    def _int_ext(members_df, candidates="shell"):
+        """(v, intdeg, extdeg) for shell nodes (candidates='shell') or
+        community members (candidates='community')."""
+        base = adj.join(F.broadcast(members_df), adj.dst == F.col("cid")).drop(
+            "cid"
+        )
+        if candidates == "shell":
+            return (
+                base.join(
+                    F.broadcast(members_df.withColumnRenamed("cid", "src")),
+                    "src",
+                    "left_anti",
+                )
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.sum("weight").alias("intdeg"))
+                .join(deg.withColumnRenamed("id", "v"), "v")
+                .withColumn("extdeg", F.col("w_degree") - F.col("intdeg"))
+            )
+        # community members: LEFT join so an internally-isolated member
+        # (intdeg 0 — its removal gain is the largest) is still a
+        # removal candidate
+        inner = base.join(
+            F.broadcast(members_df.withColumnRenamed("cid", "src")),
+            "src",
+            "left_semi",
+        ).groupBy(F.col("src").alias("v")).agg(F.sum("weight").alias("intdeg"))
+        return (
+            members_df.select(F.col("cid").alias("v"))
+            .join(inner, "v", "left")
+            .select("v", F.coalesce("intdeg", F.lit(0.0)).alias("intdeg"))
+            .join(deg.withColumnRenamed("id", "v"), "v")
+            .withColumn("extdeg", F.col("w_degree") - F.col("intdeg"))
+        )
+
+    def _q_expr(wi, ct):
+        den = F.pow(2.0 * wi + ct, F.lit(alpha))
+        return F.when(den > 0, (2.0 * wi) / den).otherwise(0.0)
+
+    rounds = 0
+    for _ in range(max_steps):
+        com_df = spark.createDataFrame([(i,) for i in sorted(com)], "cid long")
+        wi_new = F.lit(w_int) + F.col("intdeg")
+        cut_new = F.lit(cut) - F.col("intdeg") + F.col("extdeg")
+        best = (
+            _int_ext(com_df, "shell")
+            .withColumn("dq", F.round(_q_expr(wi_new, cut_new) - F.lit(q), 9))
+            .filter(F.col("dq") > 0)
+            .orderBy(F.desc("dq"), F.asc("v"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        rounds += 1
+        com.add(int(best[0]["v"]))
+        w_int += float(best[0]["intdeg"])
+        cut = cut - float(best[0]["intdeg"]) + float(best[0]["extdeg"])
+        q = _quality(w_int, cut)
+        removals = 0
+        while True:
+            com_df = spark.createDataFrame(
+                [(i,) for i in sorted(com)], "cid long"
+            )
+            seeds_df = spark.createDataFrame(
+                [(i,) for i in sorted(seeds)], "v long"
+            )
+            wi_rm = F.lit(w_int) - F.col("intdeg")
+            cut_rm = F.lit(cut) + F.col("intdeg") - F.col("extdeg")
+            worst = (
+                _int_ext(com_df, "community")
+                .join(F.broadcast(seeds_df), "v", "left_anti")
+                .withColumn(
+                    "dq", F.round(F.lit(q) - _q_expr(wi_rm, cut_rm), 9)
+                )
+                .filter(F.col("dq") < 0)
+                .orderBy(F.asc("dq"), F.asc("v"))
+                .limit(1)
+                .collect()
+            )
+            if not worst:
+                break
+            removals += 1
+            com.discard(int(worst[0]["v"]))
+            w_int -= float(worst[0]["intdeg"])
+            cut = cut + float(worst[0]["intdeg"]) - float(worst[0]["extdeg"])
+            q = _quality(w_int, cut)
+        metrics.append({"round": rounds, "removals": removals})
+    adj.unpersist()
+    deg.unpersist()
+    return (
+        spark.createDataFrame([(i,) for i in sorted(com)], "id long"),
+        q,
+        SuperstepResult(iterations=rounds, metrics=metrics),
+    )

@@ -178,3 +178,111 @@ def test_set_conductance_self_loop_counts_twice(spark):
     s = spark.createDataFrame([(0,)], "id long")
     # vol(S) = 1 (edge 0-1) + 2 (loop twice) = 3; cut = 1; total = 6
     assert set_conductance(g, s) == pytest.approx(1.0 / 3.0)
+
+
+# ---------------------------------------------------------------------------
+# LFMLocal (scd/LFMLocal.cpp) vs a driver-side replica of the
+# add-then-prune fitness loop (smallest-id tie-break).
+# ---------------------------------------------------------------------------
+
+
+def _lfm_replica(edges, n, seeds, alpha=1.0, rounds=64):
+    nbrs = {u: {} for u in range(n)}
+    for e in edges:
+        u, v = e[0], e[1]
+        w = e[2] if len(e) > 2 else 1.0
+        nbrs[u][v] = w
+        nbrs[v][u] = w
+
+    def stats(com):
+        wi = sum(nbrs[u][v] for u in com for v in nbrs[u] if v in com) / 2.0
+        cut = sum(nbrs[u][v] for u in com for v in nbrs[u] if v not in com)
+        return wi, cut
+
+    def qual(wi, cut):
+        den = (2 * wi + cut) ** alpha
+        return (2 * wi) / den if den > 0 else 0.0
+
+    com = set(seeds)
+    wi, cut = stats(com)
+    if wi + cut == 0:
+        return com, qual(wi, cut)
+    q = qual(wi, cut)
+    for _ in range(rounds):
+        shell = {v for u in com for v in nbrs[u] if v not in com}
+        best, bq = None, 0.0
+        for v in sorted(shell):
+            i = sum(w for x, w in nbrs[v].items() if x in com)
+            e = sum(nbrs[v].values()) - i
+            dq = round(qual(wi + i, cut - i + e) - q, 9)
+            if dq > bq:
+                best, bq = v, dq
+        if best is None:
+            break
+        com.add(best)
+        wi, cut = stats(com)
+        q = qual(wi, cut)
+        while True:
+            worst, wq = None, 0.0
+            for v in sorted(com - set(seeds)):
+                i = sum(w for x, w in nbrs[v].items() if x in com) \
+                    - (nbrs[v].get(v, 0.0))
+                e = sum(nbrs[v].values()) - i
+                dq = round(q - qual(wi - i, cut + i - e), 9)
+                if dq < wq:
+                    worst, wq = v, dq
+            if worst is None:
+                break
+            com.discard(worst)
+            wi, cut = stats(com)
+            q = qual(wi, cut)
+    return com, q
+
+
+def test_lfm_local_matches_replica(spark):
+    from networkit_spark.operators.scd import lfm_local
+
+    import hashlib
+
+    def rand_edges(n, seed, keep=3):
+        out = []
+        for u in range(n):
+            for v in range(u + 1, n):
+                h = int(
+                    hashlib.md5(f"{seed}|{u}|{v}".encode()).hexdigest()[:4], 16
+                )
+                if h % keep == 0:
+                    out.append((u, v))
+        return out
+
+    for seed in (4, 13):
+        n = 16
+        edges = rand_edges(n, seed)
+        g = Graph.from_pandas(spark, edges, n=n)
+        com, q, info = lfm_local(g, [0])
+        got = {r["id"] for r in com.collect()}
+        want, want_q = _lfm_replica(edges, n, [0])
+        assert got == want
+        assert q == pytest.approx(want_q)
+
+
+def test_lfm_local_two_cliques(spark):
+    from networkit_spark.operators.scd import lfm_local
+
+    # two 4-cliques joined by one bridge: expansion from a clique seed
+    # captures that clique and stops at the bridge
+    a = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    b = [(u, v) for u in range(4, 8) for v in range(u + 1, 8)]
+    edges = a + b + [(3, 4)]
+    g = Graph.from_pandas(spark, edges, n=8)
+    com, q, info = lfm_local(g, [0])
+    got = {r["id"] for r in com.collect()}
+    assert got == {0, 1, 2, 3}
+
+
+def test_lfm_isolated_seed(spark):
+    from networkit_spark.operators.scd import lfm_local
+
+    g = Graph.from_pandas(spark, [(1, 2)], n=4)
+    com, q, info = lfm_local(g, [3])
+    assert {r["id"] for r in com.collect()} == {3}
