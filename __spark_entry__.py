@@ -52,17 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from networkit_spark import contract_ext as e
 
     return {
-        # --- PRIORITY: never driver-rowed (round-3 tail) -------------
-        "multimodal_features": e.q_multimodal_features,
-        "graph_sparsify": e.q_sparsify,
-        "graph_node2vec_walks": e.q_node2vec_walks,
-        "graph_msf": e.q_msf,
-        "graph_anf": e.q_anf,
-        "graph_pagerank_large": e.q_pagerank_large,
-        "dedup_simhash_sig": e.q_simhash_sig,
-        "dedup_simhash_candidates": e.q_simhash_candidates,
-        "events_window": e.q_events_window,
-        "sim_lsh_topk": e.q_lsh_topk,
+        # --- PRIORITY: round-4 red row (oracle CAST fixed this round) --
+        "graph_maxflow": e.q_maxflow,
         # --- PRIORITY: new in round 5 ---------------------------------
         "graph_group_closeness": e.q_group_closeness,
         "graph_bmatching": e.q_bmatching,
@@ -70,55 +61,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_approx_betweenness": e.q_dyn_approx_betweenness,
         "graph_approx_closeness": e.q_approx_closeness,
         "graph_scd_lfm": e.q_scd_lfm,
-        # --- PRIORITY: new in round 4 ---------------------------------
-        "graph_partition_measures": e.q_partition_measures,
-        "graph_matching": e.q_matching,
-        "graph_group_degree": e.q_group_degree,
-        "graph_group_harmonic": e.q_group_harmonic,
-        "graph_kadabra": e.q_kadabra,
-        "graph_maxflow": e.q_maxflow,
-        "graph_edge_switching": e.q_edge_switching,
-        "graph_max_cliques": e.q_max_cliques,
-        "graph_scd_nibble": e.q_scd_nibble,
-        "graph_top_harmonic": e.q_top_harmonic,
-        "graph_degree_shuffle": e.q_degree_shuffle,
-        "graph_curveball": e.q_curveball,
-        "graph_dyn_katz": e.q_dyn_katz,
-        "graph_scd_gce": e.q_scd_gce,
-        "graph_set_conductance": e.q_set_conductance,
-        # --- CORE ------------------------------------------------------
-        "graph_pagerank": c.q_pagerank,
-        "graph_cc": c.q_connected_components,
-        "graph_subgraph_compact": e.q_subgraph_compact,
-        "graph_degree_centrality": e.q_degree_centrality,
-        "graph_modularity": e.q_modularity,
-        "graph_dyn_cc": e.q_dyn_cc,
-        "graph_dyn_wcc": e.q_dyn_wcc,
-        "graph_eigenvector": e.q_eigenvector,
-        "graph_katz": e.q_katz,
-        "graph_plm": e.q_plm,
-        "graph_leiden": e.q_leiden,
-        "graph_mapequation": e.q_mapequation,
-        "graph_kcore": e.q_kcore,
-        "graph_bipartite": e.q_bipartite,
-        "graph_bfs": e.q_bfs,
-        "graph_sssp": e.q_sssp,
-        "graph_scc": e.q_scc,
-        "graph_tri_edge": e.q_tri_edge,
-        "graph_lcc_sampled": e.q_lcc_sampled,
-        "graph_betweenness": e.q_betweenness,
-        "graph_approx_betweenness": e.q_approx_betweenness,
-        "graph_weighted_betweenness": e.q_weighted_betweenness,
-        "graph_closeness": e.q_closeness,
-        "graph_top_closeness": e.q_top_closeness,
-        "graph_closeness_weighted": e.q_closeness_weighted,
+        # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
+        # brought forward so every query's driver row is at most one
+        # round stale) -------------------------------------------------
         "graph_assortativity": e.q_assortativity,
         "graph_diameter": e.q_diameter,
         "graph_coverage": e.q_coverage,
         "graph_edge_scores": e.q_edge_scores,
         "graph_linkpred": e.q_linkpred,
         "sim_cosine_topk": d.q_cosine_topk,
-        # --- STABLE TAIL (driver-green r2+r3; pytest-covered) ----------
         "sim_cosine_pairs": d.q_cosine_pairs,
         "graph_degree": c.q_degree,
         "graph_top_degree": c.q_top_degree,
@@ -138,6 +89,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": d.q_fingerprint,
         "events_agg": d.q_events_agg,
         "events_top_per_user": d.q_events_top_per_user,
+        # --- CORE refreshers (r4-green; re-proven this round) ----------
+        "graph_pagerank": c.q_pagerank,
+        "graph_cc": c.q_connected_components,
+        "graph_pagerank_large": e.q_pagerank_large,
+        "graph_plm": e.q_plm,
+        "graph_leiden": e.q_leiden,
+        "graph_mapequation": e.q_mapequation,
+        "graph_kcore": e.q_kcore,
+        "graph_betweenness": e.q_betweenness,
+        "graph_approx_betweenness": e.q_approx_betweenness,
+        "graph_kadabra": e.q_kadabra,
+        "graph_closeness": e.q_closeness,
+        "graph_top_closeness": e.q_top_closeness,
+        "graph_top_harmonic": e.q_top_harmonic,
+        "graph_group_harmonic": e.q_group_harmonic,
+        "graph_matching": e.q_matching,
+        "graph_node2vec_walks": e.q_node2vec_walks,
+        "multimodal_features": e.q_multimodal_features,
+        # ---------------------------------------------------- 50-row cap
+        # --- STABLE TAIL (driver-green in round 4; pytest + the all-
+        # pairs DuckDB rehearsal keep them covered every round) ---------
+        "graph_sparsify": e.q_sparsify,
+        "graph_msf": e.q_msf,
+        "graph_anf": e.q_anf,
+        "dedup_simhash_sig": e.q_simhash_sig,
+        "dedup_simhash_candidates": e.q_simhash_candidates,
+        "events_window": e.q_events_window,
+        "sim_lsh_topk": e.q_lsh_topk,
+        "graph_partition_measures": e.q_partition_measures,
+        "graph_group_degree": e.q_group_degree,
+        "graph_edge_switching": e.q_edge_switching,
+        "graph_max_cliques": e.q_max_cliques,
+        "graph_scd_nibble": e.q_scd_nibble,
+        "graph_degree_shuffle": e.q_degree_shuffle,
+        "graph_curveball": e.q_curveball,
+        "graph_dyn_katz": e.q_dyn_katz,
+        "graph_scd_gce": e.q_scd_gce,
+        "graph_set_conductance": e.q_set_conductance,
+        "graph_subgraph_compact": e.q_subgraph_compact,
+        "graph_degree_centrality": e.q_degree_centrality,
+        "graph_modularity": e.q_modularity,
+        "graph_dyn_cc": e.q_dyn_cc,
+        "graph_dyn_wcc": e.q_dyn_wcc,
+        "graph_eigenvector": e.q_eigenvector,
+        "graph_katz": e.q_katz,
+        "graph_bipartite": e.q_bipartite,
+        "graph_bfs": e.q_bfs,
+        "graph_sssp": e.q_sssp,
+        "graph_scc": e.q_scc,
+        "graph_tri_edge": e.q_tri_edge,
+        "graph_lcc_sampled": e.q_lcc_sampled,
+        "graph_weighted_betweenness": e.q_weighted_betweenness,
+        "graph_closeness_weighted": e.q_closeness_weighted,
     }
 
 
