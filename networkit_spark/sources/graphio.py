@@ -628,3 +628,180 @@ def read_networkit_binary(spark: SparkSession, path: str) -> Graph:
     return Graph.from_edges(
         e_df, directed=directed, weighted=wf != 0, vertices=v_df
     )
+
+
+def write_thrill_binary(g: Graph, path: str) -> None:
+    """ThrillGraphBinaryWriter
+    (/root/reference/networkit/cpp/io/ThrillGraphBinaryWriter.cpp:13-57):
+    per node id u in 0..max: varint half-degree, then the neighbors
+    v >= u as little-endian uint32.  Neighbors are emitted in ascending
+    order (the reference walks adjacency order — a permutation of the
+    same set; round-trips are id-exact either way).  Driver-side
+    fixture-scale IO like the other binary formats; parquet is the
+    declared web-scale native format."""
+    if g.directed:
+        raise ValueError("Thrill binary stores undirected half-edges only")
+    rows = (
+        g.adj()
+        .filter(F.col("dst") >= F.col("src"))
+        .select("src", "dst")
+        .collect()
+    )
+    nbrs: dict[int, list[int]] = {}
+    max_id = -1
+    for r in rows:
+        u, v = int(r["src"]), int(r["dst"])
+        nbrs.setdefault(u, []).append(v)
+        max_id = max(max_id, u, v)
+    if max_id >= 1 << 32:
+        raise ValueError(
+            "Thrill binary graphs only support graphs with up to 2^32-1 nodes"
+        )
+    out = bytearray()
+    for u in range(max_id + 1):
+        ns = sorted(nbrs.get(u, []))
+        deg = len(ns)
+        if deg == 0:
+            out.append(0)
+        while deg:
+            b = deg & 0x7F
+            deg >>= 7
+            out.append(b | (0x80 if deg else 0))
+        for v in ns:
+            out += int(v).to_bytes(4, "little")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_thrill_binary(spark: SparkSession, path: str | list) -> Graph:
+    """ThrillGraphBinaryReader
+    (/root/reference/networkit/cpp/io/ThrillGraphBinaryReader.cpp:46-107):
+    sequential node records (varint degree + uint32-LE neighbors over
+    one or several concatenated files) -> undirected Graph."""
+    paths = [path] if isinstance(path, str) else list(path)
+    buf = b"".join(open(p, "rb").read() for p in paths)
+    pos, u = 0, 0
+    edges: list[tuple[int, int, float]] = []
+    max_id = -1
+    while pos < len(buf):
+        deg, shift = 0, 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            if shift == 63 and (b & 0xFE):
+                raise OverflowError("Overflow during variant64 decoding.")
+            deg |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        for _ in range(deg):
+            v = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+            edges.append((u, v, 1.0))
+            max_id = max(max_id, v)
+        max_id = max(max_id, u)
+        u += 1
+    n = max(max_id + 1, 0)
+    e = spark.createDataFrame(
+        edges or [], "src long, dst long, weight double"
+    ).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "weight",
+    ).distinct()
+    verts = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    return Graph(e, vertices=verts, directed=False, weighted=False)
+
+
+_GT_MAGIC = bytes([0xE2, 0x9B, 0xBE, 0x20, 0x67, 0x74])
+
+
+def _gt_width(n: int) -> int:
+    if n < 1 << 8:
+        return 1
+    if n < 1 << 16:
+        return 2
+    if n < 1 << 32:
+        return 4
+    return 8
+
+
+def write_graphtool_binary(g: Graph, path: str) -> None:
+    """GraphToolBinaryWriter
+    (/root/reference/networkit/cpp/io/GraphToolBinaryWriter.cpp:19-46 +
+    writeAdjacencies :64-120): gt magic + version 1 + little-endian
+    flag, empty comment, directed byte, u64 n, then per node a u64
+    degree and width-byte neighbor ids (undirected: neighbors v <= u).
+    Requires continuous ids (the reference's compact branch)."""
+    nodes = sorted(int(r["id"]) for r in g.nodes().collect())
+    n = len(nodes)
+    if nodes and nodes[-1] != n - 1:
+        raise ValueError(
+            "graph-tool binary writer needs continuous node ids — "
+            "compact the graph first (GraphTools.getCompactedGraph)"
+        )
+    width = _gt_width(n)
+    rel = g.adj() if not g.directed else g.edges
+    rows = rel.select("src", "dst").collect()
+    nbrs: dict[int, list[int]] = {u: [] for u in range(n)}
+    for r in rows:
+        u, v = int(r["src"]), int(r["dst"])
+        if g.directed or v <= u:
+            nbrs[u].append(v)
+    out = bytearray()
+    out += _GT_MAGIC
+    out += bytes([0x01, 0x00])  # version, little-endian
+    out += (0).to_bytes(8, "little")  # empty comment
+    out += bytes([0x01 if g.directed else 0x00])
+    out += n.to_bytes(8, "little")
+    for u in range(n):
+        ns = sorted(nbrs[u])
+        out += len(ns).to_bytes(8, "little")
+        for v in ns:
+            out += int(v).to_bytes(width, "little")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_graphtool_binary(spark: SparkSession, path: str) -> Graph:
+    """GraphToolBinaryReader
+    (/root/reference/networkit/cpp/io/GraphToolBinaryReader.cpp:14-131):
+    header + comment + directed byte + u64 n + per-node adjacency
+    records; undirected files store each edge once (at the larger
+    endpoint)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:6] != _GT_MAGIC or buf[6] != 0x01:
+        raise ValueError("File header is broken")
+    if buf[7] == 0x00:
+        little = True
+    elif buf[7] == 0x01:
+        little = False
+    else:
+        raise ValueError("File header is broken")
+    bo = "little" if little else "big"
+    pos = 8
+    clen = int.from_bytes(buf[pos:pos + 8], bo)
+    pos += 8 + clen
+    directed = buf[pos] == 0x01
+    pos += 1
+    n = int.from_bytes(buf[pos:pos + 8], bo)
+    pos += 8
+    width = _gt_width(n)
+    edges: list[tuple[int, int, float]] = []
+    for u in range(n):
+        deg = int.from_bytes(buf[pos:pos + 8], bo)
+        pos += 8
+        for _ in range(deg):
+            v = int.from_bytes(buf[pos:pos + width], bo)
+            pos += width
+            edges.append((u, v, 1.0))
+    e = spark.createDataFrame(edges or [], "src long, dst long, weight double")
+    if not directed:
+        e = e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).distinct()
+    verts = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    return Graph(e, vertices=verts, directed=directed, weighted=False)

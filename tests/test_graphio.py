@@ -311,3 +311,90 @@ def test_nkbg_rejects_bad_magic(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="magic"):
         read_networkit_binary(spark, str(p))
+
+
+import pytest  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# ThrillGraphBinary + GraphToolBinary round-trips
+# (io/ThrillGraphBinaryReader.cpp, GraphToolBinaryReader.cpp)
+# ---------------------------------------------------------------------------
+
+
+def test_thrill_binary_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.graphio import (
+        read_thrill_binary,
+        write_thrill_binary,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 4), (0, 4), (3, 3)]
+    g = Graph.from_pandas(spark, edges, n=5)
+    p = str(tmp_path / "g.thrill")
+    write_thrill_binary(g, p)
+    g2 = read_thrill_binary(spark, p)
+    assert g2.number_of_nodes() == 5
+    got = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    want = {(min(u, v), max(u, v)) for u, v in edges}
+    assert got == want
+
+
+def test_thrill_binary_varint_degree_and_multifile(spark, tmp_path):
+    from networkit_spark.sources.graphio import (
+        read_thrill_binary,
+        write_thrill_binary,
+    )
+
+    # hub with 130 neighbors -> degree needs a 2-byte varint
+    edges = [(0, i) for i in range(1, 131)]
+    g = Graph.from_pandas(spark, edges, n=131)
+    p = str(tmp_path / "hub.thrill")
+    write_thrill_binary(g, p)
+    raw = open(p, "rb").read()
+    assert raw[0] & 0x80  # multi-byte varint emitted
+    g2 = read_thrill_binary(spark, p)
+    assert g2.number_of_edges() == 130
+    # multi-file concatenation: split after node 0's record
+    rec0 = 2 + 130 * 4
+    a, b = str(tmp_path / "part0"), str(tmp_path / "part1")
+    open(a, "wb").write(raw[:rec0])
+    open(b, "wb").write(raw[rec0:])
+    g3 = read_thrill_binary(spark, [a, b])
+    assert g3.number_of_edges() == 130
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_graphtool_binary_roundtrip(spark, tmp_path, directed):
+    from networkit_spark.sources.graphio import (
+        read_graphtool_binary,
+        write_graphtool_binary,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1)]
+    g = Graph.from_pandas(spark, edges, n=4, directed=directed)
+    p = str(tmp_path / "g.gt")
+    write_graphtool_binary(g, p)
+    g2 = read_graphtool_binary(spark, p)
+    assert g2.directed == directed
+    assert g2.number_of_nodes() == 4
+    got = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    if directed:
+        assert got == set(edges)
+    else:
+        assert got == {(min(u, v), max(u, v)) for u, v in edges}
+
+
+def test_graphtool_binary_width2(spark, tmp_path):
+    from networkit_spark.sources.graphio import (
+        read_graphtool_binary,
+        write_graphtool_binary,
+    )
+
+    # n = 300 forces 2-byte adjacency ids
+    edges = [(i, i + 1) for i in range(299)]
+    g = Graph.from_pandas(spark, edges, n=300)
+    p = str(tmp_path / "w2.gt")
+    write_graphtool_binary(g, p)
+    g2 = read_graphtool_binary(spark, p)
+    assert g2.number_of_nodes() == 300
+    assert g2.number_of_edges() == 299
