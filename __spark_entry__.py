@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_approx_betweenness": e.q_dyn_approx_betweenness,
         "graph_approx_closeness": e.q_approx_closeness,
         "graph_scd_lfm": e.q_scd_lfm,
+        "graph_group_betweenness": e.q_group_betweenness,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -237,4 +238,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_approx_betweenness": e.SQL_DYN_APPROX_BETWEENNESS,
         "graph_approx_closeness": e.SQL_APPROX_CLOSENESS,
         "graph_scd_lfm": e.SQL_SCD_LFM,
+        "graph_group_betweenness": e.SQL_GROUP_BETWEENNESS,
     }

@@ -3330,6 +3330,165 @@ SQL_SCD_LFM = _scd_lfm_sql()
 
 
 # ---------------------------------------------------------------------------
+# ApproxGroupBetweenness (centrality/ApproxGroupBetweenness.cpp,
+# Mahmoody et al. hyperedge sampling + greedy max-coverage) — the
+# oracle replays the md5 pair draws, the uniform-predecessor path
+# walk, and the unrolled greedy rounds (ties smallest id, documented).
+# ---------------------------------------------------------------------------
+
+GB_K = 4
+GB_EPS = 0.8
+GB_SEED = 4242
+
+
+def q_group_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.groupcentrality import (
+        approx_group_betweenness,
+    )
+
+    g = load_graph(spark, sf_dir)
+    group, _ = approx_group_betweenness(
+        g, group_size=GB_K, epsilon=GB_EPS, seed=GB_SEED, max_hops=DIAM_HOPS
+    )
+    return spark.createDataFrame(
+        [(i + 1, u) for i, u in enumerate(group)], "rank long, id long"
+    ).orderBy("rank")
+
+
+def _group_betweenness_sql(
+    hops: int = DIAM_HOPS, k: int = GB_K, eps: float = GB_EPS,
+    seed: int = GB_SEED,
+) -> str:
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"CAST(({nib}) AS BIGINT)"
+
+    hu = horner(f"md5('{seed}|u|' || CAST(i AS VARCHAR))")
+    hv = horner(f"md5('{seed}|v|' || CAST(i AS VARCHAR))")
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"""rr AS (
+  SELECT CAST(CEIL({k} * LN(CAST(n AS DOUBLE)) / ({eps} * {eps})) AS BIGINT)
+         AS r
+  FROM nn
+)""",
+        "idx AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 "
+        "AS idx FROM nodes)",
+        f"""smp AS MATERIALIZED (
+  SELECT i, hu % (SELECT n FROM nn) AS uidx,
+         (hu % (SELECT n FROM nn) + 1
+          + hv % ((SELECT n FROM nn) - 1)) % (SELECT n FROM nn) AS vidx
+  FROM (SELECT i, {hu} AS hu, {hv} AS hv
+        FROM range(1000000) t(i) WHERE i < (SELECT r FROM rr))
+)""",
+        """pairs AS MATERIALIZED (
+  SELECT m.i, iu.id AS s, iv.id AS t
+  FROM smp m JOIN idx iu ON iu.idx = m.uidx JOIN idx iv ON iv.idx = m.vidx
+)""",
+        "f0 AS MATERIALIZED (SELECT DISTINCT s, s AS v, 1.0 AS sigma, "
+        "CAST(0 AS BIGINT) AS dist FROM pairs)",
+        "seen0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for l in range(1, hops + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+  SELECT p.s, a.dst AS v, SUM(p.sigma) AS sigma, CAST({l} AS BIGINT) AS dist
+  FROM f{l - 1} p JOIN adj a ON a.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen{l - 1} t WHERE t.s = p.s AND t.v = a.dst
+  )
+  GROUP BY p.s, a.dst
+),
+seen{l} AS MATERIALIZED (
+  SELECT s, v FROM seen{l - 1} UNION ALL SELECT s, v FROM f{l}
+)"""
+        )
+    sig_union = "\n  UNION ALL ".join(
+        f"SELECT s, v, dist FROM f{l}" for l in range(hops + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED (\n  {sig_union}\n)")
+    parts.append(
+        """w0 AS MATERIALIZED (
+  SELECT p.i, p.s, p.t, g.dist AS td
+  FROM pairs p JOIN sig g ON g.s = p.s AND g.v = p.t
+  WHERE g.dist > 0
+)"""
+    )
+    for kk in range(1, hops + 1):
+        u01 = (
+            horner(f"md5('{seed}|p|' || CAST(i AS VARCHAR) || '|{kk}')")
+            + " / POWER(16.0, 13)"
+        )
+        parts.append(
+            f"""pre{kk} AS MATERIALIZED (
+  SELECT w.i, w.s, a.src AS z, sz.dist AS zd
+  FROM w{kk - 1} w
+  JOIN adj a ON a.dst = w.t
+  JOIN sig sz ON sz.s = w.s AND sz.v = a.src AND sz.dist = w.td - 1
+),
+ch{kk} AS MATERIALIZED (
+  SELECT i, s, z, zd FROM (
+    SELECT i, s, z, zd,
+           SUM(1.0) OVER (PARTITION BY i ORDER BY z) AS cum,
+           {u01} * (COUNT(*) OVER (PARTITION BY i)) AS thr
+    FROM pre{kk}
+  ) q WHERE cum > thr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY i ORDER BY z) = 1
+),
+hb{kk} AS (SELECT i, z FROM ch{kk} WHERE z <> s),
+w{kk} AS MATERIALIZED (
+  SELECT i, s, z AS t, zd AS td FROM ch{kk} WHERE z <> s
+)"""
+        )
+    allh = "\n  UNION ALL ".join(
+        f"SELECT i, z FROM hb{kk}" for kk in range(1, hops + 1)
+    )
+    parts.append(
+        f"hyper AS MATERIALIZED (\n  SELECT DISTINCT i, z FROM (\n  {allh}\n  )\n)"
+    )
+    parts.append("cov0 AS (SELECT i FROM hyper WHERE FALSE)")
+    parts.append("grp0 AS (SELECT id FROM nodes WHERE FALSE)")
+    for rnd in range(1, k + 1):
+        parts.append(
+            f"""pk{rnd} AS MATERIALIZED (
+  SELECT n.id FROM nodes n
+  LEFT JOIN (
+    SELECT z AS id, COUNT(DISTINCT i) AS gain FROM hyper
+    WHERE i NOT IN (SELECT i FROM cov{rnd - 1})
+    GROUP BY z
+  ) g ON g.id = n.id
+  WHERE n.id NOT IN (SELECT id FROM grp{rnd - 1})
+  ORDER BY COALESCE(g.gain, 0) DESC, n.id ASC
+  LIMIT 1
+),
+grp{rnd} AS MATERIALIZED (
+  SELECT id FROM grp{rnd - 1} UNION ALL SELECT id FROM pk{rnd}
+),
+cov{rnd} AS MATERIALIZED (
+  SELECT i FROM cov{rnd - 1}
+  UNION
+  SELECT i FROM hyper WHERE z = (SELECT id FROM pk{rnd})
+)"""
+        )
+    ranks = "\n  UNION ALL ".join(
+        f"SELECT {rnd} AS rank, (SELECT id FROM pk{rnd}) AS id"
+        for rnd in range(1, k + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT rank, id FROM (\n  {ranks}\n) ORDER BY rank"
+    )
+
+
+SQL_GROUP_BETWEENNESS = _group_betweenness_sql()
+
+
+# ---------------------------------------------------------------------------
 # Group centralities (centrality/GroupDegree.cpp:41-124,
 # GroupHarmonicCloseness.cpp) — exact greedy with the documented
 # smallest-id tie-break; the oracle unrolls the k selection rounds.

@@ -46,11 +46,17 @@ from networkit_spark.plans.superstep import (
 def _sample_paths(
     g: Graph, samples: DataFrame, seed: int, vd: int, ckpt: Checkpointer,
     max_hops: int | None = None,
+    uniform_preds: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """((i, z) interior rows of each sample's uniformly-drawn shortest
-    path, (s, v, dist) settled forward-BFS distances of the distinct
-    sources) — the approx_betweenness plan (operators/betweenness.py),
-    factored so incremental recomputation replays identical draws."""
+    """((i, z) interior rows of each sample's sampled shortest path,
+    (s, v, dist) settled forward-BFS distances of the distinct sources)
+    — the approx_betweenness plan (operators/betweenness.py), factored
+    so incremental recomputation replays identical draws.
+
+    ``uniform_preds=True`` draws each backward step uniformly over the
+    predecessor set instead of sigma-weighted — the
+    ApproxGroupBetweenness walk (ApproxGroupBetweenness.cpp:70-77 picks
+    Random.integer over the predecessor list)."""
     spark = g.edges.sparkSession
     adj = materialize_partitioned(
         (g.adj() if not g.directed else g.edges)
@@ -119,6 +125,17 @@ def _sample_paths(
                 ["s", "t"],
             )
         )
+        if uniform_preds:
+            # uniform over predecessors: unit weights, total = pred count
+            cnt = preds.groupBy("i").agg(
+                F.count("*").cast("double").alias("st_u")
+            )
+            preds = (
+                preds.drop("st_")
+                .join(cnt, "i")
+                .withColumn("sz", F.lit(1.0))
+                .withColumnRenamed("st_u", "st_")
+            )
         u01 = (
             F.conv(
                 F.substring(

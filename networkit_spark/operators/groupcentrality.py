@@ -671,3 +671,113 @@ def _group_harmonic_pruned(
         float(score_row["s"] or 0.0),
         SuperstepResult(iterations=len(metrics), metrics=metrics),
     )
+
+
+def approx_group_betweenness(
+    g: Graph,
+    group_size: int,
+    epsilon: float = 0.8,
+    seed: int = 42,
+    max_hops: int | None = None,
+) -> tuple[list[int], SuperstepResult]:
+    """Greedy group-betweenness maximization via hyperedge sampling.
+
+    Reference: /root/reference/networkit/cpp/centrality/
+    ApproxGroupBetweenness.cpp (Mahmoody et al. 2016): draw
+    ceil(k * ln(n) / eps^2) node pairs, sample ONE shortest path per
+    reachable pair (uniform predecessor walk, :70-77 — unreachable
+    pairs yield empty hyperedges, :60-66), then greedy max-coverage:
+    k rounds picking the node incident to the most uncovered
+    hyperedges (:82-138, lazy bucket PQ == eager greedy).
+
+    Deterministic deviations (both engines identical): pair and
+    predecessor draws are md5-derived like approx_betweenness; greedy
+    ties (including all-zero-gain rounds) break to the smallest node
+    id (the reference's PQ order is unspecified).
+
+    Plan: the path sample reuses the approx-betweenness machinery
+    (one multi-source sigma BFS + hub-safe bucketed backward draw,
+    uniform weights); each greedy round is one anti-join + hash
+    aggregation over the O(samples * diameter) hyperedge relation and
+    a 1-row argmax collect.
+    """
+    import math as _math
+
+    from networkit_spark.operators.dynapproxbetweenness import _sample_paths
+    from networkit_spark.plans.ids import dense_ids
+    from networkit_spark.plans.superstep import Checkpointer
+
+    if g.directed:
+        raise ValueError("Error: the graph must be undirected.")
+    n = g.number_of_nodes()
+    if group_size == 0 or group_size >= n:
+        raise ValueError("Error: the group size must be between 1 and n-1.")
+    if epsilon <= 0:
+        raise ValueError("Error: epsilon must be greater than 0.")
+    spark = g.edges.sparkSession
+    ckpt = Checkpointer(spark)
+    r = int(_math.ceil(group_size * _math.log(n) / (epsilon * epsilon)))
+    nodes = g.nodes().localCheckpoint(eager=True)
+    idx = dense_ids(nodes, ["id"], "idx").localCheckpoint(eager=True)
+
+    def _h(tag: str, col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|{tag}|"), col.cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    samples = (
+        spark.range(r)
+        .select(F.col("id").alias("i"))
+        .select(
+            "i",
+            (_h("u", F.col("i")) % n).alias("uidx"),
+            (
+                (_h("u", F.col("i")) % n + 1 + _h("v", F.col("i")) % (n - 1)) % n
+            ).alias("vidx"),
+        )
+        .join(idx.select(F.col("idx").alias("uidx"), F.col("id").alias("s")), "uidx")
+        .join(idx.select(F.col("idx").alias("vidx"), F.col("id").alias("t")), "vidx")
+        .select("i", "s", "t")
+        .localCheckpoint(eager=True)
+    )
+    vd = max_hops if max_hops is not None else 2**20
+    hyper, _sig = _sample_paths(
+        g, samples, seed, vd=min(vd, 2**20), ckpt=ckpt,
+        max_hops=max_hops, uniform_preds=True,
+    )
+    hyper = hyper.distinct().localCheckpoint(eager=True)
+
+    group: list[int] = []
+    covered = spark.createDataFrame([], "i long")
+    metrics: list[dict] = []
+    for rnd in range(group_size):
+        grp_df = spark.createDataFrame([(u,) for u in group] or [], "id long")
+        gains = (
+            hyper.join(covered.hint("broadcast"), "i", "left_anti")
+            .groupBy(F.col("z").alias("id"))
+            .agg(F.countDistinct("i").alias("gain"))
+        )
+        pick = (
+            nodes.join(F.broadcast(grp_df), "id", "left_anti")
+            .join(gains, "id", "left")
+            .select("id", F.coalesce("gain", F.lit(0)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        group.append(int(pick["id"]))
+        metrics.append({"round": rnd + 1, "gain": int(pick["gain"])})
+        covered = (
+            covered.unionByName(
+                hyper.filter(F.col("z") == group[-1]).select("i")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return group, SuperstepResult(iterations=group_size, metrics=metrics)

@@ -240,3 +240,37 @@ def test_group_harmonic_pruned_state_is_batch_by_n(spark):
     waves = [m for m in info.metrics if m.get("phase") == "improve"]
     assert waves
     assert all(m["settled_rows"] <= batch * n for m in waves)
+
+
+def test_approx_group_betweenness_path_graph(spark):
+    """On a path, the greedy hyperedge cover picks interior nodes
+    (endpoints are never path interiors)."""
+    from networkit_spark.operators.groupcentrality import (
+        approx_group_betweenness,
+    )
+
+    n = 9
+    edges = [(i, i + 1) for i in range(n - 1)]
+    g = Graph.from_pandas(spark, edges, n=n)
+    group, info = approx_group_betweenness(g, group_size=3, epsilon=0.5)
+    assert len(group) == 3 and len(set(group)) == 3
+    assert 0 not in group and n - 1 not in group
+    # greedy gains are non-increasing (submodular coverage)
+    gains = [m["gain"] for m in info.metrics]
+    assert gains == sorted(gains, reverse=True)
+
+
+def test_approx_group_betweenness_deterministic_and_validated(spark):
+    from networkit_spark.operators.groupcentrality import (
+        approx_group_betweenness,
+    )
+
+    edges = _rand_edges(12, seed=7)
+    g = Graph.from_pandas(spark, edges, n=12)
+    a, _ = approx_group_betweenness(g, group_size=2)
+    b, _ = approx_group_betweenness(g, group_size=2)
+    assert a == b
+    with pytest.raises(ValueError):
+        approx_group_betweenness(g, group_size=0)
+    with pytest.raises(ValueError):
+        approx_group_betweenness(g, group_size=2, epsilon=0.0)
