@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_approx_closeness": e.q_approx_closeness,
         "graph_scd_lfm": e.q_scd_lfm,
         "graph_group_betweenness": e.q_group_betweenness,
+        "graph_scd_tce": e.q_scd_tce,
+        "graph_scd_lte": e.q_scd_lte,
+        "graph_scd_clique": e.q_scd_clique,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -102,15 +105,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_approx_betweenness": e.q_approx_betweenness,
         "graph_kadabra": e.q_kadabra,
         "graph_closeness": e.q_closeness,
-        "graph_top_closeness": e.q_top_closeness,
         "graph_top_harmonic": e.q_top_harmonic,
-        "graph_group_harmonic": e.q_group_harmonic,
-        "graph_matching": e.q_matching,
         "graph_node2vec_walks": e.q_node2vec_walks,
         "multimodal_features": e.q_multimodal_features,
         # ---------------------------------------------------- 50-row cap
         # --- STABLE TAIL (driver-green in round 4; pytest + the all-
         # pairs DuckDB rehearsal keep them covered every round) ---------
+        "graph_top_closeness": e.q_top_closeness,
+        "graph_group_harmonic": e.q_group_harmonic,
+        "graph_matching": e.q_matching,
         "graph_sparsify": e.q_sparsify,
         "graph_msf": e.q_msf,
         "graph_anf": e.q_anf,
@@ -239,4 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_approx_closeness": e.SQL_APPROX_CLOSENESS,
         "graph_scd_lfm": e.SQL_SCD_LFM,
         "graph_group_betweenness": e.SQL_GROUP_BETWEENNESS,
+        "graph_scd_tce": e.SQL_SCD_TCE,
+        "graph_scd_lte": e.SQL_SCD_LTE,
+        "graph_scd_clique": e.SQL_SCD_CLIQUE,
     }

@@ -4867,3 +4867,273 @@ SELECT ROUND(CASE WHEN m.vol > 0 AND t.total - m.vol > 0
              THEN m.cut / LEAST(m.vol, t.total - m.vol)
              ELSE 1.0 END, 6) AS cond
 FROM m, t"""
+
+
+# ---------------------------------------------------------------------------
+# TCE / LocalTightnessExpansion / CliqueDetect (scd/TCE.cpp:46-264,
+# scd/LocalTightnessExpansion.cpp:96-330, scd/CliqueDetect.cpp:18-95).
+# The shell-heap pop sequence collapses to per-acceptance rounds (see
+# operators/scdlocal.py); the oracles unroll TCE_STEPS / LTE_STEPS
+# rounds with the same (priority DESC round 9, id ASC) pick and the
+# discard bookkeeping (everything ordered before the accepted node
+# leaves the shell until a later acceptance re-inserts it).  CliqueDetect
+# enumerates the candidate-subgraph cliques with a recursive CTE
+# (ordered growth + list_has_all) and takes the (size DESC, members ASC)
+# minimum — the same winner the Spark side picks among maximal cliques.
+# ---------------------------------------------------------------------------
+
+TCE_STEPS = 12
+LTE_STEPS = 12
+
+
+def q_scd_tce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scdlocal import tce_expand
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    com, cond, _rounds = tce_expand(g, [seed], max_steps=TCE_STEPS)
+    return com.select(
+        "id", F.round(F.lit(cond), 6).alias("cond")
+    ).orderBy("id")
+
+
+def _scd_tce_sql(steps: int = TCE_STEPS) -> str:
+    parts = [
+        """com0 AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1
+),
+act0 AS MATERIALIZED (
+  SELECT DISTINCT a.dst AS v FROM adj a JOIN com0 c ON c.id = a.src
+  WHERE a.dst NOT IN (SELECT id FROM com0)
+)"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(
+            f"""cv{t} AS (
+  SELECT CAST(SUM(CASE WHEN x.id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS cut,
+         CAST(COUNT(*) AS DOUBLE) AS vol
+  FROM adj a JOIN com{p} c ON c.id = a.src
+  LEFT JOIN com{p} x ON x.id = a.dst
+),
+pr{t} AS (
+  SELECT a.src AS u, a.dst AS v FROM adj a
+  JOIN com{p} c ON c.id = a.src
+  JOIN act{p} s ON s.v = a.dst
+),
+tr{t} AS (
+  SELECT q.u, q.v, CAST(COUNT(*) AS DOUBLE) AS tri
+  FROM pr{t} q
+  JOIN adj x ON x.src = q.u
+  JOIN adj y ON y.src = q.v AND y.dst = x.dst
+  GROUP BY q.u, q.v
+),
+sc{t} AS (
+  SELECT q.v,
+         ROUND(SUM((1.0 + COALESCE(w.tri, 0.0))
+               / (LEAST(du.degree, dv.degree) * dv.degree)), 9) AS score_r,
+         CAST(COUNT(*) AS DOUBLE) AS cut_e,
+         CAST(MAX(dv.degree) AS DOUBLE) AS wd
+  FROM pr{t} q
+  LEFT JOIN tr{t} w ON w.u = q.u AND w.v = q.v
+  JOIN deg du ON du.id = q.u
+  JOIN deg dv ON dv.id = q.v
+  GROUP BY q.v
+),
+ac{t} AS (
+  SELECT s.v, s.score_r, s.cut_e, s.wd
+  FROM sc{t} s, cv{t} z
+  WHERE ROUND((z.cut + s.wd - 2 * s.cut_e) / (z.vol + s.wd)
+              - z.cut / z.vol, 9) < 0
+  ORDER BY s.score_r DESC, s.v ASC LIMIT 1
+),
+com{t} AS MATERIALIZED (
+  SELECT id FROM com{p} UNION ALL SELECT v AS id FROM ac{t}
+),
+act{t} AS MATERIALIZED (
+  SELECT s.v FROM sc{t} s, ac{t} a
+  WHERE NOT (s.score_r > a.score_r
+             OR (s.score_r = a.score_r AND s.v < a.v))
+    AND s.v <> a.v
+  UNION
+  SELECT n.dst AS v FROM adj n JOIN ac{t} a ON n.src = a.v
+  WHERE n.dst NOT IN (SELECT id FROM com{t})
+)"""
+        )
+    parts.append(
+        f"""cvf AS (
+  SELECT CAST(SUM(CASE WHEN x.id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS cut,
+         CAST(COUNT(*) AS DOUBLE) AS vol
+  FROM adj a JOIN com{steps} c ON c.id = a.src
+  LEFT JOIN com{steps} x ON x.id = a.dst
+)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT c.id,
+       ROUND((SELECT CASE WHEN vol > 0 THEN cut / vol ELSE 1.0 END
+              FROM cvf), 6) AS cond
+FROM com{steps} c ORDER BY c.id"""
+    )
+
+
+SQL_SCD_TCE = _scd_tce_sql()
+
+
+def q_scd_lte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scdlocal import lte_expand
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    com, _rounds = lte_expand(g, [seed], alpha=1.0, max_steps=LTE_STEPS)
+    return com.select("id").orderBy("id")
+
+
+def _scd_lte_sql(steps: int = LTE_STEPS) -> str:
+    # unweighted contract graph: wd2(x) = sqrt(1 + degree(x)),
+    # s(u, v) = (2 + common-neighbour count) / (wd2_u * wd2_v)
+    sim = ("(2.0 + COALESCE(w.tri, 0.0)) "
+           "/ (SQRT(1.0 + du.degree) * SQRT(1.0 + dv.degree))")
+    parts = [
+        """com0 AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1
+),
+act0 AS MATERIALIZED (
+  SELECT DISTINCT a.dst AS v FROM adj a JOIN com0 c ON c.id = a.src
+  WHERE a.dst NOT IN (SELECT id FROM com0)
+)"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(
+            f"""ce{t} AS (
+  SELECT a.src AS u, a.dst AS v FROM adj a JOIN com{p} c ON c.id = a.src
+),
+ctr{t} AS (
+  SELECT q.u, q.v, CAST(COUNT(*) AS DOUBLE) AS tri
+  FROM ce{t} q
+  JOIN adj x ON x.src = q.u
+  JOIN adj y ON y.src = q.v AND y.dst = x.dst
+  GROUP BY q.u, q.v
+),
+ei{t} AS (
+  SELECT COALESCE(SUM(CASE WHEN b.id IS NOT NULL THEN q.s END), 0.0)
+           AS i,
+         COALESCE(SUM(CASE WHEN b.id IS NULL THEN q.s END), 0.0) AS e
+  FROM (
+    SELECT p2.v, {sim} AS s
+    FROM ce{t} p2
+    LEFT JOIN ctr{t} w ON w.u = p2.u AND w.v = p2.v
+    JOIN deg du ON du.id = p2.u
+    JOIN deg dv ON dv.id = p2.v
+  ) q LEFT JOIN com{p} b ON b.id = q.v
+),
+pv{t} AS (
+  SELECT a.src AS u, a.dst AS v FROM adj a JOIN act{p} s ON s.v = a.src
+),
+ptr{t} AS (
+  SELECT q.u, q.v, CAST(COUNT(*) AS DOUBLE) AS tri
+  FROM pv{t} q
+  JOIN adj x ON x.src = q.u
+  JOIN adj y ON y.src = q.v AND y.dst = x.dst
+  GROUP BY q.u, q.v
+),
+lsc{t} AS (
+  SELECT q.u AS v,
+         ROUND(COALESCE(SUM(CASE WHEN b.id IS NOT NULL THEN q.s END),
+                        0.0), 9) AS prio,
+         COALESCE(SUM(CASE WHEN b.id IS NOT NULL THEN q.s END), 0.0)
+           AS int_s,
+         COALESCE(SUM(CASE WHEN b.id IS NULL THEN q.s END), 0.0) AS ext_s
+  FROM (
+    SELECT p2.u, p2.v, {sim} AS s
+    FROM pv{t} p2
+    LEFT JOIN ptr{t} w ON w.u = p2.u AND w.v = p2.v
+    JOIN deg du ON du.id = p2.u
+    JOIN deg dv ON dv.id = p2.v
+  ) q LEFT JOIN com{p} b ON b.id = q.v
+  GROUP BY q.u
+  HAVING COALESCE(SUM(CASE WHEN b.id IS NOT NULL THEN q.s END), 0.0) > 0
+),
+lac{t} AS (
+  SELECT s.v, s.prio
+  FROM lsc{t} s, ei{t} z
+  WHERE CASE WHEN z.i = 0
+             THEN (CASE WHEN z.e > 0 THEN 1.0 ELSE -1.0 END)
+             ELSE ROUND(z.e / z.i
+                        - (s.ext_s - s.int_s) / (2 * s.int_s), 9)
+        END > 0
+  ORDER BY s.prio DESC, s.v ASC LIMIT 1
+),
+com{t} AS MATERIALIZED (
+  SELECT id FROM com{p} UNION ALL SELECT v AS id FROM lac{t}
+),
+act{t} AS MATERIALIZED (
+  SELECT s.v FROM lsc{t} s, lac{t} a
+  WHERE NOT (s.prio > a.prio OR (s.prio = a.prio AND s.v < a.v))
+    AND s.v <> a.v
+  UNION
+  SELECT n.dst AS v FROM adj n JOIN lac{t} a ON n.src = a.v
+  WHERE n.dst NOT IN (SELECT id FROM com{t})
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id FROM com{steps} ORDER BY id"
+    )
+
+
+SQL_SCD_LTE = _scd_lte_sql()
+
+
+def q_scd_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scdlocal import clique_detect
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    return clique_detect(g, [seed]).select("id").orderBy("id")
+
+
+SQL_SCD_CLIQUE = f"""WITH RECURSIVE {GRAPH_CTES},
+seedn AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1),
+cand AS (
+  SELECT a.dst AS id FROM adj a JOIN seedn s ON s.id = a.src
+  WHERE a.dst NOT IN (SELECT id FROM seedn)
+),
+sedges AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN cand x ON x.id = e.src JOIN cand y ON y.id = e.dst
+),
+salist AS (
+  SELECT src, list(dst ORDER BY dst) AS ns FROM (
+    SELECT src, dst FROM sedges UNION ALL SELECT dst, src FROM sedges
+  ) GROUP BY src
+),
+cl AS (
+  SELECT [id] AS members, 1 AS k, id AS last FROM cand
+  UNION ALL
+  SELECT list_append(c.members, e.dst), c.k + 1, e.dst
+  FROM cl c JOIN sedges e ON e.src = c.last
+  JOIN salist al ON al.src = e.dst
+  WHERE list_has_all(al.ns, c.members)
+),
+best AS (SELECT members FROM cl ORDER BY k DESC, members ASC LIMIT 1)
+SELECT id FROM (
+  SELECT id FROM seedn
+  UNION
+  SELECT UNNEST(members) AS id FROM best
+) ORDER BY id"""

@@ -133,8 +133,6 @@ def tce_expand(
     )
     rounds = 0
     for _ in range(max_steps):
-        if not active.limit(1).collect():
-            break
         com_df = _lit_df(spark, com, "cid")
         # community-incident edges (u in C, v outside C)
         pair = (
@@ -191,6 +189,10 @@ def tce_expand(
                 F.first("wd_v").alias("wd"),
             )
             .withColumn("score_r", F.round("score", 9))
+            # materialized once — both the argmax pick and the survivor
+            # bookkeeping read it (otherwise the triangle join runs twice
+            # per round)
+            .localCheckpoint(eager=True)
         )
         margin = F.round(
             (F.lit(cut) + F.col("wd") - 2 * F.col("cut_e"))
@@ -377,8 +379,6 @@ def lte_expand(
     )
     rounds = 0
     for _ in range(max_steps):
-        if not active.limit(1).collect():
-            break
         cdf = _lit_df(spark, com)
         sp = _sim_pairs(active.withColumnRenamed("v", "id"))
         scored = (
@@ -400,6 +400,8 @@ def lte_expand(
             )
             .filter(F.col("int_s") > 0)
             .withColumn("prio", F.round("int_s", 9))
+            # materialized once for the same double-read reason as TCE
+            .localCheckpoint(eager=True)
         )
         if sim_i == 0.0:
             # E / I = +inf (or NaN when E = 0): accept iff E > 0
