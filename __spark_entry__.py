@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scd_tce": e.q_scd_tce,
         "graph_scd_lte": e.q_scd_lte,
         "graph_scd_clique": e.q_scd_clique,
+        "graph_dyn_top_harmonic": e.q_dyn_top_harmonic,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": e.q_betweenness,
         "graph_approx_betweenness": e.q_approx_betweenness,
         "graph_kadabra": e.q_kadabra,
-        "graph_closeness": e.q_closeness,
         "graph_top_harmonic": e.q_top_harmonic,
         "graph_node2vec_walks": e.q_node2vec_walks,
         "multimodal_features": e.q_multimodal_features,
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_top_closeness": e.q_top_closeness,
         "graph_group_harmonic": e.q_group_harmonic,
         "graph_matching": e.q_matching,
+        "graph_closeness": e.q_closeness,
         "graph_sparsify": e.q_sparsify,
         "graph_msf": e.q_msf,
         "graph_anf": e.q_anf,
@@ -245,4 +246,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_scd_tce": e.SQL_SCD_TCE,
         "graph_scd_lte": e.SQL_SCD_LTE,
         "graph_scd_clique": e.SQL_SCD_CLIQUE,
+        "graph_dyn_top_harmonic": e.SQL_DYN_TOP_HARMONIC,
     }

@@ -5137,3 +5137,146 @@ SELECT id FROM (
   UNION
   SELECT UNNEST(members) AS id FROM best
 ) ORDER BY id"""
+
+
+# ---------------------------------------------------------------------------
+# DynTopHarmonicCloseness (centrality/DynTopHarmonicCloseness.cpp:418-855
+# + distance/AffectedNodes.cpp) — the same starred graph as
+# graph_top_harmonic, hit with the dyn_katz event batch (deterministic
+# removals + range-recipe additions); the oracle recomputes exact
+# harmonic top-k on the post-event edge set, the Spark side repairs
+# incrementally (affected-endpoint BFS + bound refresh + lazy waves).
+# ---------------------------------------------------------------------------
+
+
+def q_dyn_top_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.dyntopharmonic import (
+        DynTopHarmonicCloseness,
+    )
+
+    g = load_graph(spark, sf_dir)
+    star = (
+        g.nodes()
+        .filter((F.col("id") % 7 == 1) & (F.col("id") != 0))
+        .select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    )
+    edges2 = (
+        g.edges.select("src", "dst")
+        .unionByName(star)
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    g2 = Graph(edges2, vertices=g.nodes(), directed=False, weighted=False)
+    dth = DynTopHarmonicCloseness(g2, k=TOPHARM_K, batch=64).run()
+    removes = g.edges.filter(
+        (F.col("src") * 31 + F.col("dst")) % 23 == 0
+    ).select(
+        F.lit("EDGE_REMOVAL").alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    nodes = g.nodes()
+    adds = (
+        spark.range(15)
+        .select(
+            F.least(
+                F.col("id"), (F.col("id") * F.col("id") * 7 + 3) % 997
+            ).alias("a"),
+            F.greatest(
+                F.col("id"), (F.col("id") * F.col("id") * 7 + 3) % 997
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .join(
+            g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+        .join(nodes.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(nodes.withColumnRenamed("id", "b"), "b", "left_semi")
+        .select(
+            F.lit("EDGE_ADDITION").alias("type"),
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    dth.update_batch(adds.unionByName(removes))
+    n = g2.number_of_nodes()
+    if dth.swept_last >= n // 2:  # explicit raise — survives python -O
+        raise AssertionError(
+            f"dyn repair swept {dth.swept_last}/{n} nodes — the bound "
+            "pruned nothing"
+        )
+    return dth.scores().select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("id"))
+
+
+def _dyn_top_harmonic_sql(hops: int = DIAM_HOPS, k: int = TOPHARM_K) -> str:
+    steps = [
+        """star AS (
+  SELECT CAST(0 AS BIGINT) AS src, id AS dst FROM nodes
+  WHERE id % 7 = 1 AND id <> 0
+),
+edges2 AS (
+  SELECT src, dst FROM edges UNION SELECT src, dst FROM star
+),
+rem AS (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 23 = 0),
+addf AS (
+  SELECT DISTINCT LEAST(i, (i * i * 7 + 3) % 997) AS a,
+                  GREATEST(i, (i * i * 7 + 3) % 997) AS b
+  FROM range(15) t(i)
+  WHERE LEAST(i, (i * i * 7 + 3) % 997)
+        <> GREATEST(i, (i * i * 7 + 3) % 997)
+    AND NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = LEAST(i, (i * i * 7 + 3) % 997)
+                      AND e.dst = GREATEST(i, (i * i * 7 + 3) % 997))
+    AND EXISTS (SELECT 1 FROM nodes n
+                WHERE n.id = LEAST(i, (i * i * 7 + 3) % 997))
+    AND EXISTS (SELECT 1 FROM nodes n
+                WHERE n.id = GREATEST(i, (i * i * 7 + 3) % 997))
+),
+edges3 AS (
+  SELECT src, dst FROM (SELECT src, dst FROM edges2
+                        EXCEPT SELECT src, dst FROM rem)
+  UNION SELECT a AS src, b AS dst FROM addf
+),
+adj3 AS (
+  SELECT src, dst FROM edges3
+  UNION ALL SELECT dst AS src, src AS dst FROM edges3
+)""",
+        "t0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(0 AS BIGINT) "
+        "AS dist FROM nodes)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj3 a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+sc AS (
+  SELECT s AS id,
+         SUM(CASE WHEN dist > 0 THEN CAST(1.0 AS DOUBLE) / dist
+                  ELSE CAST(0.0 AS DOUBLE) END) AS h
+  FROM t{hops} GROUP BY s
+)
+SELECT id, ROUND(h, 6) AS score FROM sc
+ORDER BY h DESC, id ASC LIMIT {k}"""
+    )
+
+
+SQL_DYN_TOP_HARMONIC = _dyn_top_harmonic_sql()
