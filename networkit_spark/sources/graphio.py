@@ -805,3 +805,253 @@ def read_graphtool_binary(spark: SparkSession, path: str) -> Graph:
         ).distinct()
     verts = spark.range(n).select(F.col("id").cast("long").alias("id"))
     return Graph(e, vertices=verts, directed=directed, weighted=False)
+
+
+def read_rb(spark: SparkSession, path: str) -> Graph:
+    """RBGraphReader (Rutherford-Boeing compressed-column files,
+    /root/reference/networkit/cpp/io/RBGraphReader.cpp:16-44 over
+    RBMatrixReader.cpp:36-130): 4-line header (title; row counts of the
+    pointer/index/value blocks; ``fmt ncols nrows nvals``; fortran
+    formats), then 1-indexed column pointers, row indices, and (unless
+    pattern-only) values.  Only real/integer/pattern ('r'/'i'/'p') in
+    assembled column form ('a') are supported, like the reference.
+    Edge direction is row -> col; 's' (symmetric) files produce an
+    undirected graph.  Driver-side fixture-scale interop like the other
+    format readers; parquet is the native format."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    hdr = lines[1].split()
+    n_ptr_rows, n_idx_rows, n_val_rows = (
+        int(hdr[1]), int(hdr[2]), int(hdr[3])
+    )
+    fmt_line = lines[2].split()
+    fmt = fmt_line[0].lower()
+    ncols, nrows = int(fmt_line[1]), int(fmt_line[2])
+    if fmt[0] not in "rip":
+        raise ValueError(
+            "Unsupported format: only real, integer, and pattern "
+            "formats are supported."
+        )
+    if fmt[2] != "a":
+        raise ValueError(
+            "Unsupported format: only compressed column format is "
+            "supported."
+        )
+    pattern_only = fmt[0] == "p"
+    symmetric = fmt[1] == "s"
+    if ncols != nrows:
+        raise ValueError(
+            "File does not contain a square matrix - cannot parse "
+            "this file into a graph!"
+        )
+    body = lines[4:]
+    ptr_block = body[:n_ptr_rows]
+    idx_block = body[n_ptr_rows:n_ptr_rows + n_idx_rows]
+    val_block = body[
+        n_ptr_rows + n_idx_rows:n_ptr_rows + n_idx_rows + n_val_rows
+    ]
+    pointers = [int(t) - 1 for ln in ptr_block for t in ln.split()]
+    rowindex = [int(t) - 1 for ln in idx_block for t in ln.split()]
+    values = [float(t) for ln in val_block for t in ln.split()]
+    edges = []
+    for col in range(ncols):
+        for idx in range(pointers[col], pointers[col + 1]):
+            w = 1.0 if pattern_only else values[idx]
+            edges.append((rowindex[idx], col, w))
+    edf = spark.createDataFrame(
+        edges or [(0, 0, 1.0)], "src long, dst long, weight double"
+    )
+    if not edges:
+        edf = edf.limit(0)
+    verts = spark.range(ncols).select(F.col("id"))
+    return Graph(
+        edf, verts, directed=not symmetric, weighted=not pattern_only
+    )
+
+
+def read_dibap(spark: SparkSession, path: str) -> Graph:
+    """DibapGraphReader
+    (/root/reference/networkit/cpp/io/DibapGraphReader.cpp:33-180):
+    big-endian binary — 'GI' type code (short), V, vertex-weight dim +
+    weights, CSR offsets of[V+1], targets to[numE2], edge-weight dim +
+    int weights, coordinate dim + float coords.  Undirected edges taken
+    for v <= to[e]; node weights/coordinates are parsed and discarded
+    like the reference (its FIXME keeps the graph unweighted per-node).
+    """
+    import struct
+
+    buf = open(path, "rb").read()
+    pos = 0
+
+    def _i(k=1):
+        nonlocal pos
+        out = struct.unpack(f">{k}i", buf[pos:pos + 4 * k])
+        pos += 4 * k
+        return out
+
+    (type_code,) = struct.unpack(">h", buf[pos:pos + 2])
+    pos += 2
+    if type_code != ((ord("G") << 8) | ord("I")):
+        raise ValueError("bad file structure ")
+    (v_count,) = _i()
+    (dvw,) = _i()
+    if dvw > 0:
+        _i(v_count * dvw)  # vertex weights — parsed, unused
+    of = list(_i(v_count + 1))
+    num_e2 = of[v_count]
+    to = list(_i(num_e2)) if num_e2 else []
+    (dew,) = _i()
+    ew = list(_i(num_e2 * dew)) if dew > 0 else []
+    (dxy,) = _i()
+    if dxy > 0:
+        pos += 4 * v_count * dxy  # float coordinates — skipped
+    edges = []
+    for v in range(v_count):
+        for e in range(of[v], of[v + 1]):
+            if v <= to[e]:
+                w = float(ew[e]) if dew > 0 else 1.0
+                edges.append((v, to[e], w))
+    edf = spark.createDataFrame(
+        edges or [(0, 0, 1.0)], "src long, dst long, weight double"
+    )
+    if not edges:
+        edf = edf.limit(0)
+    verts = spark.range(v_count).select(F.col("id"))
+    return Graph(edf, verts, directed=False, weighted=dew > 0)
+
+
+def read_raster(
+    spark: SparkSession, path: str, normalization_factor: float = 1.0
+) -> DataFrame:
+    """RasterReader
+    (/root/reference/networkit/cpp/io/RasterReader.cpp:19-105): ESRI
+    ASCII raster — 6-line header (ncols/nrows read from columns 15+,
+    rest ignored), then nrows data lines; each cell value * factor,
+    rounded, spawns that many 2D points inside the unit cell (x in
+    [col, col+1), y in [1-(row+1), 1-row)).
+
+    Deviation (documented): the reference draws the in-cell offsets
+    from Aux::Random; here they are md5-derandomized from
+    (row, col, i) so the point cloud is reproducible cross-run —
+    the same derandomization rule every sampling operator in this
+    engine uses.  Returns a DataFrame (x double, y double)."""
+    import hashlib
+
+    with open(path) as f:
+        lines = f.read().splitlines()
+    ncols = int(float(lines[0][14:].split()[0]))
+    nrows = int(float(lines[1][14:].split()[0]))
+    pts = []
+    for row in range(nrows):
+        vals = lines[6 + row].split()
+        for col in range(ncols):
+            v = float(vals[col]) * normalization_factor
+            cnt = int(round(v))
+            xlb, ylb = float(col), 1.0 - (row + 1)
+            for i in range(cnt):
+                h = hashlib.md5(f"{row}:{col}:{i}".encode()).hexdigest()
+                fx = int(h[:8], 16) / 2**32
+                fy = int(h[8:16], 16) / 2**32
+                pts.append((xlb + fx, ylb + fy))
+    df = spark.createDataFrame(pts or [(0.0, 0.0)], "x double, y double")
+    return df if pts else df.limit(0)
+
+
+def read_cover(spark: SparkSession, path: str) -> DataFrame:
+    """CoverReader (/root/reference/networkit/cpp/io/CoverReader.cpp:9-34):
+    non-comment line i lists the member nodes of subset i.  Returns
+    (id, subset) — a node appears once per subset containing it."""
+    rows = []
+    i = 0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("#"):
+                continue
+            for tok in line.split():
+                rows.append((int(tok), i))
+            i += 1
+    df = spark.createDataFrame(rows or [(0, 0)], "id long, subset long")
+    return df if rows else df.limit(0)
+
+
+def write_cover(cover: DataFrame, path: str) -> None:
+    """CoverWriter (/root/reference/networkit/cpp/io/CoverWriter.cpp:9-26):
+    one line per subset (ascending subset index), member ids ascending,
+    trailing space per id like the reference."""
+    rows = cover.select("id", "subset").collect()
+    sets: dict[int, list[int]] = {}
+    for r in rows:
+        sets.setdefault(int(r["subset"]), []).append(int(r["id"]))
+    upper = max(sets) + 1 if sets else 0
+    with open(path, "w") as f:
+        for s in range(upper):
+            for v in sorted(sets.get(s, [])):
+                f.write(f"{v} ")
+            f.write("\n")
+
+
+def read_binary_partition(
+    spark: SparkSession, path: str, width: int = 8
+) -> DataFrame:
+    """BinaryPartitionReader
+    (/root/reference/networkit/cpp/io/BinaryPartitionReader.cpp:7-48):
+    little-endian fixed-width (4 or 8 byte) subset ids, node u = record
+    u.  Returns (id, label)."""
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    buf = open(path, "rb").read()
+    if len(buf) % width != 0:
+        raise ValueError(
+            "Error: length of partition file must be a multiple of the "
+            "width."
+        )
+    rows = [
+        (u, int.from_bytes(buf[u * width:(u + 1) * width], "little"))
+        for u in range(len(buf) // width)
+    ]
+    df = spark.createDataFrame(rows or [(0, 0)], "id long, label long")
+    return df if rows else df.limit(0)
+
+
+def write_binary_partition(
+    labels: DataFrame, path: str, width: int = 8
+) -> None:
+    """BinaryPartitionWriter
+    (/root/reference/networkit/cpp/io/BinaryPartitionWriter.cpp:7-33)."""
+    if width not in (4, 8):
+        raise ValueError("Only width 4 and 8 are supported")
+    rows = labels.select("id", "label").collect()
+    lab = {int(r["id"]): int(r["label"]) for r in rows}
+    if width == 4 and lab and max(lab.values()) > 0xFFFFFFFF:
+        raise ValueError(
+            "Error, the upper bound of the given partition cannot be "
+            "represented by an unsigned int of width 4. Please use a "
+            "width of 8."
+        )
+    with open(path, "wb") as f:
+        for u in range(len(lab)):
+            f.write(int(lab[u]).to_bytes(width, "little"))
+
+
+def read_edgelist_cover(
+    spark: SparkSession, path: str, first_node: int = 1
+) -> DataFrame:
+    """EdgeListCoverReader
+    (/root/reference/networkit/cpp/io/EdgeListCoverReader.cpp:12-47):
+    non-comment line = ``v c1 c2 ...`` — node v (shifted by
+    ``first_node``) belongs to subsets c1, c2, ... (kept as-is).
+    Returns (id, subset)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            toks = line.split()
+            if not toks:
+                continue
+            v = int(toks[0]) - first_node
+            for c in toks[1:]:
+                rows.append((v, int(c)))
+    df = spark.createDataFrame(rows or [(0, 0)], "id long, subset long")
+    return df if rows else df.limit(0)
