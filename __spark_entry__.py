@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scd_lte": e.q_scd_lte,
         "graph_scd_clique": e.q_scd_clique,
         "graph_dyn_top_harmonic": e.q_dyn_top_harmonic,
+        "graph_scd_localt": e.q_scd_localt,
+        "graph_scd_twophasel": e.q_scd_twophasel,
+        "graph_scd_gtcomparison": e.q_scd_gtcomparison,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -99,9 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc": c.q_connected_components,
         "graph_pagerank_large": e.q_pagerank_large,
         "graph_plm": e.q_plm,
-        "graph_leiden": e.q_leiden,
-        "graph_mapequation": e.q_mapequation,
-        "graph_kcore": e.q_kcore,
         "graph_betweenness": e.q_betweenness,
         "graph_approx_betweenness": e.q_approx_betweenness,
         "graph_kadabra": e.q_kadabra,
@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_group_harmonic": e.q_group_harmonic,
         "graph_matching": e.q_matching,
         "graph_closeness": e.q_closeness,
+        "graph_leiden": e.q_leiden,
+        "graph_mapequation": e.q_mapequation,
+        "graph_kcore": e.q_kcore,
         "graph_sparsify": e.q_sparsify,
         "graph_msf": e.q_msf,
         "graph_anf": e.q_anf,
@@ -247,4 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scd_lte": e.SQL_SCD_LTE,
         "graph_scd_clique": e.SQL_SCD_CLIQUE,
         "graph_dyn_top_harmonic": e.SQL_DYN_TOP_HARMONIC,
+        "graph_scd_localt": e.SQL_SCD_LOCALT,
+        "graph_scd_twophasel": e.SQL_SCD_TWOPHASEL,
+        "graph_scd_gtcomparison": e.SQL_SCD_GTCOMPARISON,
     }

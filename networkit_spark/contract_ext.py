@@ -5280,3 +5280,384 @@ ORDER BY h DESC, id ASC LIMIT {k}"""
 
 
 SQL_DYN_TOP_HARMONIC = _dyn_top_harmonic_sql()
+
+
+# ---------------------------------------------------------------------------
+# LocalT / TwoPhaseL / SCDGroundTruthComparison (scd/LocalT.cpp:14-195,
+# scd/TwoPhaseL.cpp:13-113, scd/SCDGroundTruthComparison.cpp:11-135).
+# LocalT's replay is ALL-INTEGER (triangle counts) — bit-exact across
+# engines with no rounding rule; TwoPhaseL follows the 9-dp margin spec
+# with NULL standing in for IEEE NaN in both engines (Spark and DuckDB
+# both yield NULL on x/0).  The greedy loops unroll like GCE/LFM.
+# ---------------------------------------------------------------------------
+
+LOCALT_STEPS = 12
+TP_STEPS = 10
+
+
+def q_scd_localt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scdmore import localt_expand
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    com, _rounds = localt_expand(g, [seed], max_steps=LOCALT_STEPS)
+    return com.select("id").orderBy("id")
+
+
+def _scd_localt_sql(steps: int = LOCALT_STEPS) -> str:
+    parts = [
+        """com0 AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1
+)"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(
+            f"""sh{t} AS MATERIALIZED (
+  SELECT DISTINCT a.dst AS id FROM adj a JOIN com{p} c ON c.id = a.src
+  WHERE a.dst NOT IN (SELECT id FROM com{p})
+),
+it{t} AS (SELECT id FROM sh{t} UNION SELECT id FROM com{p}),
+tg{t} AS MATERIALIZED (
+  SELECT v,
+         SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS t_int,
+         SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS t_semi,
+         SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS t_ext
+  FROM (
+    SELECT ax.dst AS v,
+           (CASE WHEN cx.id IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN cy.id IS NOT NULL THEN 1 ELSE 0 END) AS k
+    FROM edges e
+    JOIN adj ax ON ax.src = e.src
+    JOIN adj ay ON ay.src = e.dst AND ay.dst = ax.dst
+    LEFT JOIN com{p} cx ON cx.id = e.src
+    LEFT JOIN com{p} cy ON cy.id = e.dst
+    WHERE ax.dst IN (SELECT id FROM it{t})
+  ) q GROUP BY v
+),
+zz{t} AS (
+  SELECT COALESCE(SUM(CASE WHEN c.id IS NOT NULL THEN g.t_int END), 0)
+           // 3 AS i,
+         COALESCE(SUM(CASE WHEN c.id IS NOT NULL THEN g.t_ext END), 0)
+           AS e
+  FROM tg{t} g LEFT JOIN com{p} c ON c.id = g.v
+),
+zc{t} AS (
+  SELECT i, e, GREATEST(CAST(0 AS BIGINT), i * (i - e)) AS cur FROM zz{t}
+),
+ac{t} AS (
+  SELECT q.id FROM (
+    SELECT s.id,
+           COALESCE(g.t_int, 0) AS ti,
+           COALESCE(g.t_semi, 0) AS ts,
+           COALESCE(g.t_ext, 0) AS te
+    FROM sh{t} s LEFT JOIN tg{t} g ON g.v = s.id
+  ) q, zc{t} z
+  WHERE GREATEST(CAST(0 AS BIGINT),
+                 (z.i + q.ti) * ((z.i + q.ti) - (z.e + q.te - q.ts)))
+        >= z.cur
+  ORDER BY GREATEST(CAST(0 AS BIGINT),
+                    (z.i + q.ti) * ((z.i + q.ti) - (z.e + q.te - q.ts)))
+             DESC,
+           (z.e + q.te - q.ts) ASC, q.id ASC
+  LIMIT 1
+),
+com{t} AS MATERIALIZED (
+  SELECT id FROM com{p} UNION ALL SELECT id FROM ac{t}
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id FROM com{steps} ORDER BY id"
+    )
+
+
+SQL_SCD_LOCALT = _scd_localt_sql()
+
+
+def q_scd_twophasel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scdmore import two_phase_l
+
+    g = load_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    com, _rounds = two_phase_l(g, [seed], max_steps=TP_STEPS)
+    return com.select("id").orderBy("id")
+
+
+def _scd_twophasel_sql(steps: int = TP_STEPS) -> str:
+    inf = "CAST('infinity' AS DOUBLE)"
+    parts = [
+        """seedn AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1),
+comp0 AS MATERIALIZED (SELECT id FROM seedn)"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(
+            f"""ms{t} AS MATERIALIZED (
+  SELECT a.src AS m,
+         CAST(SUM(CASE WHEN c2.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS ideg,
+         CAST(SUM(CASE WHEN c2.id IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS edeg
+  FROM adj a JOIN comp{p} c ON c.id = a.src
+  LEFT JOIN comp{p} c2 ON c2.id = a.dst
+  GROUP BY a.src
+),
+gz{t} AS (
+  SELECT COALESCE((SELECT SUM(ideg) FROM ms{t}), 0) / 2 AS w,
+         COALESCE((SELECT SUM(edeg) FROM ms{t}), 0) AS cut,
+         COALESCE((SELECT COUNT(*) FROM ms{t} WHERE edeg > 0), 0) AS bs,
+         (SELECT COUNT(*) FROM comp{p}) AS csz
+),
+gl{t} AS (
+  SELECT w, cut, bs, csz,
+         2 * w / csz AS cur_lin,
+         CASE WHEN bs <> 0 THEN cut / bs
+              WHEN cut > 0 THEN {inf}
+              ELSE NULL END AS cur_lex
+  FROM gz{t}
+),
+gc{t} AS (
+  SELECT *,
+         CASE WHEN cur_lex IS NULL THEN NULL
+              WHEN cur_lex <> 0 THEN cur_lin / cur_lex
+              WHEN cur_lin > 0 THEN {inf}
+              WHEN cur_lin < 0 THEN -{inf}
+              ELSE NULL END AS cur_l
+  FROM gl{t}
+),
+vs{t} AS MATERIALIZED (
+  SELECT a.src AS v,
+         CAST(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS intdeg,
+         CAST(SUM(CASE WHEN c.id IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS extdeg,
+         SUM(CASE WHEN c.id IS NULL THEN 1 ELSE 0 END) AS next_cnt
+  FROM adj a LEFT JOIN comp{p} c ON c.id = a.dst
+  WHERE a.src IN (SELECT DISTINCT a2.dst FROM adj a2
+                  JOIN comp{p} x ON x.id = a2.src)
+    AND a.src NOT IN (SELECT id FROM comp{p})
+  GROUP BY a.src
+),
+dr{t} AS (
+  SELECT a.dst AS v, COUNT(*) AS bdrop
+  FROM adj a JOIN ms{t} m ON m.m = a.src AND m.edeg = 1
+  WHERE a.dst NOT IN (SELECT id FROM comp{p})
+  GROUP BY a.dst
+),
+cn{t} AS (
+  SELECT s.v,
+         2 * (z.w + s.intdeg) / (z.csz + 1) AS n_lin,
+         z.cut - s.intdeg + s.extdeg AS num,
+         CAST(z.bs + (CASE WHEN s.next_cnt > 0 THEN 1 ELSE 0 END)
+              - COALESCE(d.bdrop, 0) AS DOUBLE) AS den,
+         z.cur_lin, z.cur_l
+  FROM vs{t} s LEFT JOIN dr{t} d ON d.v = s.v, gc{t} z
+),
+cl{t} AS (
+  SELECT v, n_lin, cur_lin, cur_l,
+         CASE WHEN den <> 0 THEN num / den
+              WHEN num > 0 THEN {inf}
+              WHEN num < 0 THEN -{inf}
+              ELSE NULL END AS n_lex
+  FROM cn{t}
+),
+cm{t} AS (
+  SELECT v, n_lin, cur_lin, cur_l,
+         CASE WHEN n_lex IS NULL THEN NULL
+              WHEN n_lex <> 0 THEN n_lin / n_lex
+              WHEN n_lin > 0 THEN {inf}
+              WHEN n_lin < 0 THEN -{inf}
+              ELSE NULL END AS n_l
+  FROM cl{t}
+),
+pa{t} AS (
+  SELECT v FROM cm{t}
+  WHERE ROUND(n_lin - cur_lin, 9) > 0
+    AND (CASE WHEN cur_l IS NULL OR n_l IS NULL THEN NULL
+              WHEN n_l = {inf} THEN
+                CASE WHEN cur_l = {inf} THEN 0.0 ELSE 1.0 END
+              ELSE ROUND(n_l - cur_l, 9) END) > 0
+  ORDER BY ROUND(n_l, 9) DESC, v ASC
+  LIMIT 1
+),
+comp{t} AS MATERIALIZED (
+  SELECT id FROM comp{p} UNION ALL SELECT v AS id FROM pa{t}
+)"""
+        )
+    # phase 2: ascending-id sweep, one block per possible member
+    parts.append(
+        f"""sn2 AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rk FROM comp{steps}
+),
+cq0 AS MATERIALIZED (SELECT id FROM comp{steps})"""
+    )
+    blocks = steps + 1
+    for k in range(1, blocks + 1):
+        p = k - 1
+        parts.append(
+            f"""tk{k} AS (SELECT id FROM sn2 WHERE rk = {k}),
+qm{k} AS MATERIALIZED (
+  SELECT a.src AS m,
+         CAST(SUM(CASE WHEN c2.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS ideg,
+         CAST(SUM(CASE WHEN c2.id IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) AS edeg
+  FROM adj a JOIN cq{p} c ON c.id = a.src
+  LEFT JOIN cq{p} c2 ON c2.id = a.dst
+  GROUP BY a.src
+),
+qz{k} AS (
+  SELECT COALESCE((SELECT SUM(ideg) FROM qm{k}), 0) / 2 AS w,
+         COALESCE((SELECT SUM(edeg) FROM qm{k}), 0) AS cut,
+         COALESCE((SELECT COUNT(*) FROM qm{k} WHERE edeg > 0), 0) AS bs,
+         (SELECT COUNT(*) FROM cq{p}) AS csz
+),
+qt{k} AS (
+  SELECT t.id, COALESCE(m.ideg, 0) AS ideg, COALESCE(m.edeg, 0) AS edeg
+  FROM tk{k} t LEFT JOIN qm{k} m ON m.m = t.id
+),
+qb{k} AS (
+  SELECT COUNT(*) AS b FROM (
+    SELECT a.src FROM adj a
+    WHERE a.src IN (SELECT id FROM cq{p})
+      AND a.src NOT IN (SELECT id FROM tk{k})
+    GROUP BY a.src
+    HAVING SUM(CASE WHEN a.dst NOT IN (SELECT id FROM cq{p})
+                      OR a.dst IN (SELECT id FROM tk{k})
+               THEN 1 ELSE 0 END) > 0
+  )
+),
+qk{k} AS (
+  SELECT COALESCE((
+    SELECT
+      ROUND(2 * z.w / z.csz
+            - CASE WHEN z.csz - 1 <> 0
+                   THEN 2 * (z.w - t.ideg) / (z.csz - 1)
+                   WHEN 2 * (z.w - t.ideg) > 0 THEN {inf}
+                   WHEN 2 * (z.w - t.ideg) < 0 THEN -{inf}
+                   ELSE NULL END, 9) > 0
+      AND
+      ROUND((CASE WHEN z.bs <> 0 THEN z.cut / z.bs
+                  WHEN z.cut > 0 THEN {inf}
+                  ELSE NULL END)
+            - (CASE WHEN b.b <> 0
+                    THEN (z.cut + t.ideg - t.edeg) / b.b
+                    WHEN z.cut + t.ideg - t.edeg > 0 THEN {inf}
+                    WHEN z.cut + t.ideg - t.edeg < 0 THEN -{inf}
+                    ELSE NULL END), 9) < 0
+    FROM qt{k} t, qz{k} z, qb{k} b
+  ), TRUE) AS keep
+),
+cq{k} AS MATERIALIZED (
+  SELECT id FROM cq{p}
+  WHERE NOT (id IN (SELECT id FROM tk{k})
+             AND NOT (SELECT keep FROM qk{k}))
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT c.id FROM cq{blocks} c
+WHERE (SELECT COUNT(*) FROM cq{blocks} x
+       JOIN seedn s ON s.id = x.id) = 1
+ORDER BY c.id"""
+    )
+
+
+SQL_SCD_TWOPHASEL = _scd_twophasel_sql()
+
+
+def q_scd_gtcomparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scdmore import (
+        scd_ground_truth_comparison,
+    )
+
+    g = load_graph(spark, sf_dir)
+    seeds = g.nodes().orderBy("id").limit(3)
+    cover = (
+        g.nodes()
+        .select("id", (F.col("id") % 4).alias("subset"))
+        .unionByName(
+            g.nodes()
+            .filter(F.col("id") % 7 == 0)
+            .select("id", F.lit(4).cast("long").alias("subset"))
+        )
+    )
+    found = (
+        seeds.withColumnRenamed("id", "seed")
+        .join(
+            g.adj().select(F.col("src").alias("seed"),
+                           F.col("dst").alias("id")),
+            "seed",
+        )
+        .unionByName(seeds.select(F.col("id").alias("seed"),
+                                  F.col("id")))
+        .distinct()
+    )
+    per_seed, _avg = scd_ground_truth_comparison(g, cover, found)
+    return per_seed.select(
+        "seed",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("f1", 6).alias("f1"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    ).orderBy("seed")
+
+
+SQL_SCD_GTCOMPARISON = f"""WITH {GRAPH_CTES},
+seeds AS (SELECT id AS seed FROM nodes ORDER BY id LIMIT 3),
+cover AS (
+  SELECT id, id % 4 AS subset FROM nodes
+  UNION ALL
+  SELECT id, 4 AS subset FROM nodes WHERE id % 7 = 0
+),
+found AS (
+  SELECT DISTINCT s.seed, x.id FROM seeds s
+  JOIN (SELECT src AS seed, dst AS id FROM adj) x ON x.seed = s.seed
+  UNION
+  SELECT seed, seed AS id FROM seeds
+),
+fsz AS (SELECT seed, COUNT(*) AS fsize FROM found GROUP BY seed),
+tsz AS (SELECT subset, COUNT(*) AS tsize FROM cover GROUP BY subset),
+allowed AS (
+  SELECT DISTINCT s.seed, c.subset FROM seeds s
+  JOIN cover c ON c.id = s.seed
+),
+ov AS (
+  SELECT f.seed, c.subset, COUNT(*) AS ov
+  FROM found f JOIN cover c ON c.id = f.id
+  GROUP BY f.seed, c.subset
+),
+scored AS (
+  SELECT o.seed,
+         CAST(o.ov AS DOUBLE) / (f.fsize + t.tsize - o.ov) AS jacc,
+         CAST(o.ov AS DOUBLE) / t.tsize AS recall,
+         CAST(o.ov AS DOUBLE) / f.fsize AS precision
+  FROM ov o
+  JOIN allowed a ON a.seed = o.seed AND a.subset = o.subset
+  JOIN fsz f ON f.seed = o.seed
+  JOIN tsz t ON t.subset = o.subset
+),
+scored2 AS (
+  SELECT seed, jacc, recall, precision,
+         CASE WHEN precision > 0 AND recall > 0
+              THEN 2 * precision * recall / (precision + recall)
+              ELSE 0.0 END AS f1
+  FROM scored
+)
+SELECT f.seed,
+       ROUND(COALESCE(MAX(s.jacc), 0.0), 6) AS jaccard,
+       ROUND(COALESCE(MAX(s.f1), 0.0), 6) AS f1,
+       ROUND(COALESCE(MAX(s.precision), 0.0), 6) AS precision,
+       ROUND(COALESCE(MAX(s.recall), 0.0), 6) AS recall
+FROM fsz f LEFT JOIN scored2 s ON s.seed = f.seed
+GROUP BY f.seed ORDER BY f.seed"""
