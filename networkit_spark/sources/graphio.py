@@ -1055,3 +1055,143 @@ def read_edgelist_cover(
                 rows.append((v, int(c)))
     df = spark.createDataFrame(rows or [(0, 0)], "id long, subset long")
     return df if rows else df.limit(0)
+
+
+def read_edgelist_partition(
+    spark: SparkSession, path: str, first_node: int = 1, sep: str = "\t"
+) -> DataFrame:
+    """EdgeListPartitionReader
+    (/root/reference/networkit/cpp/io/EdgeListPartitionReader.cpp:14-44):
+    line = ``v<sep>c``; node ids shifted by ``first_node``; nodes never
+    mentioned default to label ``none`` (represented here as NULL).
+    Returns (id, label)."""
+    entries: dict[int, int] = {}
+    max_v = -1
+    with open(path) as f:
+        for line in f:
+            toks = line.rstrip("\n").split(sep)
+            if not toks or toks[0] == "#" or toks[0] == "":
+                continue
+            v = int(toks[0]) - first_node
+            entries[v] = int(toks[1])
+            max_v = max(max_v, v)
+    rows = [(u, entries.get(u)) for u in range(max_v + 1)]
+    df = spark.createDataFrame(rows or [(0, 0)], "id long, label long")
+    return df if rows else df.limit(0)
+
+
+def read_snap_partition(
+    spark: SparkSession, path: str, node_map: dict | None = None
+) -> DataFrame:
+    """SNAPEdgeListPartitionReader
+    (/root/reference/networkit/cpp/io/SNAPEdgeListPartitionReader.cpp:
+    24-121): SNAP community files — line i (1-based, comments/blanks
+    keep counting like the reference's ``while(file.good()) {++i; ...}``
+    loop) lists the members of subset i; ids run through ``node_map``
+    when given, unknown ids are dropped with the same semantics as the
+    reference's WARN-and-ignore.  Returns a cover (id, subset)."""
+    rows = []
+    i = 0
+    with open(path) as f:
+        for line in f:
+            i += 1
+            line = line.rstrip("\n")
+            if line.startswith("#") or not line.strip():
+                continue
+            for tok in line.split():
+                v = int(tok)
+                if node_map is not None:
+                    if v in node_map:
+                        rows.append((int(node_map[v]), i))
+                else:
+                    rows.append((v, i))
+    df = spark.createDataFrame(rows or [(0, 0)], "id long, subset long")
+    return df if rows else df.limit(0)
+
+
+def write_dot_partition(g: Graph, labels: DataFrame, path: str) -> None:
+    """DotPartitionWriter
+    (/root/reference/networkit/cpp/io/DotPartitionWriter.cpp:9-63):
+    undirected dot graph with per-cluster hue fills; zero-degree nodes
+    are skipped like the reference.  Hue order follows ascending cluster
+    id (the reference iterates an unordered_set — documented
+    deviation)."""
+    lab = {int(r["id"]): int(r["label"])
+           for r in labels.select("id", "label").collect()}
+    deg = {int(r["id"]): int(r["degree"])
+           for r in g.degrees().select("id", "degree").collect()}
+    used = sorted({c for u, c in lab.items() if deg.get(u, 0) > 0})
+    factor = 1.0 / len(used) if used else 0.0
+    hue = {c: factor * i for i, c in enumerate(used)}
+    with open(path, "w") as f:
+        f.write("graph {\n")
+        for u in sorted(deg):
+            if deg[u] == 0 or u not in lab:
+                continue
+            c = lab[u]
+            f.write(
+                f"{u} [style=filled, color=\"{hue[c]},0.99,0.99\", "
+                f"label={c}];\n"
+            )
+        for r in g.edges.select("src", "dst").collect():
+            f.write(f"{r['src']} -- {r['dst']};\n")
+        f.write("}\n")
+
+
+def read_binary_edgelist_partition(
+    spark: SparkSession, path, first_node: int = 0, width: int = 8
+) -> DataFrame:
+    """BinaryEdgeListPartitionReader
+    (/root/reference/networkit/cpp/io/BinaryEdgeListPartitionReader.cpp:
+    14-90): little-endian (u, p) pairs of fixed width over one or
+    several concatenated files.  Returns (id, label)."""
+    if width not in (4, 8):
+        raise ValueError("Error: width must be 4 or 8")
+    paths = [path] if isinstance(path, str) else list(path)
+    buf = b"".join(open(p, "rb").read() for p in paths)
+    if len(buf) % (2 * width) != 0:
+        raise ValueError("Error: truncated (u, p) record")
+    entries: dict[int, int] = {}
+    max_v = -1
+    for off in range(0, len(buf), 2 * width):
+        u = int.from_bytes(buf[off:off + width], "little")
+        p = int.from_bytes(buf[off + width:off + 2 * width], "little")
+        if u < first_node:
+            raise ValueError(
+                "Error: node smaller than the given firstNode found!"
+            )
+        u -= first_node
+        entries[u] = p
+        max_v = max(max_v, u)
+    if len(entries) != max_v + 1:
+        raise ValueError(
+            "Error, read less values than there are elements in the "
+            "partition."
+        )
+    rows = sorted(entries.items())
+    df = spark.createDataFrame(rows or [(0, 0)], "id long, label long")
+    return df if rows else df.limit(0)
+
+
+def write_binary_edgelist_partition(
+    labels: DataFrame, path: str, first_node: int = 0, width: int = 8
+) -> None:
+    """BinaryEdgeListPartitionWriter
+    (/root/reference/networkit/cpp/io/BinaryEdgeListPartitionWriter.cpp:
+    7-37)."""
+    if width not in (4, 8):
+        raise ValueError("Width must be 4 or 8")
+    rows = sorted(
+        (int(r["id"]), int(r["label"]))
+        for r in labels.select("id", "label").collect()
+    )
+    if width == 4 and rows and max(p for _, p in rows) > 0xFFFFFFFF:
+        raise ValueError(
+            "Error, the upper bound of the given partition cannot be "
+            "represented by an unsigned int of width 4. Please use a "
+            "width of 8."
+        )
+    with open(path, "wb") as f:
+        for u, p in rows:
+            f.write(int(u + first_node).to_bytes(width, "little"))
+            f.write(int(p).to_bytes(width, "little"))

@@ -187,3 +187,72 @@ def test_binary_partition_width4_overflow_raises(tmp_path, spark):
     )
     with pytest.raises(ValueError):
         write_binary_partition(labels, str(tmp_path / "x.bin"), width=4)
+
+
+def test_edgelist_partition_reader(tmp_path, spark):
+    from networkit_spark.sources.graphio import read_edgelist_partition
+
+    p = tmp_path / "part.dat"
+    p.write_text("1\t3\n2\t0\n4\t3\n")
+    df = read_edgelist_partition(spark, str(p), first_node=1, sep="\t")
+    rows = {r["id"]: r["label"] for r in df.collect()}
+    # nodes 0..3 exist (max mentioned node 4-1=3); node 2 unmentioned
+    assert rows == {0: 3, 1: 0, 2: None, 3: 3}
+
+
+def test_snap_partition_reader_with_map(tmp_path, spark):
+    from networkit_spark.sources.graphio import read_snap_partition
+
+    p = tmp_path / "cmty.txt"
+    p.write_text("# comment\n101 102\n103 999\n")
+    df = read_snap_partition(
+        spark, str(p), node_map={101: 0, 102: 1, 103: 2}
+    )
+    rows = sorted((r["id"], r["subset"]) for r in df.collect())
+    # line numbering counts the comment line (reference semantics);
+    # unknown id 999 is dropped
+    assert rows == [(0, 2), (1, 2), (2, 3)]
+
+
+def test_dot_partition_writer(tmp_path, spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.graphio import write_dot_partition
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    g = Graph(edges, verts, directed=False, weighted=False)
+    labels = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 9), (3, 9)], "id long, label long"
+    )
+    p = tmp_path / "out.dot"
+    write_dot_partition(g, labels, str(p))
+    text = p.read_text()
+    assert text.startswith("graph {")
+    assert "0 -- 1;" in text and "1 -- 2;" in text
+    assert "label=5" in text and "label=9" in text
+    assert "3 [" not in text  # zero-degree node skipped
+
+
+@pytest.mark.parametrize("width", [4, 8])
+def test_binary_edgelist_partition_round_trip(tmp_path, spark, width):
+    from networkit_spark.sources.graphio import (
+        read_binary_edgelist_partition,
+        write_binary_edgelist_partition,
+    )
+
+    labels = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 0), (3, 5)], "id long, label long"
+    )
+    p = tmp_path / f"belp{width}.bin"
+    write_binary_edgelist_partition(
+        labels, str(p), first_node=1, width=width
+    )
+    assert p.stat().st_size == 4 * 2 * width
+    back = read_binary_edgelist_partition(
+        spark, str(p), first_node=1, width=width
+    )
+    assert sorted((r["id"], r["label"]) for r in back.collect()) == [
+        (0, 2), (1, 2), (2, 0), (3, 5)
+    ]
