@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scd_localt": e.q_scd_localt,
         "graph_scd_twophasel": e.q_scd_twophasel,
         "graph_scd_gtcomparison": e.q_scd_gtcomparison,
+        "graph_sfigality": e.q_sfigality,
+        "graph_partition_coverage": e.q_partition_coverage,
+        "graph_laplacian": e.q_laplacian,
+        "graph_square_clustering": e.q_square_clustering,
+        "graph_luby": e.q_luby,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -102,11 +107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc": c.q_connected_components,
         "graph_pagerank_large": e.q_pagerank_large,
         "graph_plm": e.q_plm,
-        "graph_betweenness": e.q_betweenness,
-        "graph_approx_betweenness": e.q_approx_betweenness,
-        "graph_kadabra": e.q_kadabra,
-        "graph_top_harmonic": e.q_top_harmonic,
-        "graph_node2vec_walks": e.q_node2vec_walks,
         "multimodal_features": e.q_multimodal_features,
         # ---------------------------------------------------- 50-row cap
         # --- STABLE TAIL (driver-green in round 4; pytest + the all-
@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_leiden": e.q_leiden,
         "graph_mapequation": e.q_mapequation,
         "graph_kcore": e.q_kcore,
+        "graph_betweenness": e.q_betweenness,
+        "graph_approx_betweenness": e.q_approx_betweenness,
+        "graph_kadabra": e.q_kadabra,
+        "graph_top_harmonic": e.q_top_harmonic,
+        "graph_node2vec_walks": e.q_node2vec_walks,
         "graph_sparsify": e.q_sparsify,
         "graph_msf": e.q_msf,
         "graph_anf": e.q_anf,
@@ -253,4 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_scd_localt": e.SQL_SCD_LOCALT,
         "graph_scd_twophasel": e.SQL_SCD_TWOPHASEL,
         "graph_scd_gtcomparison": e.SQL_SCD_GTCOMPARISON,
+        "graph_sfigality": e.SQL_SFIGALITY,
+        "graph_partition_coverage": e.SQL_PARTITION_COVERAGE,
+        "graph_laplacian": e.SQL_LAPLACIAN,
+        "graph_square_clustering": e.SQL_SQUARE_CLUSTERING,
+        "graph_luby": e.SQL_LUBY,
     }

@@ -5661,3 +5661,210 @@ SELECT f.seed,
        ROUND(COALESCE(MAX(s.recall), 0.0), 6) AS recall
 FROM fsz f LEFT JOIN scored2 s ON s.seed = f.seed
 GROUP BY f.seed ORDER BY f.seed"""
+
+
+# ---------------------------------------------------------------------------
+# Sfigality / LocalPartitionCoverage / LaplacianCentrality /
+# LocalSquareClusteringCoefficient / Luby independent set
+# (centrality/Sfigality.cpp, LocalPartitionCoverage.cpp,
+# LaplacianCentrality.cpp, LocalSquareClusteringCoefficient.cpp,
+# independentset/Luby.cpp).  The first four are single join+agg
+# pipelines; Luby unrolls md5-derandomized rounds (the randomization.py
+# 13-nibble fraction convention) with the one-shot conflict rule.
+# ---------------------------------------------------------------------------
+
+LUBY_ROUNDS = 16
+LUBY_SEED = 42
+
+
+def q_sfigality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.misccentrality import sfigality
+
+    g = load_graph(spark, sf_dir)
+    return sfigality(g).select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy("id")
+
+
+SQL_SFIGALITY = f"""WITH {GRAPH_CTES},
+s AS (
+  SELECT a.src AS id,
+         CAST(SUM(CASE WHEN du.degree < dv.degree THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*) AS score
+  FROM adj a
+  JOIN deg du ON du.id = a.src
+  JOIN deg dv ON dv.id = a.dst
+  GROUP BY a.src
+)
+SELECT n.id, ROUND(COALESCE(s.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN s ON s.id = n.id ORDER BY n.id"""
+
+
+def q_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.misccentrality import (
+        local_partition_coverage,
+    )
+
+    g = load_graph(spark, sf_dir)
+    labels = g.nodes().select("id", (F.col("id") % 4).alias("label"))
+    return local_partition_coverage(g, labels).select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy("id")
+
+
+SQL_PARTITION_COVERAGE = f"""WITH {GRAPH_CTES},
+s AS (
+  SELECT a.src AS id,
+         CAST(SUM(CASE WHEN a.src % 4 = a.dst % 4 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS same,
+         CAST(COUNT(*) AS DOUBLE) AS wd
+  FROM adj a GROUP BY a.src
+)
+SELECT n.id,
+       ROUND(COALESCE(CASE WHEN s.same > 0 THEN s.same / s.wd
+                           ELSE 0.0 END, 0.0), 6) AS score
+FROM nodes n LEFT JOIN s ON s.id = n.id ORDER BY n.id"""
+
+
+def q_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.misccentrality import (
+        laplacian_centrality,
+    )
+
+    g = load_graph(spark, sf_dir)
+    return laplacian_centrality(g, normalized=True).select(
+        "id", F.round("score", 9).alias("score")
+    ).orderBy("id")
+
+
+SQL_LAPLACIAN = f"""WITH {GRAPH_CTES},
+wd AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS wd
+       FROM adj GROUP BY src),
+loss AS (
+  SELECT a.src AS id,
+         SUM(1.0 * (1.0 + 2.0 * w.wd)) AS nloss
+  FROM adj a JOIN wd w ON w.id = a.dst GROUP BY a.src
+),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(wd * wd), 0) FROM wd)
+         + (SELECT CAST(COUNT(*) AS DOUBLE) FROM adj) AS t
+)
+SELECT n.id,
+       ROUND((COALESCE(w.wd, 0) * COALESCE(w.wd, 0)
+              + COALESCE(l.nloss, 0)) / tot.t, 9) AS score
+FROM nodes n
+LEFT JOIN wd w ON w.id = n.id
+LEFT JOIN loss l ON l.id = n.id, tot ORDER BY n.id"""
+
+
+def q_square_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.misccentrality import (
+        local_square_clustering,
+    )
+
+    g = load_graph(spark, sf_dir)
+    return local_square_clustering(g).select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy("id")
+
+
+SQL_SQUARE_CLUSTERING = f"""WITH {GRAPH_CTES},
+pairs AS MATERIALIZED (
+  SELECT a1.src AS u, a1.dst AS v, a2.dst AS w
+  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+),
+dp AS (SELECT DISTINCT v, w FROM pairs),
+cn AS MATERIALIZED (
+  SELECT p.v, p.w, COUNT(*) AS cn
+  FROM dp p
+  JOIN adj av ON av.src = p.v
+  JOIN adj aw ON aw.src = p.w AND aw.dst = av.dst
+  GROUP BY p.v, p.w
+),
+sc AS (
+  SELECT p.u AS id,
+         SUM(COALESCE(c.cn, 0) - 1) AS sq,
+         SUM(dv.degree + dw.degree - COALESCE(c.cn, 0) - 1
+             - 2 * (CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END))
+           AS pot
+  FROM pairs p
+  LEFT JOIN cn c ON c.v = p.v AND c.w = p.w
+  LEFT JOIN edges e ON e.src = p.v AND e.dst = p.w
+  JOIN deg dv ON dv.id = p.v
+  JOIN deg dw ON dw.id = p.w
+  GROUP BY p.u
+)
+SELECT n.id,
+       ROUND(COALESCE(CASE WHEN s.pot > 0
+                           THEN CAST(s.sq AS DOUBLE) / s.pot
+                           ELSE 0.0 END, 0.0), 6) AS score
+FROM nodes n LEFT JOIN sc s ON s.id = n.id ORDER BY n.id"""
+
+
+def q_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.misccentrality import luby
+
+    g = load_graph(spark, sf_dir)
+    out, _rounds = luby(g, seed=LUBY_SEED, max_rounds=LUBY_ROUNDS)
+    return out.select("id", "in_set").orderBy("id")
+
+
+def _md5_long13_sql(hexpr: str) -> str:
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    val = f"CAST({nib.format(h=hexpr, i=1)} AS BIGINT)"
+    for i in range(2, 14):
+        val = f"({val} * 16 + {nib.format(h=hexpr, i=i)})"
+    return val
+
+
+def _luby_sql(rounds: int = LUBY_ROUNDS, seed: int = LUBY_SEED) -> str:
+    parts = ["av0 AS MATERIALIZED (SELECT id FROM nodes)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        h = f"md5('luby|{seed}|{r}|' || CAST(w.id AS VARCHAR))"
+        parts.append(
+            f"""aw{r} AS (
+  SELECT v.id, CAST(COALESCE(s.wd, 0) AS DOUBLE) AS wd
+  FROM av{p} v LEFT JOIN (
+    SELECT a.src AS id, COUNT(*) AS wd FROM adj a
+    WHERE a.src IN (SELECT id FROM av{p})
+      AND a.dst IN (SELECT id FROM av{p})
+    GROUP BY a.src
+  ) s ON s.id = v.id
+),
+s0_{r} AS MATERIALIZED (
+  SELECT w.id, w.wd FROM aw{r} w
+  WHERE w.wd = 0
+     OR CAST({_md5_long13_sql(h)} AS DOUBLE) / 4503599627370496.0
+        < 1.0 / (2 * w.wd)
+),
+sp{r} AS MATERIALIZED (
+  SELECT s.id FROM s0_{r} s
+  WHERE s.id NOT IN (
+    SELECT CASE WHEN su.wd > sv.wd THEN e.dst ELSE e.src END
+    FROM edges e
+    JOIN s0_{r} su ON su.id = e.src
+    JOIN s0_{r} sv ON sv.id = e.dst
+  )
+),
+av{r} AS MATERIALIZED (
+  SELECT id FROM av{p}
+  WHERE id NOT IN (SELECT id FROM sp{r})
+    AND id NOT IN (SELECT a.src FROM adj a
+                   JOIN sp{r} s ON s.id = a.dst)
+)"""
+        )
+    chosen = " UNION ALL ".join(
+        f"SELECT id FROM sp{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f""",
+chosen AS ({chosen})
+SELECT n.id, n.id IN (SELECT id FROM chosen) AS in_set
+FROM nodes n ORDER BY n.id"""
+    )
+
+
+SQL_LUBY = _luby_sql()
