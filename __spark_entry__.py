@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_laplacian": e.q_laplacian,
         "graph_square_clustering": e.q_square_clustering,
         "graph_luby": e.q_luby,
+        "graph_partition_quality": e.q_partition_quality,
+        "graph_cover_quality": e.q_cover_quality,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -88,7 +90,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_top_degree": c.q_top_degree,
         "graph_scalars": c.q_scalars,
         "graph_cc_sizes": c.q_component_sizes,
-        "graph_plp": c.q_plp,
         "graph_triangles": c.q_triangles,
         "graph_lcc": c.q_lcc,
         "graph_coarsen_cc": c.q_coarsen_cc,
@@ -106,7 +107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": c.q_pagerank,
         "graph_cc": c.q_connected_components,
         "graph_pagerank_large": e.q_pagerank_large,
-        "graph_plm": e.q_plm,
         "multimodal_features": e.q_multimodal_features,
         # ---------------------------------------------------- 50-row cap
         # --- STABLE TAIL (driver-green in round 4; pytest + the all-
@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_leiden": e.q_leiden,
         "graph_mapequation": e.q_mapequation,
         "graph_kcore": e.q_kcore,
+        "graph_plm": e.q_plm,
+        "graph_plp": c.q_plp,
         "graph_betweenness": e.q_betweenness,
         "graph_approx_betweenness": e.q_approx_betweenness,
         "graph_kadabra": e.q_kadabra,
@@ -263,4 +265,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_laplacian": e.SQL_LAPLACIAN,
         "graph_square_clustering": e.SQL_SQUARE_CLUSTERING,
         "graph_luby": e.SQL_LUBY,
+        "graph_partition_quality": e.SQL_PARTITION_QUALITY,
+        "graph_cover_quality": e.SQL_COVER_QUALITY,
     }

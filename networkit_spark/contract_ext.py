@@ -5868,3 +5868,258 @@ FROM nodes n ORDER BY n.id"""
 
 
 SQL_LUBY = _luby_sql()
+
+
+# ---------------------------------------------------------------------------
+# Partition / cover quality family (community/PartitionHubDominance.cpp,
+# IntrapartitionDensity.cpp, IsolatedInterpartitionConductance.cpp,
+# IsolatedInterpartitionExpansion.cpp, PartitionFragmentation.cpp,
+# StablePartitionNodes.cpp, CoverHubDominance.cpp, CoverF1Similarity.cpp)
+# — two single-row gates over the deterministic id%4 partition and the
+# overlapping (id%4) + (id%7==0 -> subset 4) cover vs the id%5 reference.
+# ---------------------------------------------------------------------------
+
+
+def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.partitionquality import (
+        intrapartition_density,
+        isolated_interpartition_conductance,
+        isolated_interpartition_expansion,
+        partition_fragmentation,
+        partition_hub_dominance,
+        stable_partition_nodes,
+    )
+
+    g = load_graph(spark, sf_dir)
+    labels = g.nodes().select("id", (F.col("id") % 4).alias("label"))
+    _, phd = partition_hub_dominance(g, labels)
+    _, ipd, ipd_g = intrapartition_density(g, labels)
+    _, iic = isolated_interpartition_conductance(g, labels)
+    _, iie = isolated_interpartition_expansion(g, labels)
+    _, frag = partition_fragmentation(g, labels)
+    _, _stab_summary, stable_frac = stable_partition_nodes(g, labels)
+    row = [
+        round(v, 6)
+        for v in (
+            phd["avg"], phd["min"], phd["max"],
+            ipd["avg"], ipd["min"], ipd["max"], ipd_g,
+            iic["avg"], iic["min"], iic["max"],
+            iie["avg"], iie["min"], iie["max"],
+            frag["avg"], frag["min"], frag["max"],
+            stable_frac,
+        )
+    ]
+    return spark.createDataFrame(
+        [tuple(row)],
+        "phd_avg double, phd_min double, phd_max double, "
+        "ipd_avg double, ipd_min double, ipd_max double, "
+        "ipd_global double, "
+        "iic_avg double, iic_min double, iic_max double, "
+        "iie_avg double, iie_min double, iie_max double, "
+        "frag_avg double, frag_min double, frag_max double, "
+        "stable_frac double",
+    )
+
+
+SQL_PARTITION_QUALITY = f"""WITH RECURSIVE {GRAPH_CTES},
+lab AS (SELECT id, id % 4 AS label FROM nodes),
+sz AS (SELECT label, COUNT(*) AS csize FROM lab GROUP BY label),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+idg AS (
+  SELECT a.src AS id, COUNT(*) AS ideg FROM adj a
+  WHERE a.src % 4 = a.dst % 4 GROUP BY a.src
+),
+phd AS (
+  SELECT l.label, MAX(COALESCE(i.ideg, 0)) AS mdeg, COUNT(*) AS csize
+  FROM lab l LEFT JOIN idg i ON i.id = l.id GROUP BY l.label
+),
+phdv AS (
+  SELECT label,
+         CASE WHEN csize > 1 THEN CAST(mdeg AS DOUBLE) / (csize - 1)
+              ELSE 1.0 END AS v
+  FROM phd
+),
+intra AS (
+  SELECT e.src % 4 AS label, COUNT(*) AS intra FROM edges e
+  WHERE e.src % 4 = e.dst % 4 GROUP BY e.src % 4
+),
+ipd AS (
+  SELECT s.label, s.csize, COALESCE(i.intra, 0) AS intra,
+         CAST(s.csize * (s.csize - 1) / 2 AS DOUBLE) AS poss
+  FROM sz s LEFT JOIN intra i ON i.label = s.label
+),
+ipdv AS (
+  SELECT label,
+         CASE WHEN poss > 0 THEN intra / poss ELSE 1.0 END AS v
+  FROM ipd
+),
+cut AS (
+  SELECT label, SUM(w) AS cut FROM (
+    SELECT e.src % 4 AS label, 1.0 AS w FROM edges e
+    WHERE e.src % 4 <> e.dst % 4
+    UNION ALL
+    SELECT e.dst % 4 AS label, 1.0 AS w FROM edges e
+    WHERE e.src % 4 <> e.dst % 4
+  ) GROUP BY label
+),
+vol AS (
+  SELECT a.src % 4 AS label, CAST(COUNT(*) AS DOUBLE) AS vol
+  FROM adj a GROUP BY a.src % 4
+),
+tv AS (SELECT CAST(2 * COUNT(*) AS DOUBLE) AS t FROM edges),
+iicv AS (
+  SELECT s.label,
+         CASE WHEN LEAST(v.vol, t.t - v.vol) > 0
+              THEN COALESCE(c.cut, 0) / LEAST(v.vol, t.t - v.vol)
+              ELSE 0.0 END AS v
+  FROM sz s LEFT JOIN cut c ON c.label = s.label
+  LEFT JOIN vol v ON v.label = s.label, tv t
+),
+iiev AS (
+  SELECT s.label,
+         COALESCE(c.cut, 0) / LEAST(CAST(s.csize AS DOUBLE), n.n - s.csize)
+           AS v
+  FROM sz s LEFT JOIN cut c ON c.label = s.label, nn n
+),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM reach r JOIN adj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+),
+comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id),
+ints AS (
+  SELECT l.label, c.comp, COUNT(*) AS isz
+  FROM lab l JOIN comp c ON c.id = l.id GROUP BY l.label, c.comp
+),
+fragv AS (
+  SELECT i.label, 1.0 - CAST(MAX(i.isz) AS DOUBLE) / s.csize AS v
+  FROM ints i JOIN sz s ON s.label = i.label GROUP BY i.label, s.csize
+),
+nbw AS (
+  SELECT a.src AS id, a.dst % 4 AS lv, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM adj a GROUP BY a.src, a.dst % 4
+),
+stv AS (
+  SELECT l.id,
+         CASE WHEN NOT EXISTS (SELECT 1 FROM adj a WHERE a.src = l.id)
+              THEN TRUE
+              ELSE COALESCE((SELECT n1.w FROM nbw n1
+                             WHERE n1.id = l.id AND n1.lv = l.label), 0)
+                     > 0
+                   AND COALESCE((SELECT MAX(n2.w) FROM nbw n2
+                                 WHERE n2.id = l.id
+                                   AND n2.lv <> l.label), 0)
+                     < COALESCE((SELECT n1.w FROM nbw n1
+                                 WHERE n1.id = l.id
+                                   AND n1.lv = l.label), 0)
+         END AS stable
+  FROM lab l
+)
+SELECT
+  ROUND((SELECT AVG(v) FROM phdv), 6) AS phd_avg,
+  ROUND((SELECT MIN(v) FROM phdv), 6) AS phd_min,
+  ROUND((SELECT MAX(v) FROM phdv), 6) AS phd_max,
+  ROUND((SELECT AVG(v) FROM ipdv), 6) AS ipd_avg,
+  ROUND((SELECT MIN(v) FROM ipdv), 6) AS ipd_min,
+  ROUND((SELECT MAX(v) FROM ipdv), 6) AS ipd_max,
+  ROUND((SELECT SUM(intra) / SUM(poss) FROM ipd), 6) AS ipd_global,
+  ROUND((SELECT AVG(v) FROM iicv), 6) AS iic_avg,
+  ROUND((SELECT MIN(v) FROM iicv), 6) AS iic_min,
+  ROUND((SELECT MAX(v) FROM iicv), 6) AS iic_max,
+  ROUND((SELECT AVG(v) FROM iiev), 6) AS iie_avg,
+  ROUND((SELECT MIN(v) FROM iiev), 6) AS iie_min,
+  ROUND((SELECT MAX(v) FROM iiev), 6) AS iie_max,
+  ROUND((SELECT AVG(v) FROM fragv), 6) AS frag_avg,
+  ROUND((SELECT MIN(v) FROM fragv), 6) AS frag_min,
+  ROUND((SELECT MAX(v) FROM fragv), 6) AS frag_max,
+  ROUND((SELECT SUM(CASE WHEN stable THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*) FROM stv), 6) AS stable_frac"""
+
+
+def q_cover_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.partitionquality import (
+        cover_f1_similarity,
+        cover_hub_dominance,
+    )
+
+    g = load_graph(spark, sf_dir)
+    cover = (
+        g.nodes().select("id", (F.col("id") % 4).alias("subset"))
+        .unionByName(
+            g.nodes().filter(F.col("id") % 7 == 0)
+            .select("id", F.lit(4).cast("long").alias("subset"))
+        )
+    )
+    ref = g.nodes().select("id", (F.col("id") % 5).alias("subset"))
+    _, chd = cover_hub_dominance(g, cover)
+    _, f1 = cover_f1_similarity(g, cover, ref)
+    row = [
+        round(v, 6)
+        for v in (
+            chd["avg"], chd["min"], chd["max"],
+            f1["avg"], f1["min"], f1["max"], f1["weighted_avg"],
+        )
+    ]
+    return spark.createDataFrame(
+        [tuple(row)],
+        "chd_avg double, chd_min double, chd_max double, "
+        "f1_avg double, f1_min double, f1_max double, f1_wavg double",
+    )
+
+
+SQL_COVER_QUALITY = f"""WITH {GRAPH_CTES},
+mem AS (
+  SELECT id, id % 4 AS c FROM nodes
+  UNION ALL
+  SELECT id, 4 AS c FROM nodes WHERE id % 7 = 0
+),
+csz AS (SELECT c, COUNT(*) AS csize FROM mem GROUP BY c),
+nmem AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM mem),
+idg AS (
+  SELECT m1.id, m1.c, COUNT(*) AS ideg
+  FROM adj a
+  JOIN mem m1 ON m1.id = a.src
+  JOIN mem m2 ON m2.id = a.dst AND m2.c = m1.c
+  GROUP BY m1.id, m1.c
+),
+chd AS (
+  SELECT m.c, MAX(COALESCE(i.ideg, 0)) AS mdeg, COUNT(*) AS csize
+  FROM mem m LEFT JOIN idg i ON i.id = m.id AND i.c = m.c
+  GROUP BY m.c
+),
+chdv AS (
+  SELECT c,
+         CASE WHEN csize > 1 THEN CAST(mdeg AS DOUBLE) / (csize - 1)
+              ELSE 1.0 END AS v
+  FROM chd
+),
+ref AS (SELECT id, id % 5 AS r FROM nodes),
+rsz AS (SELECT r, COUNT(*) AS rsize FROM ref GROUP BY r),
+ov AS (
+  SELECT m.c, f.r, COUNT(*) AS ov
+  FROM mem m JOIN ref f ON f.id = m.id GROUP BY m.c, f.r
+),
+f1s AS (
+  SELECT o.c, s.csize,
+         MAX(2.0 * ((CAST(o.ov AS DOUBLE) / z.rsize)
+                    * (CAST(o.ov AS DOUBLE) / s.csize))
+             / ((CAST(o.ov AS DOUBLE) / z.rsize)
+                + (CAST(o.ov AS DOUBLE) / s.csize))) AS v
+  FROM ov o JOIN csz s ON s.c = o.c JOIN rsz z ON z.r = o.r
+  GROUP BY o.c, s.csize
+),
+f1v AS (
+  SELECT s.c, s.csize, COALESCE(f.v, 0.0) AS v
+  FROM csz s LEFT JOIN f1s f ON f.c = s.c
+)
+SELECT
+  ROUND((SELECT AVG(v) FROM chdv), 6) AS chd_avg,
+  ROUND((SELECT MIN(v) FROM chdv), 6) AS chd_min,
+  ROUND((SELECT MAX(v) FROM chdv), 6) AS chd_max,
+  ROUND((SELECT AVG(v) FROM f1v), 6) AS f1_avg,
+  ROUND((SELECT MIN(v) FROM f1v), 6) AS f1_min,
+  ROUND((SELECT MAX(v) FROM f1v), 6) AS f1_max,
+  ROUND((SELECT SUM(v * csize) / (SELECT m FROM nmem) FROM f1v), 6)
+    AS f1_wavg"""
