@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_luby": e.q_luby,
         "graph_partition_quality": e.q_partition_quality,
         "graph_cover_quality": e.q_cover_quality,
+        "graph_neighborhood_fn": e.q_neighborhood_fn,
+        "graph_volume": e.q_volume,
+        "graph_spsp": e.q_spsp,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -103,11 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": d.q_fingerprint,
         "events_agg": d.q_events_agg,
         "events_top_per_user": d.q_events_top_per_user,
-        # --- CORE refreshers (r4-green; re-proven this round) ----------
-        "graph_pagerank": c.q_pagerank,
-        "graph_cc": c.q_connected_components,
-        "graph_pagerank_large": e.q_pagerank_large,
-        "multimodal_features": e.q_multimodal_features,
+        # --- ROTATION continued: r3-green, rotated out in r4 — must
+        # hold a driver row this round
+        "graph_plp": c.q_plp,
         # ---------------------------------------------------- 50-row cap
         # --- STABLE TAIL (driver-green in round 4; pytest + the all-
         # pairs DuckDB rehearsal keep them covered every round) ---------
@@ -119,8 +120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mapequation": e.q_mapequation,
         "graph_kcore": e.q_kcore,
         "graph_plm": e.q_plm,
-        "graph_plp": c.q_plp,
+        "graph_pagerank": c.q_pagerank,
         "graph_betweenness": e.q_betweenness,
+        "graph_cc": c.q_connected_components,
+        "graph_pagerank_large": e.q_pagerank_large,
+        "multimodal_features": e.q_multimodal_features,
         "graph_approx_betweenness": e.q_approx_betweenness,
         "graph_kadabra": e.q_kadabra,
         "graph_top_harmonic": e.q_top_harmonic,
@@ -267,4 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_luby": e.SQL_LUBY,
         "graph_partition_quality": e.SQL_PARTITION_QUALITY,
         "graph_cover_quality": e.SQL_COVER_QUALITY,
+        "graph_neighborhood_fn": e.SQL_NEIGHBORHOOD_FN,
+        "graph_volume": e.SQL_VOLUME,
+        "graph_spsp": e.SQL_SPSP,
     }

@@ -6123,3 +6123,142 @@ SELECT
   ROUND((SELECT MAX(v) FROM f1v), 6) AS f1_max,
   ROUND((SELECT SUM(v * csize) / (SELECT m FROM nmem) FROM f1v), 6)
     AS f1_wavg"""
+
+
+# ---------------------------------------------------------------------------
+# NeighborhoodFunction / Volume / SPSP (distance/NeighborhoodFunction.cpp,
+# Volume.cpp, SPSP.cpp) — NF and SPSP run on the starred connected graph
+# (the graph_top_harmonic overlay) so the oracle's BFS unroll depth
+# covers the diameter; Volume samples 8 md5-ranked start nodes on the
+# raw graph with radii 1..3.
+# ---------------------------------------------------------------------------
+
+VOL_SAMPLES = 8
+VOL_SEED = 42
+SPSP_K = 4
+
+
+def _starred(spark, sf_dir):
+    from networkit_spark.graph import Graph
+
+    g = load_graph(spark, sf_dir)
+    star = (
+        g.nodes()
+        .filter((F.col("id") % 7 == 1) & (F.col("id") != 0))
+        .select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    )
+    edges2 = (
+        g.edges.select("src", "dst")
+        .unionByName(star)
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges2, vertices=g.nodes(), directed=False, weighted=False)
+
+
+_STAR_CTES = """star AS (
+  SELECT CAST(0 AS BIGINT) AS src, id AS dst FROM nodes
+  WHERE id % 7 = 1 AND id <> 0
+),
+edges2 AS (
+  SELECT src, dst FROM edges UNION SELECT src, dst FROM star
+),
+adj2 AS (
+  SELECT src, dst FROM edges2
+  UNION ALL SELECT dst AS src, src AS dst FROM edges2
+)"""
+
+
+def _bfs_unroll(adj: str, t0: str, hops: int) -> str:
+    steps = [f"t0 AS MATERIALIZED ({t0})"]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM {adj} a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return ",\n".join(steps)
+
+
+def q_neighborhood_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distancemisc import neighborhood_function
+
+    g2 = _starred(spark, sf_dir)
+    return neighborhood_function(g2).orderBy("h")
+
+
+SQL_NEIGHBORHOOD_FN = (
+    f"WITH {GRAPH_CTES},\n{_STAR_CTES},\n"
+    + _bfs_unroll(
+        "adj2",
+        "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM nodes",
+        DIAM_HOPS,
+    )
+    + f""",
+hist AS (
+  SELECT dist AS h, COUNT(*) AS cnt FROM t{DIAM_HOPS}
+  WHERE dist > 0 GROUP BY dist
+)
+SELECT h, SUM(cnt) OVER (ORDER BY h) AS nf FROM hist ORDER BY h"""
+)
+
+
+def q_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distancemisc import volume
+
+    g = load_graph(spark, sf_dir)
+    return volume(
+        g, [1.0, 2.0, 3.0], samples=VOL_SAMPLES, seed=VOL_SEED
+    ).orderBy("r")
+
+
+SQL_VOLUME = (
+    f"WITH {GRAPH_CTES},\n"
+    + f"""starts AS MATERIALIZED (
+  SELECT id FROM nodes
+  ORDER BY md5('vol|{VOL_SEED}|' || CAST(id AS VARCHAR)), id
+  LIMIT {VOL_SAMPLES}
+),\n"""
+    + _bfs_unroll(
+        "adj",
+        "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM starts",
+        3,
+    )
+    + f"""
+SELECT CAST(r AS DOUBLE) AS r,
+       (SELECT COUNT(*) FROM t3 WHERE dist <= r) * 1.0 / {VOL_SAMPLES}
+         AS volume
+FROM (VALUES (1), (2), (3)) AS radii(r) ORDER BY r"""
+)
+
+
+def q_spsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distancemisc import spsp
+
+    g2 = _starred(spark, sf_dir)
+    nodes = [int(r["id"]) for r in g2.nodes().orderBy("id").collect()]
+    sources = nodes[:SPSP_K]
+    targets = nodes[-SPSP_K:]
+    return spsp(g2, sources, targets).orderBy("s", "t")
+
+
+SQL_SPSP = (
+    f"WITH {GRAPH_CTES},\n{_STAR_CTES},\n"
+    + f"""src AS (SELECT id FROM nodes ORDER BY id LIMIT {SPSP_K}),
+tgt AS (SELECT id FROM nodes ORDER BY id DESC LIMIT {SPSP_K}),\n"""
+    + _bfs_unroll(
+        "adj2",
+        "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM src",
+        DIAM_HOPS,
+    )
+    + f"""
+SELECT t.s, t.v AS t, t.dist FROM t{DIAM_HOPS} t
+WHERE t.v IN (SELECT id FROM tgt)
+ORDER BY t.s, t.v"""
+)

@@ -1,0 +1,183 @@
+"""Distance-family breadth: neighborhood function (exact + ANF
+approximation + hop plot), r-ball volume, and some/multi-target
+shortest-path wrappers.
+
+References (/root/reference/networkit/cpp/distance/):
+- NeighborhoodFunction.cpp (:16-49 — undirected, single component;
+  NF(h) = cumulative number of ordered node pairs within distance
+  <= h, h = 1..max).
+- NeighborhoodFunctionApproximation.cpp / HopPlotApproximation.cpp —
+  the ANF/Flajolet-Martin sketch estimate per hop (we reuse
+  operators/diameter.anf_sketches, whose bit-exact masks are already
+  gate-proven by `graph_anf`).
+- Volume.cpp (:16-66 — mean number of nodes within weighted distance r
+  of a sampled node, for one or several radii.  Deviations: the sample
+  is the ``samples`` smallest md5(seed|id) ranks WITHOUT replacement
+  (the reference draws uniformly WITH replacement from Aux::Random);
+  distances are exact Dijkstra/BFS balls — the reference's expansion
+  can settle a node at a suboptimal distance on weighted graphs (it
+  never re-expands improved entries), which is exact only for uniform
+  weights, the case its own tests cover).
+- SPSP.cpp (:20-70 — some pairs: per-source BFS/Dijkstra restricted to
+  targets) and MultiTargetBFS.cpp / MultiTargetDijkstra.cpp —
+  single-source, target-set variants.  Unreachable pairs are omitted
+  from the output relation (the reference stores infinity).
+
+All shapes reuse the batched tagged BFS/SSSP machinery
+(operators/closeness.py): one synchronized multi-source frontier, state
+O(batch * n), never per-source Python loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.closeness import _tagged_bfs, _tagged_sssp
+from networkit_spark.plans.superstep import Checkpointer
+
+
+def _require_single_component(g: Graph, what: str) -> None:
+    from networkit_spark.operators.components import (
+        connected_components,
+        number_of_components,
+    )
+
+    if g.directed:
+        raise RuntimeError(
+            "current implementation can only deal with undirected graphs"
+        )
+    labels, _ = connected_components(g)
+    if number_of_components(labels) > 1:
+        raise RuntimeError(
+            f"current implementation of {what} only runs on graphs with "
+            "1 connected component"
+        )
+
+
+def neighborhood_function(
+    g: Graph, checkpointer: Checkpointer | None = None
+) -> DataFrame:
+    """(h, nf) — cumulative ordered pairs within distance <= h."""
+    _require_single_component(g, "the neighborhood function")
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    settled, _ = _tagged_bfs(g, g.nodes(), None, ckpt)
+    per_h = (
+        settled.filter(F.col("dist") > 0)
+        .groupBy(F.col("dist").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    # the per-distance histogram has O(diameter) rows — the global
+    # window is over a tiny relation
+    return per_h.select("h", F.sum("cnt").over(w).alias("nf")).orderBy("h")
+
+
+def neighborhood_function_approximation(
+    g: Graph, k: int = 4, r: int = 7, seed: int = 42, max_h: int = 1024
+) -> DataFrame:
+    """(h, est) — ANF sketch estimate of NF(h) per hop until the
+    total saturates (masks stop changing)."""
+    from networkit_spark.operators.diameter import anf_sketches
+
+    _require_single_component(g, "the neighborhood function")
+    rows = []
+    prev_total = None
+    for h in range(1, max_h + 1):
+        est = anf_sketches(g, h, k=k, r=r, seed=seed)
+        total = float(
+            est.agg(F.sum("est").alias("s")).collect()[0]["s"]
+        )
+        rows.append((h, total))
+        if prev_total is not None and total == prev_total:
+            rows.pop()
+            break
+        prev_total = total
+    spark = g.edges.sparkSession
+    return spark.createDataFrame(rows, "h int, est double")
+
+
+def hop_plot_approximation(
+    g: Graph, max_distance: int = 0, k: int = 4, r: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """(h, frac) — estimated fraction of connected pairs within h hops
+    (HopPlotApproximation.cpp; h = 0 contributes n)."""
+    n = g.number_of_nodes()
+    nf = neighborhood_function_approximation(
+        g, k=k, r=r, seed=seed,
+        max_h=max_distance if max_distance > 0 else 1024,
+    )
+    denom = float(n) * n
+    spark = g.edges.sparkSession
+    head = spark.createDataFrame([(0, float(n))], "h int, est double")
+    return head.unionByName(nf).select(
+        "h", (F.col("est") / F.lit(denom)).alias("frac")
+    ).orderBy("h")
+
+
+def volume(
+    g: Graph,
+    rs,
+    samples: int = 500,
+    seed: int = 42,
+    weighted: bool | None = None,
+) -> DataFrame:
+    """(r, volume) — mean ball sizes over the md5-sampled start nodes."""
+    spark = g.edges.sparkSession
+    ckpt = Checkpointer(spark)
+    rs = [float(x) for x in rs]
+    rmax = max(rs)
+    starts = (
+        g.nodes()
+        .withColumn(
+            "rk", F.md5(F.concat(F.lit(f"vol|{seed}|"), F.col("id")))
+        )
+        .orderBy("rk", "id")
+        .limit(samples)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    n_samples = starts.count()
+    use_w = g.weighted if weighted is None else weighted
+    sweep = _tagged_sssp if use_w else _tagged_bfs
+    max_hops = None if use_w else int(rmax)
+    settled, _ = sweep(g, starts, max_hops, ckpt)
+    rows = []
+    for rv in rs:
+        cnt = (
+            settled.filter(F.col("dist") <= rv)
+            .agg(F.count("*").alias("c"))
+            .collect()[0]["c"]
+        )
+        rows.append((rv, float(cnt) / n_samples))
+    return spark.createDataFrame(rows, "r double, volume double")
+
+
+def spsp(
+    g: Graph, sources, targets=None,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """(s, t, dist) — distances from every source to every target
+    (all nodes when ``targets`` is None); unreachable pairs omitted."""
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in sources], "id long"
+    )
+    sweep = _tagged_sssp if g.weighted else _tagged_bfs
+    settled, _ = sweep(g, src_df, None, ckpt)
+    out = settled.select(F.col("s"), F.col("v").alias("t"), "dist")
+    if targets is not None:
+        tdf = spark.createDataFrame(
+            [(int(t),) for t in targets], "t long"
+        )
+        out = out.join(F.broadcast(tdf), "t", "left_semi")
+    return out.select("s", "t", "dist")
+
+
+def multi_target_bfs(g: Graph, source: int, targets) -> DataFrame:
+    """(t, dist) — MultiTargetBFS/MultiTargetDijkstra equivalent."""
+    return spsp(g, [source], targets).select("t", "dist")
