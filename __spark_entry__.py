@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_weighted_betweenness": e.q_weighted_betweenness,
         "graph_closeness_weighted": e.q_closeness_weighted,
+        "graph_algebraic_distance": e.q_algebraic_distance,
     }
 
 
@@ -274,4 +275,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_neighborhood_fn": e.SQL_NEIGHBORHOOD_FN,
         "graph_volume": e.SQL_VOLUME,
         "graph_spsp": e.SQL_SPSP,
+        "graph_algebraic_distance": e.SQL_ALGEBRAIC_DISTANCE,
     }

@@ -6262,3 +6262,83 @@ SELECT t.s, t.v AS t, t.dist FROM t{DIAM_HOPS} t
 WHERE t.v IN (SELECT id FROM tgt)
 ORDER BY t.s, t.v"""
 )
+
+
+# ---------------------------------------------------------------------------
+# AlgebraicDistance (distance/AlgebraicDistance.cpp:29-147) — K=4
+# md5-initialized load systems, 10 unrolled Jacobi iterations, per-
+# system min-max normalization, max-norm per-edge scores.
+# ---------------------------------------------------------------------------
+
+AD_SYSTEMS = 4
+AD_ITERS = 10
+AD_SEED = 42
+
+
+def q_algebraic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distancemisc import algebraic_distance
+
+    g = load_graph(spark, sf_dir)
+    return algebraic_distance(
+        g, num_systems=AD_SYSTEMS, num_iters=AD_ITERS, omega=0.5,
+        norm=0, seed=AD_SEED,
+    ).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    ).orderBy("src", "dst")
+
+
+def _algebraic_distance_sql(
+    k: int = AD_SYSTEMS, iters: int = AD_ITERS, seed: int = AD_SEED
+) -> str:
+    cols = [f"l{i}" for i in range(k)]
+    init = ", ".join(
+        f"CAST({_md5_long13_sql(f_h)} AS DOUBLE) / 4503599627370496.0"
+        f" AS {c}"
+        for i, c in enumerate(cols)
+        for f_h in [f"md5('ad|{seed}|{i}|' || CAST(id AS VARCHAR))"]
+    )
+    parts = [f"x0 AS MATERIALIZED (SELECT id, {init} FROM nodes)"]
+    for t in range(1, iters + 1):
+        p = t - 1
+        sums = ", ".join(
+            f"SUM(x.{c}) AS s_{c}" for c in cols
+        )
+        blend = ", ".join(
+            f"CASE WHEN n.wd IS NOT NULL THEN 0.5 * p.{c}"
+            f" + 0.5 * (n.s_{c} / n.wd) ELSE p.{c} END AS {c}"
+            for c in cols
+        )
+        parts.append(
+            f"""n{t} AS (
+  SELECT a.src AS id, CAST(COUNT(*) AS DOUBLE) AS wd, {sums}
+  FROM adj a JOIN x{p} x ON x.id = a.dst GROUP BY a.src
+),
+x{t} AS MATERIALIZED (
+  SELECT p.id, {blend}
+  FROM x{p} p LEFT JOIN n{t} n ON n.id = p.id
+)"""
+        )
+    mm = ", ".join(
+        f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in cols
+    )
+    norm_cols = ", ".join(
+        f"(m.mn_{c} - x.{c}) / (m.mn_{c} - m.mx_{c}) AS {c}" for c in cols
+    )
+    greatest = "GREATEST(" + ", ".join(
+        f"ABS(u.{c} - v.{c})" for c in cols
+    ) + ")"
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f""",
+mm AS (SELECT {mm} FROM x{iters}),
+nx AS (SELECT x.id, {norm_cols} FROM x{iters} x, mm m)
+SELECT e.src, e.dst, ROUND({greatest}, 6) AS score
+FROM edges e
+JOIN nx u ON u.id = e.src
+JOIN nx v ON v.id = e.dst
+ORDER BY e.src, e.dst"""
+    )
+
+
+SQL_ALGEBRAIC_DISTANCE = _algebraic_distance_sql()

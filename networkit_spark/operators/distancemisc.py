@@ -181,3 +181,112 @@ def spsp(
 def multi_target_bfs(g: Graph, source: int, targets) -> DataFrame:
     """(t, dist) — MultiTargetBFS/MultiTargetDijkstra equivalent."""
     return spsp(g, [source], targets).select("t", "dist")
+
+
+def algebraic_distance(
+    g: Graph,
+    num_systems: int = 10,
+    num_iters: int = 30,
+    omega: float = 0.5,
+    norm: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst, score) — per-edge algebraic distance.
+
+    Reference: /root/reference/networkit/cpp/distance/
+    AlgebraicDistance.cpp (:29-147 — K random load systems smoothed by
+    Jacobi iterations x_{t+1} = (1-omega) x_t + omega * (sum_v w x_t(v))
+    / wdeg, per-system min-max normalization (min - x)/(min - max),
+    distance = max-norm (norm=0) or p-norm over the per-system
+    differences).  Deviation: loads initialize from md5(seed|sys|id)
+    fractions instead of Aux::Random so the DuckDB oracle replays the
+    iterations exactly.
+
+    Plan: loads are K columns of one (id, l0..l{K-1}) relation; each
+    iteration is ONE join + hash aggregation over the adjacency
+    (PageRank shape, state O(n * K)); normalization is one global agg.
+    """
+    if g.directed:
+        raise ValueError("Graph must be undirected")
+    if not (0.0 <= omega <= 1.0):
+        raise ValueError("omega must be in [0,1]")
+    from networkit_spark.operators.misccentrality import _klong
+
+    spark = g.edges.sparkSession
+    adj = g.adj().select("src", "dst", "weight")
+    cols = [f"l{i}" for i in range(num_systems)]
+    loads = g.nodes().select(
+        "id",
+        *[
+            (_klong(F.lit(f"ad|{seed}|{i}"), F.col("id"))
+             / F.lit(float(1 << 52))).alias(f"l{i}")
+            for i in range(num_systems)
+        ],
+    ).localCheckpoint(eager=True)
+    for _ in range(num_iters):
+        nbr = (
+            adj.join(
+                loads.select(F.col("id").alias("dst"), *cols), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(
+                F.sum("weight").alias("wd"),
+                *[
+                    F.sum(F.col("weight") * F.col(c)).alias(f"s_{c}")
+                    for c in cols
+                ],
+            )
+        )
+        loads = (
+            loads.join(nbr, "id", "left")
+            .select(
+                "id",
+                *[
+                    F.when(
+                        F.col("wd").isNotNull(),
+                        (1.0 - omega) * F.col(c)
+                        + omega * (F.col(f"s_{c}") / F.col("wd")),
+                    ).otherwise(
+                        # isolated node: val = 0/0 -> NaN in the
+                        # reference; keep the previous load instead
+                        # (documented deviation, no NaN propagation)
+                        F.col(c)
+                    ).alias(c)
+                    for c in cols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    mm = loads.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    normed = loads.select(
+        "id",
+        *[
+            (
+                (F.lit(float(mm[f"mn_{c}"])) - F.col(c))
+                / F.lit(float(mm[f"mn_{c}"]) - float(mm[f"mx_{c}"]))
+            ).alias(c)
+            for c in cols
+        ],
+    )
+    lu = normed.select(F.col("id").alias("src"),
+                       *[F.col(c).alias(f"u_{c}") for c in cols])
+    lv = normed.select(F.col("id").alias("dst"),
+                       *[F.col(c).alias(f"v_{c}") for c in cols])
+    diffs = [F.abs(F.col(f"u_{c}") - F.col(f"v_{c}")) for c in cols]
+    if norm == 0:
+        score = diffs[0]
+        for d in diffs[1:]:
+            score = F.greatest(score, d)
+    else:
+        score = sum(F.pow(d, float(norm)) for d in diffs)
+        score = F.pow(score, 1.0 / norm)
+    return (
+        g.edges.select("src", "dst")
+        .join(lu, "src")
+        .join(lv, "dst")
+        .select("src", "dst",
+                F.coalesce(score, F.lit(0.0)).alias("score"))
+    )
