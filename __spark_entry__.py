@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_betweenness": e.q_weighted_betweenness,
         "graph_closeness_weighted": e.q_closeness_weighted,
         "graph_algebraic_distance": e.q_algebraic_distance,
+        "graph_dyn_apsp": e.q_dyn_apsp,
+        "graph_permanence": e.q_permanence,
     }
 
 
@@ -276,4 +278,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_volume": e.SQL_VOLUME,
         "graph_spsp": e.SQL_SPSP,
         "graph_algebraic_distance": e.SQL_ALGEBRAIC_DISTANCE,
+        "graph_dyn_apsp": e.SQL_DYN_APSP,
+        "graph_permanence": e.SQL_PERMANENCE,
     }

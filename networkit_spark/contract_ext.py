@@ -6342,3 +6342,142 @@ ORDER BY e.src, e.dst"""
 
 
 SQL_ALGEBRAIC_DISTANCE = _algebraic_distance_sql()
+
+
+# ---------------------------------------------------------------------------
+# DynAPSP (distance/DynAPSP.cpp:30-170) — tracked-sources APSP relation
+# relaxed through each inserted edge (insertions only, like the
+# reference); the oracle recomputes the post-event BFS distances from
+# the same sources.  PermanenceCentrality
+# (centrality/PermanenceCentrality.cpp:15-157) over the id%4 partition.
+# ---------------------------------------------------------------------------
+
+DYNAPSP_K = 4
+DYNAPSP_ADDS = 8
+
+
+def q_dyn_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.dynapsp import DynAPSP
+
+    g2 = _starred(spark, sf_dir)
+    sources = [
+        int(r["id"]) for r in g2.nodes().orderBy("id").limit(DYNAPSP_K)
+        .collect()
+    ]
+    dap = DynAPSP(g2, sources=sources).run()
+    nodes = g2.nodes()
+    adds = (
+        spark.range(DYNAPSP_ADDS)
+        .select(
+            F.least(
+                F.col("id"), (F.col("id") * F.col("id") * 7 + 3) % 997
+            ).alias("a"),
+            F.greatest(
+                F.col("id"), (F.col("id") * F.col("id") * 7 + 3) % 997
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .join(
+            g2.edges.select(F.col("src").alias("a"),
+                            F.col("dst").alias("b")),
+            ["a", "b"], "left_anti",
+        )
+        .join(nodes.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(nodes.withColumnRenamed("id", "b"), "b", "left_semi")
+        .orderBy("a", "b")
+        .collect()
+    )
+    for r in adds:
+        dap.update(("EDGE_ADDITION", int(r["a"]), int(r["b"]), 1.0))
+    return dap.distances.select(
+        "s", F.col("v").alias("t"), "dist"
+    ).orderBy("s", "t")
+
+
+SQL_DYN_APSP = (
+    f"WITH {GRAPH_CTES},\n{_STAR_CTES},\n"
+    + f"""addf AS (
+  SELECT DISTINCT LEAST(i, (i * i * 7 + 3) % 997) AS a,
+                  GREATEST(i, (i * i * 7 + 3) % 997) AS b
+  FROM range({DYNAPSP_ADDS}) t(i)
+  WHERE LEAST(i, (i * i * 7 + 3) % 997)
+        <> GREATEST(i, (i * i * 7 + 3) % 997)
+    AND NOT EXISTS (SELECT 1 FROM edges2 e
+                    WHERE e.src = LEAST(i, (i * i * 7 + 3) % 997)
+                      AND e.dst = GREATEST(i, (i * i * 7 + 3) % 997))
+    AND EXISTS (SELECT 1 FROM nodes n
+                WHERE n.id = LEAST(i, (i * i * 7 + 3) % 997))
+    AND EXISTS (SELECT 1 FROM nodes n
+                WHERE n.id = GREATEST(i, (i * i * 7 + 3) % 997))
+),
+edges4 AS (
+  SELECT src, dst FROM edges2
+  UNION SELECT a AS src, b AS dst FROM addf
+),
+adj4 AS (
+  SELECT src, dst FROM edges4
+  UNION ALL SELECT dst AS src, src AS dst FROM edges4
+),
+src4 AS (SELECT id FROM nodes ORDER BY id LIMIT {DYNAPSP_K}),\n"""
+    + _bfs_unroll(
+        "adj4",
+        "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM src4",
+        DIAM_HOPS,
+    )
+    + f"""
+SELECT s, v AS t, dist FROM t{DIAM_HOPS} ORDER BY s, v"""
+)
+
+
+def q_permanence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.misccentrality import (
+        permanence_centrality,
+    )
+
+    g = load_graph(spark, sf_dir)
+    labels = g.nodes().select("id", (F.col("id") % 4).alias("label"))
+    return permanence_centrality(g, labels).select(
+        "id", F.round("permanence", 6).alias("permanence")
+    ).orderBy("id")
+
+
+SQL_PERMANENCE = f"""WITH {GRAPH_CTES},
+pl AS (
+  SELECT a.src AS id, a.dst % 4 AS lv, COUNT(*) AS cnt
+  FROM adj a GROUP BY a.src, a.dst % 4
+),
+pbase AS (
+  SELECT n.id,
+         COALESCE(SUM(CASE WHEN p.lv = n.id % 4 THEN p.cnt END), 0)
+           AS intdeg,
+         GREATEST(COALESCE(MAX(CASE WHEN p.lv <> n.id % 4 THEN p.cnt
+                                END), 0), 1) AS max_ext,
+         COALESCE(SUM(p.cnt), 0) AS deg
+  FROM nodes n LEFT JOIN pl p ON p.id = n.id GROUP BY n.id
+),
+sn AS (
+  SELECT a.src AS u, a.dst AS x FROM adj a
+  WHERE a.src % 4 = a.dst % 4
+),
+tri AS (
+  SELECT s1.u, COUNT(*) AS ntri
+  FROM sn s1 JOIN sn s2 ON s1.u = s2.u AND s1.x < s2.x
+  JOIN edges e ON e.src = s1.x AND e.dst = s2.x
+  GROUP BY s1.u
+),
+icc AS (
+  SELECT b.id,
+         CASE WHEN b.intdeg >= 2
+              THEN COALESCE(t.ntri, 0)
+                   / (0.5 * b.intdeg * (b.intdeg - 1))
+              ELSE 0.0 END AS icc,
+         b.intdeg, b.max_ext, b.deg
+  FROM pbase b LEFT JOIN tri t ON t.u = b.id
+)
+SELECT id,
+       ROUND(CASE WHEN deg > 0
+                  THEN CAST(intdeg AS DOUBLE) / max_ext / deg
+                       - (1.0 - icc)
+                  ELSE 0.0 END, 6) AS permanence
+FROM icc ORDER BY id"""

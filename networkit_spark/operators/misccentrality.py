@@ -294,3 +294,83 @@ def luby(
     )
     adj.unpersist()
     return out, rounds
+
+
+def permanence_centrality(g: Graph, labels: DataFrame) -> DataFrame:
+    """(id, permanence) — PermanenceCentrality.cpp:15-157:
+    perm(u) = intdeg(u) / max_ext(u) / deg(u) - (1 - intra_cc(u)),
+    max_ext = the largest SINGLE-community external neighbour count (1
+    when u has no external neighbours), intra_cc = edges among u's
+    same-community neighbours over k(k-1)/2 (0 when k < 2).  Joins over
+    the label-tagged adjacency + the same wedge shape as square
+    clustering."""
+    gg = g.remove_self_loops()
+    lab = labels.select("id", "label")
+    adj = materialize_partitioned(gg.adj().select("src", "dst"), "src")
+    tagged = (
+        adj.join(lab.withColumnRenamed("id", "src")
+                 .withColumnRenamed("label", "own"), "src")
+        .join(lab.withColumnRenamed("id", "dst")
+              .withColumnRenamed("label", "lv"), "dst")
+    )
+    per_label = tagged.groupBy(
+        F.col("src").alias("id"), F.col("own").alias("own"),
+        F.col("lv").alias("lv"),
+    ).agg(F.count("*").alias("cnt"))
+    base = per_label.groupBy("id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lv") == F.col("own"), F.col("cnt"))),
+            F.lit(0),
+        ).alias("intdeg"),
+        F.coalesce(
+            F.max(F.when(F.col("lv") != F.col("own"), F.col("cnt"))),
+            F.lit(0),
+        ).alias("max_ext"),
+        F.sum("cnt").alias("deg"),
+    )
+    # edges among same-community neighbours of u
+    same_nbr = tagged.filter(F.col("own") == F.col("lv")).select(
+        F.col("src").alias("u"), F.col("dst").alias("x")
+    )
+    canon = gg.edges.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    ).distinct()
+    tri = (
+        same_nbr
+        .join(same_nbr.withColumnRenamed("x", "y"), "u")
+        .filter(F.col("x") < F.col("y"))
+        .join(canon, ["x", "y"], "left_semi")
+        .groupBy("u")
+        .agg(F.count("*").alias("ntri"))
+    )
+    out = (
+        gg.nodes()
+        .join(base, "id", "left")
+        .join(tri.withColumnRenamed("u", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("intdeg", F.lit(0)).alias("intdeg"),
+            F.greatest(F.coalesce("max_ext", F.lit(0)), F.lit(1))
+            .alias("max_ext"),
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("ntri", F.lit(0)).alias("ntri"),
+        )
+        .withColumn(
+            "icc",
+            F.when(
+                F.col("intdeg") >= 2,
+                F.col("ntri")
+                / (0.5 * F.col("intdeg") * (F.col("intdeg") - 1)),
+            ).otherwise(0.0),
+        )
+        .select(
+            "id",
+            F.when(
+                F.col("deg") > 0,
+                F.col("intdeg") / F.col("max_ext") / F.col("deg")
+                - (1.0 - F.col("icc")),
+            ).otherwise(0.0).alias("permanence"),
+        )
+    )
+    adj.unpersist()
+    return out
