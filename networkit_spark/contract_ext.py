@@ -6481,3 +6481,146 @@ SELECT id,
                        - (1.0 - icc)
                   ELSE 0.0 END, 6) AS permanence
 FROM icc ORDER BY id"""
+
+
+# ---------------------------------------------------------------------------
+# ReachableNodes exact (reachability/ReachableNodes.cpp:26-86) — SCC
+# condensation + DAG closure; every node inherits its SCC's count.
+# ---------------------------------------------------------------------------
+
+def q_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.reachability import reachable_nodes
+
+    g = load_directed_graph(spark, sf_dir)
+    return (
+        reachable_nodes(g, exact=True)
+        .select("id", F.col("reachable_lb").alias("reachable"))
+        .orderBy("id")
+    )
+
+
+SQL_REACHABLE = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 31 + 7) % 997) AS v
+  FROM orders
+  UNION
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 57 + 13) % 997) AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION
+  SELECT DISTINCT ((o_orderkey * 17 + 3) % 997) AS u,
+                  ((o_orderkey * 43 + 11) % 997) AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+dedges AS MATERIALIZED (
+  SELECT DISTINCT u AS src, v AS dst FROM base WHERE u <> v
+),
+dnodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges
+  ) t
+),
+reach(a, b) AS (
+  SELECT id, id FROM dnodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+)
+SELECT a AS id, COUNT(DISTINCT b) AS reachable
+FROM reach GROUP BY a ORDER BY a
+"""
+
+
+# ---------------------------------------------------------------------------
+# EpidemicSimulationSEIR (simulation/EpidemicSimulationSEIR.cpp:21-99) —
+# md5-derandomized contacts, synchronous sweeps, 4 census rows per step.
+# ---------------------------------------------------------------------------
+
+SEIR_TMAX = 8
+SEIR_P = 0.3
+SEIR_ETIME = 2
+SEIR_ITIME = 3
+SEIR_SEED = 42
+
+
+def q_seir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.simulation import epidemic_simulation_seir
+
+    g = load_graph(spark, sf_dir)
+    return epidemic_simulation_seir(
+        g,
+        t_max=SEIR_TMAX,
+        trans_p=SEIR_P,
+        exposed_time=SEIR_ETIME,
+        infectious_time=SEIR_ITIME,
+        start=None,
+        seed=SEIR_SEED,
+    ).orderBy("t", "state")
+
+
+def _seir_sql(
+    t_max: int = SEIR_TMAX,
+    p: float = SEIR_P,
+    e_time: int = SEIR_ETIME,
+    i_time: int = SEIR_ITIME,
+    seed: int = SEIR_SEED,
+) -> str:
+    threshold = int(p * (1 << 52))
+    parts = [
+        "st0 AS (SELECT MIN(id) AS s FROM nodes)",
+        """p0 AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN id = (SELECT s FROM st0) THEN 2 ELSE 0 END AS st,
+         CAST(0 AS BIGINT) AS ts
+  FROM nodes
+)""",
+    ]
+    census = []
+    for t in range(t_max):
+        h = (
+            f"md5('seir|{seed}|{t}|' || CAST(a.src AS VARCHAR) || '|' "
+            "|| CAST(a.dst AS VARCHAR))"
+        )
+        upd = (
+            f"(s.st = 1 AND {t} - s.ts >= {e_time}) OR "
+            f"(s.st = 2 AND {t} - s.ts >= {i_time}) OR "
+            f"(s.st = 0 AND e.id IS NOT NULL)"
+        )
+        parts.append(
+            f"""ex{t} AS (
+  SELECT DISTINCT a.dst AS id FROM adj a
+  JOIN p{t} i ON i.id = a.src
+  WHERE i.st = 2 AND {_md5_long13_sql(h)} <= {threshold}
+)"""
+        )
+        parts.append(
+            f"""p{t + 1} AS MATERIALIZED (
+  SELECT s.id,
+    CASE WHEN s.st = 1 AND {t} - s.ts >= {e_time} THEN 2
+         WHEN s.st = 2 AND {t} - s.ts >= {i_time} THEN 3
+         WHEN s.st = 0 AND e.id IS NOT NULL THEN 1
+         ELSE s.st END AS st,
+    CAST(CASE WHEN {upd} THEN {t} ELSE s.ts END AS BIGINT) AS ts
+  FROM p{t} s LEFT JOIN ex{t} e ON e.id = s.id
+)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT CAST({t} AS BIGINT) AS t, CAST(v.s AS BIGINT) AS state,
+         CAST(COALESCE(k.c, 0) AS BIGINT) AS cnt
+  FROM (VALUES (0), (1), (2), (3)) v(s)
+  LEFT JOIN (SELECT st, COUNT(*) AS c FROM p{t + 1} GROUP BY st) k
+    ON k.st = v.s
+)"""
+        )
+        census.append(f"SELECT * FROM c{t}")
+    body = " UNION ALL ".join(census)
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts) + f""",
+allc AS ({body})
+SELECT CAST((SELECT s FROM st0) AS BIGINT) AS start, t, state, cnt
+FROM allc ORDER BY t, state"""
+    )
+
+
+SQL_SEIR = _seir_sql()
