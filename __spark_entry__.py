@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_permanence": e.q_permanence,
         "graph_reachable": e.q_reachable,
         "graph_seir": e.q_seir,
+        "graph_gedwalk": e.q_gedwalk,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -107,13 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": d.q_minhash_sig,
         "dedup_minhash_candidates": d.q_minhash_candidates,
         "dedup_jaccard_pairs": d.q_jaccard_pairs,
-        "events_top_per_user": d.q_events_top_per_user,
         # --- ROTATION continued: r3-green, rotated out in r4 — must
         # hold a driver row this round
         "graph_plp": c.q_plp,
         # ---------------------------------------------------- 50-row cap
         # --- displaced by the round-5c additions above: pure-SQL doc
         # queries (r3-green, near-zero drift risk, rehearsal-covered) ---
+        "events_top_per_user": d.q_events_top_per_user,
         "text_token_count": d.q_token_count,
         "text_quality": d.q_quality,
         "text_langid": d.q_langid,
@@ -288,4 +289,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_permanence": e.SQL_PERMANENCE,
         "graph_reachable": e.SQL_REACHABLE,
         "graph_seir": e.SQL_SEIR,
+        "graph_gedwalk": e.SQL_GEDWALK,
     }

@@ -6624,3 +6624,157 @@ FROM allc ORDER BY t, state"""
 
 
 SQL_SEIR = _seir_sql()
+
+
+# ---------------------------------------------------------------------------
+# GedWalk greedy group centrality (centrality/GedWalk.cpp:150-246,302-350,
+# 410-421) — fixed-level GED_L objective, estimate-pruned batched greedy.
+# ---------------------------------------------------------------------------
+
+GED_K = 2
+GED_LEVELS = 3
+GED_C = None  # exhaustive batched evaluation (see operators/gedwalk.py)
+
+
+def q_gedwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.gedwalk import gedwalk
+
+    g = load_graph(spark, sf_dir)
+    return gedwalk(
+        g, k=GED_K, levels=GED_LEVELS, candidates=GED_C
+    ).orderBy("rank")
+
+
+def _gedwalk_sql(
+    k: int = GED_K, levels: int = GED_LEVELS, c: int | None = GED_C
+) -> str:
+    a1 = "(SELECT a FROM al)"
+
+    def apow(i: int) -> str:
+        return "(" + " * ".join([a1] * i) + ")"
+
+    parts = [
+        "al AS (SELECT 1.0 / (1.0 + MAX(degree)) AS a FROM deg)",
+        "g0 AS (SELECT id FROM nodes WHERE FALSE)",
+    ]
+    outs = []
+    for r in range(1, k + 1):
+        gp = f"g{r - 1}"
+        # estimate DP: pOut levels with the group blocked
+        parts.append(
+            f"""q{r}e0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id IN (SELECT id FROM {gp}) THEN 0.0
+                  ELSE 1.0 END AS p
+  FROM nodes
+)"""
+        )
+        for i in range(1, levels + 1):
+            parts.append(
+                f"""q{r}e{i} AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN n.id IN (SELECT id FROM {gp}) THEN 0.0
+              ELSE COALESCE(s.v, 0.0) END AS p
+  FROM nodes n LEFT JOIN (
+    SELECT a.src AS id, SUM(pp.p) AS v
+    FROM adj a JOIN q{r}e{i - 1} pp ON pp.id = a.dst GROUP BY a.src
+  ) s ON s.id = n.id
+)"""
+            )
+        conv_terms = []
+        for l in range(1, levels + 1):
+            conv = " + ".join(
+                f"e{l - m}.p * e{m}.p" for m in range(l + 1)
+            )
+            conv_terms.append(f"{apow(l)} * ({conv})")
+        joins = " ".join(
+            f"JOIN q{r}e{i} e{i} ON e{i}.id = e0.id"
+            for i in range(1, levels + 1)
+        )
+        parts.append(
+            f"""q{r}est AS MATERIALIZED (
+  SELECT e0.id, {' + '.join(conv_terms)} AS est
+  FROM q{r}e0 e0 {joins}
+)"""
+        )
+        limit = (
+            f"ORDER BY ROUND(est, 6) DESC, id ASC LIMIT {c}"
+            if c is not None
+            else ""
+        )
+        parts.append(
+            f"""q{r}cand AS MATERIALIZED (
+  SELECT id FROM q{r}est
+  WHERE id NOT IN (SELECT id FROM {gp})
+  {limit}
+)"""
+        )
+        member = (
+            f"(x.id = x.cand OR x.id IN (SELECT id FROM {gp}))"
+        )
+        parts.append(
+            f"""q{r}x0 AS MATERIALIZED (
+  SELECT c.id AS cand, n.id,
+         CASE WHEN n.id = c.id OR n.id IN (SELECT id FROM {gp})
+              THEN 1.0 ELSE 0.0 END AS hit,
+         CASE WHEN n.id = c.id OR n.id IN (SELECT id FROM {gp})
+              THEN 0.0 ELSE 1.0 END AS miss
+  FROM q{r}cand c CROSS JOIN nodes n
+)"""
+        )
+        for i in range(1, levels + 1):
+            parts.append(
+                f"""q{r}x{i} AS MATERIALIZED (
+  SELECT x.cand, x.id,
+    CASE WHEN {member}
+         THEN COALESCE(s.sh, 0.0) + COALESCE(s.sm, 0.0)
+         ELSE COALESCE(s.sh, 0.0) END AS hit,
+    CASE WHEN {member} THEN 0.0
+         ELSE COALESCE(s.sm, 0.0) END AS miss
+  FROM q{r}x{i - 1} x LEFT JOIN (
+    SELECT pp.cand, a.src AS id, SUM(pp.hit) AS sh, SUM(pp.miss) AS sm
+    FROM adj a JOIN q{r}x{i - 1} pp ON pp.id = a.dst
+    GROUP BY pp.cand, a.src
+  ) s ON s.cand = x.cand AND s.id = x.id
+)"""
+            )
+        lvl_sums = " ".join(
+            f"JOIN (SELECT cand, SUM(hit) AS s{i} FROM q{r}x{i} "
+            f"GROUP BY cand) t{i} ON t{i}.cand = t1.cand"
+            for i in range(2, levels + 1)
+        )
+        score = " + ".join(
+            f"{apow(i)} * t{i}.s{i}" for i in range(1, levels + 1)
+        )
+        prev = "0.0" if r == 1 else f"(SELECT score FROM p{r - 1})"
+        parts.append(
+            f"""q{r}sc AS MATERIALIZED (
+  SELECT t1.cand, {score} AS score
+  FROM (SELECT cand, SUM(hit) AS s1 FROM q{r}x1 GROUP BY cand) t1
+  {lvl_sums}
+)"""
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT cand AS id, score, score - {prev} AS gain
+  FROM q{r}sc
+  ORDER BY ROUND(score - {prev}, 6) DESC, cand ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"g{r} AS (SELECT id FROM {gp} UNION ALL SELECT id FROM p{r})"
+        )
+        outs.append(
+            f"SELECT CAST({r} AS BIGINT) AS rank, id, "
+            f"ROUND(gain, 6) AS gain, ROUND(score, 6) AS group_score "
+            f"FROM p{r}"
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + " UNION ALL ".join(outs)
+        + " ORDER BY rank"
+    )
+
+
+SQL_GEDWALK = _gedwalk_sql()
