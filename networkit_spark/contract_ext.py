@@ -3564,7 +3564,9 @@ def q_group_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = load_graph(spark, sf_dir)
-    group, score = group_harmonic_closeness(g, k=GROUPHARM_K)
+    # batch=512: identical picks (lazy greedy is batch-invariant),
+    # ~3x fewer wave rounds at fixture scale
+    group, score = group_harmonic_closeness(g, k=GROUPHARM_K, batch=512)
     # F.round, not Python round: banker's rounding diverges from
     # DuckDB's half-away-from-zero on exact .5 ulp boundaries
     return spark.createDataFrame(
@@ -3671,7 +3673,7 @@ def q_group_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.groupcentrality import group_closeness
 
     g = load_graph(spark, sf_dir)
-    group, score, _ = group_closeness(g, k=GROUPCLO_K, batch=64)
+    group, score, _ = group_closeness(g, k=GROUPCLO_K, batch=512)
     return spark.createDataFrame(
         [(i + 1, u, score) for i, u in enumerate(group)],
         "rank long, id long, score double",
