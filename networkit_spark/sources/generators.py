@@ -284,3 +284,326 @@ def lfr_graph(
         .select("src", "dst", F.lit(1.0).alias("weight"))
     )
     return Graph(edges, ids, directed=False, weighted=False), communities
+
+
+# ---------------------------------------------------------------------------
+# Round-5 generator breadth.  Distributed pure-column generators where
+# the model is per-edge independent (ring lattice, Watts-Strogatz
+# rewiring, Chung-Lu, stochastic blockmodel); driver-side sequential
+# builders where the reference model itself is inherently sequential
+# (Havel-Hakimi buckets, Barabasi-Albert preferential attachment,
+# Dorogovtsev-Mendes growth) — those are O(n k) with md5-derandomized
+# draws and are fixture/test-scale by design (at web scale use
+# rmat_graph / chung_lu, which shard).
+# ---------------------------------------------------------------------------
+
+_MD5_DEN = float(1 << 52)
+
+
+def _md5_frac(*cols):
+    """First 13 hex nibbles of md5(concat_ws('|', cols)) / 2^52."""
+    h = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("long") / F.lit(_MD5_DEN)
+
+
+def _py_md5_frac(*parts) -> float:
+    import hashlib
+
+    h = hashlib.md5("|".join(str(p) for p in parts).encode()).hexdigest()
+    return int(h[:13], 16) / _MD5_DEN
+
+
+def regular_ring_lattice(spark: SparkSession, n: int, k: int):
+    """Ring lattice: node i connects to its k nearest successors
+    (generators/RegularRingLatticeGenerator.cpp).  Fully distributed:
+    one projection over spark.range(n) x explode(1..k)."""
+    from networkit_spark.graph import Graph
+
+    if n < 2 * k + 1:
+        raise ValueError("need n >= 2k + 1 for a simple ring lattice")
+    e = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .select("src", ((F.col("src") + F.col("j")) % n).alias("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges=e, vertices=spark.range(n), directed=False, weighted=False)
+
+
+def watts_strogatz(spark: SparkSession, n: int, k: int, p: float, seed: int = 42):
+    """Watts-Strogatz small world (generators/WattsStrogatzGenerator.cpp):
+    ring lattice, then each lattice edge (u, u+j) rewires its far
+    endpoint to a uniform node with probability p.
+
+    Deviations (documented, keeps the generator one distributed
+    projection): the reference redraws until the new endpoint is
+    neither u nor an existing neighbour; we draw ONCE per edge and keep
+    the original edge when the draw lands on a self-loop, then
+    canonicalize + de-duplicate (duplicate rewires merge).  Same model
+    regime (p fraction of long-range shortcuts), deterministic under
+    md5(seed|u|j)."""
+    from networkit_spark.graph import Graph
+
+    if n < 2 * k + 1:
+        raise ValueError("need n >= 2k + 1")
+    lattice = spark.range(n).select(
+        F.col("id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    )
+    rewire = _md5_frac(F.lit(f"ws|{seed}|r"), F.col("src"), F.col("j")) < p
+    target = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"ws|{seed}|t"),
+                        F.col("src").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    e = (
+        lattice.select(
+            "src",
+            F.when(rewire, target)
+            .otherwise((F.col("src") + F.col("j")) % n)
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges=e, vertices=spark.range(n), directed=False, weighted=False)
+
+
+def chung_lu(spark: SparkSession, degrees: list[int], seed: int = 42):
+    """Chung-Lu random graph with expected degree sequence ``degrees``
+    (generators/ChungLuGenerator.cpp): edge (i, j), i < j, exists with
+    probability min(1, w_i w_j / S), S = sum of weights.  Distributed:
+    the node-pair grid shards over the weight relation; the md5 draw is
+    a pure column expression (n^2 pair work — the model's cost, not a
+    collect)."""
+    from networkit_spark.graph import Graph
+
+    s = float(sum(degrees))
+    w = spark.createDataFrame(
+        list(enumerate(map(float, degrees))), "id long, w double"
+    )
+    a = w.select(F.col("id").alias("src"), F.col("w").alias("wi"))
+    b = w.select(F.col("id").alias("dst"), F.col("w").alias("wj"))
+    e = (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .filter(
+            _md5_frac(F.lit(f"cl|{seed}"), F.col("src"), F.col("dst"))
+            < F.least(F.lit(1.0), F.col("wi") * F.col("wj") / F.lit(s))
+        )
+        .select("src", "dst")
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(
+        edges=e,
+        vertices=spark.range(len(degrees)),
+        directed=False,
+        weighted=False,
+    )
+
+
+def stochastic_blockmodel(
+    spark: SparkSession,
+    membership: list[int],
+    probs: list[list[float]],
+    seed: int = 42,
+):
+    """Stochastic blockmodel (generators/StochasticBlockmodel.cpp):
+    edge (i, j) exists with probability probs[block(i)][block(j)].
+    Distributed per-pair md5 draws with a broadcast block matrix."""
+    from networkit_spark.graph import Graph
+
+    n = len(membership)
+    nodes = spark.createDataFrame(
+        list(enumerate(membership)), "id long, blk long"
+    )
+    pm = spark.createDataFrame(
+        [
+            (bi, bj, float(probs[bi][bj]))
+            for bi in range(len(probs))
+            for bj in range(len(probs))
+        ],
+        "bi long, bj long, p double",
+    )
+    a = nodes.select(F.col("id").alias("src"), F.col("blk").alias("bi"))
+    b = nodes.select(F.col("id").alias("dst"), F.col("blk").alias("bj"))
+    e = (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .join(F.broadcast(pm), ["bi", "bj"])
+        .filter(
+            _md5_frac(F.lit(f"sbm|{seed}"), F.col("src"), F.col("dst"))
+            < F.col("p")
+        )
+        .select("src", "dst")
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges=e, vertices=spark.range(n), directed=False, weighted=False)
+
+
+def havel_hakimi(spark: SparkSession, degrees: list[int], ignore_if_not_realizable: bool = False):
+    """Deterministic Havel-Hakimi realization of a degree sequence
+    (generators/HavelHakimiGenerator.cpp:22-100): repeatedly connect
+    the highest-deficit node to the next-highest ones.  Driver-side
+    bucket algorithm (O(m) like the reference, inherently sequential);
+    raises when the sequence is not realizable unless told to ignore,
+    matching the reference's ERROR path (:93-98)."""
+    from networkit_spark.graph import Graph
+
+    n = len(degrees)
+    remaining = sorted(
+        ((int(d), v) for v, d in enumerate(degrees)), reverse=True
+    )
+    edges: list[tuple[int, int]] = []
+    while remaining:
+        remaining.sort(reverse=True)
+        d, u = remaining[0]
+        if d == 0:
+            break
+        if d > len(remaining) - 1:
+            if ignore_if_not_realizable:
+                break
+            raise ValueError("degree sequence is not realizable")
+        rest = remaining[1:]
+        for i in range(d):
+            dd, v = rest[i]
+            edges.append((min(u, v), max(u, v)))
+            rest[i] = (dd - 1, v)
+        remaining = rest
+    if not ignore_if_not_realizable and any(d for d, _ in remaining):
+        raise ValueError("degree sequence is not realizable")
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    return Graph(edges=e, vertices=spark.range(n), directed=False, weighted=False)
+
+
+def barabasi_albert(
+    spark: SparkSession, k: int, n_max: int, n0: int = 0, seed: int = 42
+):
+    """Barabasi-Albert preferential attachment via the Batagelj-Brandes
+    half-edge-array trick (generators/BarabasiAlbertGenerator.cpp):
+    each draw picks a uniform position in the running half-edge list, so
+    endpoints arrive degree-proportionally.  Inherently sequential
+    (every step conditions on all previous ones — the reference is too);
+    md5-derandomized driver loop, O(n k), fixture/test scale."""
+    from networkit_spark.graph import Graph
+
+    if n0 == 0:
+        n0 = k
+    half: list[int] = []
+    edges: list[tuple[int, int]] = []
+    for v in range(n0):
+        if v > 0:
+            u = v - 1
+            edges.append((u, v))
+            half.extend((u, v))
+    for v in range(n0, n_max):
+        picked: set[int] = set()
+        t = 0
+        while len(picked) < k and t < 20 * k:
+            pos = int(_py_md5_frac("ba", seed, v, t) * len(half))
+            t += 1
+            u = half[min(pos, len(half) - 1)]
+            if u != v and u not in picked:
+                picked.add(u)
+        for u in picked:
+            edges.append((min(u, v), max(u, v)))
+            half.extend((u, v))
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    return Graph(
+        edges=e, vertices=spark.range(n_max), directed=False, weighted=False
+    )
+
+
+def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42):
+    """Dorogovtsev-Mendes growth (generators/DorogovtsevMendesGenerator
+    .cpp:17-38): start from a triangle; every new node picks a uniform
+    EXISTING EDGE and connects to both endpoints (edge-proportional =
+    degree-proportional attachment).  md5-derandomized driver loop,
+    O(n), fixture/test scale like the reference's sequential builder."""
+    from networkit_spark.graph import Graph
+
+    if n < 3:
+        raise ValueError("need n >= 3")
+    edges = [(0, 1), (1, 2), (0, 2)]
+    for w in range(3, n):
+        pos = int(_py_md5_frac("dm", seed, w) * len(edges))
+        u, v = edges[min(pos, len(edges) - 1)]
+        edges.append((min(u, w), max(u, w)))
+        edges.append((min(v, w), max(v, w)))
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    return Graph(edges=e, vertices=spark.range(n), directed=False, weighted=False)
+
+
+def powerlaw_degree_sequence(
+    n: int, gamma: float = -2.0, min_deg: int = 1, max_deg: int | None = None,
+    seed: int = 42,
+) -> list[int]:
+    """Power-law degree sequence via md5 inverse-CDF draws
+    (generators/PowerlawDegreeSequence.cpp semantics: P(deg = k)
+    proportional to k^gamma on [min_deg, max_deg]); the last entry is
+    bumped by one when the sum comes out odd so the sequence can feed
+    havel_hakimi / chung_lu."""
+    if max_deg is None:
+        max_deg = max(min_deg, int(round(n ** 0.5)))
+    if gamma >= -1.0:
+        raise ValueError("gamma must be < -1")
+    a = gamma + 1.0
+    lo, hi = float(min_deg), float(max_deg) + 1.0
+    seq = []
+    for i in range(n):
+        u = _py_md5_frac("pl", seed, i)
+        x = (lo**a + u * (hi**a - lo**a)) ** (1.0 / a)
+        seq.append(max(min_deg, min(max_deg, int(x))))
+    if sum(seq) % 2:
+        seq[-1] += 1
+    return seq
+
+
+def configuration_model(
+    spark: SparkSession,
+    degrees: list[int],
+    seed: int = 42,
+    rounds: int = 3,
+):
+    """EdgeSwitchingMarkovChainGenerator (generators/EdgeSwitching
+    MarkovChainGenerator.cpp): Havel-Hakimi realization, then the
+    degree-preserving edge-switching Markov chain (reusing
+    operators/randomization.edge_switching, itself gate-proven)."""
+    from networkit_spark.operators.randomization import edge_switching
+
+    g0 = havel_hakimi(spark, degrees)
+    g, _ = edge_switching(g0, rounds=rounds, seed=seed)
+    return g
