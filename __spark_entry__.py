@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reachable": e.q_reachable,
         "graph_seir": e.q_seir,
         "graph_gedwalk": e.q_gedwalk,
+        "graph_st_distance": e.q_st_distance,
+        "graph_simple_paths": e.q_simple_paths,
+        "graph_spanning_edge": e.q_spanning_edge,
+        "graph_floyd_warshall": e.q_floyd_warshall,
+        "graph_dyn_bfs": e.q_dyn_bfs,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -96,25 +101,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_scores": e.q_edge_scores,
         "graph_linkpred": e.q_linkpred,
         "sim_cosine_topk": d.q_cosine_topk,
-        "sim_cosine_pairs": d.q_cosine_pairs,
-        "graph_degree": c.q_degree,
-        "graph_top_degree": c.q_top_degree,
         "graph_scalars": c.q_scalars,
         "graph_cc_sizes": c.q_component_sizes,
         "graph_triangles": c.q_triangles,
         "graph_lcc": c.q_lcc,
         "graph_coarsen_cc": c.q_coarsen_cc,
         "dedup_exact": d.q_dedup_exact,
-        "dedup_minhash_sig": d.q_minhash_sig,
         "dedup_minhash_candidates": d.q_minhash_candidates,
-        "dedup_jaccard_pairs": d.q_jaccard_pairs,
         # --- ROTATION continued: r3-green, rotated out in r4 — must
         # hold a driver row this round
         "graph_plp": c.q_plp,
         # ---------------------------------------------------- 50-row cap
         # --- displaced by the round-5c additions above: pure-SQL doc
         # queries (r3-green, near-zero drift risk, rehearsal-covered) ---
+        "sim_cosine_pairs": d.q_cosine_pairs,
+        "dedup_jaccard_pairs": d.q_jaccard_pairs,
         "events_top_per_user": d.q_events_top_per_user,
+        "graph_top_degree": c.q_top_degree,
+        "graph_degree": c.q_degree,
+        "dedup_minhash_sig": d.q_minhash_sig,
         "text_token_count": d.q_token_count,
         "text_quality": d.q_quality,
         "text_langid": d.q_langid,
@@ -290,4 +295,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_reachable": e.SQL_REACHABLE,
         "graph_seir": e.SQL_SEIR,
         "graph_gedwalk": e.SQL_GEDWALK,
+        "graph_st_distance": e.SQL_ST_DISTANCE,
+        "graph_simple_paths": e.SQL_SIMPLE_PATHS,
+        "graph_spanning_edge": e.SQL_SPANNING_EDGE,
+        "graph_floyd_warshall": e.SQL_FLOYD_WARSHALL,
+        "graph_dyn_bfs": e.SQL_DYN_BFS,
     }

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from networkit_spark.contract import GRAPH_CTES, load_graph
+from networkit_spark.contract import GRAPH_CTES, N_MOD, load_graph
 
 # ---------------------------------------------------------------------------
 # GraphTools: induced subgraph + dense-id compaction (SURVEY.md §2.3)
@@ -6780,3 +6780,333 @@ def _gedwalk_sql(
 
 
 SQL_GEDWALK = _gedwalk_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional BFS st-distances (distance/BidirectionalBFS.cpp:15-121) —
+# same pairs as graph_spsp, so the oracle is the plain BFS unroll: a
+# cross-PLAN check (alternating two-ball expansion vs full multi-source
+# sweep must produce identical distances).
+# ---------------------------------------------------------------------------
+
+def q_st_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.stsearch import st_distances
+
+    g2 = _starred(spark, sf_dir)
+    nodes = [int(r["id"]) for r in g2.nodes().orderBy("id").collect()]
+    pairs = [(s, t) for s in nodes[:SPSP_K] for t in nodes[-SPSP_K:]]
+    return st_distances(g2, pairs).orderBy("s", "t")
+
+
+SQL_ST_DISTANCE = SQL_SPSP
+
+
+# ---------------------------------------------------------------------------
+# AllSimplePaths (reachability/AllSimplePaths.cpp:20-216) — per-length
+# counts of simple hub->far-node paths, cutoff-bounded.
+# ---------------------------------------------------------------------------
+
+ASP_CUTOFF = 4
+
+
+def q_simple_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.stsearch import all_simple_paths
+
+    g2 = _starred(spark, sf_dir)
+    t = int(g2.nodes().agg(F.max("id")).first()[0])
+    paths = all_simple_paths(g2, 0, t, cutoff=ASP_CUTOFF)
+    return (
+        paths.groupBy("length")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("length")
+    )
+
+
+def _simple_paths_sql(cutoff: int = ASP_CUTOFF) -> str:
+    return (
+        f"WITH RECURSIVE {GRAPH_CTES},\n{_STAR_CTES},\n"
+        + f"""tgt AS (SELECT MAX(id) AS t FROM nodes),
+p(path, tail, len) AS (
+  SELECT '|0|', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT p.path || CAST(a.dst AS VARCHAR) || '|', a.dst, p.len + 1
+  FROM p JOIN adj2 a ON a.src = p.tail
+  WHERE p.len < {cutoff}
+    AND p.tail <> (SELECT t FROM tgt)
+    AND position('|' || CAST(a.dst AS VARCHAR) || '|' IN p.path) = 0
+)
+SELECT len AS length, COUNT(*) AS cnt FROM p
+WHERE tail = (SELECT t FROM tgt) GROUP BY len ORDER BY len"""
+    )
+
+
+SQL_SIMPLE_PATHS = _simple_paths_sql()
+
+
+# ---------------------------------------------------------------------------
+# SpanningEdgeCentrality + CommuteTimeDistance
+# (centrality/SpanningEdgeCentrality.cpp:33-60,
+#  distance/CommuteTimeDistance.cpp:38-67,148-161) — batched damped-
+# Jacobi Laplacian solves, replayed sweep-for-sweep by the oracle.
+# ---------------------------------------------------------------------------
+
+SEC_SAMPLE = 8
+SEC_ITERS = 30
+SEC_SEED = 42
+
+
+def q_spanning_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.electrical import spanning_edge_centrality
+
+    g = load_graph(spark, sf_dir)
+    vol = float(g.adj().count())  # unweighted volume = 2m
+    sec = spanning_edge_centrality(
+        g, sample=SEC_SAMPLE, seed=SEC_SEED, iters=SEC_ITERS
+    )
+    return sec.select(
+        "src", "dst",
+        F.round("score", 6).alias("score"),
+        F.round(F.sqrt(F.col("score") * F.lit(vol)), 6).alias("ctd"),
+    ).orderBy("src", "dst")
+
+
+def _spanning_edge_sql(
+    sample: int = SEC_SAMPLE, iters: int = SEC_ITERS, seed: int = SEC_SEED
+) -> str:
+    parts = [
+        f"""se AS MATERIALIZED (
+  SELECT src, dst, CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR) AS tag
+  FROM edges
+  ORDER BY md5('sec|{seed}|' || CAST(src AS VARCHAR) || '|'
+               || CAST(dst AS VARCHAR)), src, dst
+  LIMIT {sample}
+)""",
+        """js0 AS MATERIALIZED (
+  SELECT se.tag, n.id,
+         CASE WHEN n.id = se.src THEN 1.0
+              WHEN n.id = se.dst THEN -1.0 ELSE 0.0 END AS b,
+         CAST(d.degree AS DOUBLE) AS deg,
+         0.0 AS x
+  FROM se CROSS JOIN nodes n JOIN deg d ON d.id = n.id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""js{i} AS MATERIALIZED (
+  SELECT s.tag, s.id, s.b, s.deg,
+         (1.0 - 0.5) * s.x
+           + 0.5 * (s.b + COALESCE(m.ax, 0.0)) / s.deg AS x
+  FROM js{i - 1} s LEFT JOIN (
+    SELECT p.tag, a.src AS id, SUM(1.0 * p.x) AS ax
+    FROM adj a JOIN js{i - 1} p ON p.id = a.dst GROUP BY p.tag, a.src
+  ) m ON m.tag = s.tag AND m.id = s.id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f""",
+vol AS (SELECT COUNT(*) * 1.0 AS v FROM adj),
+fin AS (
+  SELECT se.src, se.dst, ABS(xu.x - xv.x) AS r
+  FROM se
+  JOIN js{iters} xu ON xu.tag = se.tag AND xu.id = se.src
+  JOIN js{iters} xv ON xv.tag = se.tag AND xv.id = se.dst
+)
+SELECT src, dst, ROUND(r, 6) AS score,
+       ROUND(SQRT(r * (SELECT v FROM vol)), 6) AS ctd
+FROM fin ORDER BY src, dst"""
+    )
+
+
+SQL_SPANNING_EDGE = _spanning_edge_sql()
+
+
+# ---------------------------------------------------------------------------
+# FloydWarshall (distance/FloydWarshall.cpp:38-86 + tagNegativeCycles
+# :18-35) — min-plus squaring on the id%13 directed subgraph with
+# deterministic weights ((src*3+dst)%7 - 1), so negative edges exist.
+# ---------------------------------------------------------------------------
+
+FW_MOD = 13
+FW_ROUNDS = 8  # ceil(log2(subgraph n)) + 1 at contract scale; extra
+               # squaring rounds are idempotent post-convergence
+
+
+def q_floyd_warshall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.floydwarshall import floyd_warshall
+
+    g = load_directed_graph(spark, sf_dir)
+    sedges = (
+        g.edges.filter(
+            (F.col("src") % FW_MOD == 0) & (F.col("dst") % FW_MOD == 0)
+        )
+        .select(
+            "src", "dst",
+            ((F.col("src") * 3 + F.col("dst")) % 7 - 1)
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+    gd = Graph(sedges, vertices=None, directed=True, weighted=True)
+    d, _ = floyd_warshall(gd)
+    return d.select(
+        "u", "v", F.round("dist", 6).alias("dist")
+    ).orderBy("u", "v")
+
+
+def _floyd_warshall_sql(rounds: int = FW_ROUNDS, mod: int = FW_MOD) -> str:
+    parts = [
+        f"""sedges AS MATERIALIZED (
+  SELECT src, dst, CAST((src * 3 + dst) % 7 - 1 AS DOUBLE) AS w
+  FROM dedges WHERE src % {mod} = 0 AND dst % {mod} = 0
+)""",
+        """snodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM sedges UNION ALL SELECT dst FROM sedges
+  ) t
+)""",
+        """r0 AS MATERIALIZED (
+  SELECT u, v, MIN(d) AS d FROM (
+    SELECT id AS u, id AS v, 0.0 AS d FROM snodes
+    UNION ALL
+    SELECT src AS u, dst AS v, w AS d FROM sedges WHERE src <> dst
+  ) t GROUP BY u, v
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT COALESCE(p.u, m.u) AS u, COALESCE(p.v, m.v) AS v,
+         LEAST(COALESCE(p.d, 1e18), COALESCE(m.nd, 1e18)) AS d
+  FROM r{i - 1} p FULL OUTER JOIN (
+    SELECT a.u, b.v, MIN(a.d + b.d) AS nd
+    FROM r{i - 1} a JOIN r{i - 1} b ON b.u = a.v GROUP BY a.u, b.v
+  ) m ON m.u = p.u AND m.v = p.v
+)"""
+        )
+    base = SQL_SCC[SQL_SCC.index("base AS") : SQL_SCC.index("dnodes AS")]
+    return (
+        "WITH RECURSIVE "
+        + base
+        + ",\n".join(parts)
+        + f""",
+negw AS (SELECT u AS w FROM r{rounds} WHERE u = v AND d < 0),
+pois AS (
+  SELECT DISTINCT a.u, b.v
+  FROM r{rounds} a JOIN negw nw ON a.v = nw.w
+  JOIN r{rounds} b ON b.u = nw.w
+)
+SELECT r.u, r.v,
+       ROUND(CASE WHEN p.u IS NOT NULL
+                  THEN CAST('-infinity' AS DOUBLE) ELSE r.d END, 6) AS dist
+FROM r{rounds} r LEFT JOIN pois p ON p.u = r.u AND p.v = r.v
+ORDER BY r.u, r.v"""
+    )
+
+
+SQL_FLOYD_WARSHALL = _floyd_warshall_sql()
+
+
+# ---------------------------------------------------------------------------
+# DynBFS (distance/DynBFS.cpp:21-178) — incremental (dist, sigma)
+# repair under an insertion batch, gated against a STATIC sigma-BFS of
+# the post-batch graph (incremental == recompute, cross-engine).
+# ---------------------------------------------------------------------------
+
+DYNB_MOD = 17
+DYNB_HOPS = 16  # output hop cap, same convention as graph_bfs
+
+
+def q_dyn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.dynsssp import dyn_sssp_update, sssp_sigma
+
+    g = load_graph(spark, sf_dir)
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    adds = (
+        orders.filter(k % DYNB_MOD == 0)
+        .select(
+            ((k * 11 + 2) % N_MOD).alias("a"), ((k * 23 + 8) % N_MOD).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+        .distinct()
+        .join(g.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    source = int(g.nodes().agg(F.min("id")).first()[0])
+    state0 = sssp_sigma(g, source)
+    edges2 = (
+        g.edges.select("src", "dst")
+        .unionByName(adds)
+        .withColumn("weight", F.lit(1.0))
+    )
+    g2 = Graph(edges2, vertices=None, directed=False, weighted=False)
+    out = dyn_sssp_update(
+        g2, source, state0,
+        adds.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+    )
+    return (
+        out.filter(F.col("dist") <= DYNB_HOPS)
+        .select(
+            "id",
+            F.col("dist").cast("long").alias("dist"),
+            F.col("sigma").cast("long").alias("sigma"),
+        )
+        .orderBy("id")
+    )
+
+
+def _dyn_bfs_sql(hops: int = DYNB_HOPS, mod: int = DYNB_MOD) -> str:
+    parts = [
+        f"""badds AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a, b) AS src, GREATEST(a, b) AS dst FROM (
+    SELECT (o_orderkey * 11 + 2) % {N_MOD} AS a,
+           (o_orderkey * 23 + 8) % {N_MOD} AS b
+    FROM orders WHERE o_orderkey % {mod} = 0
+  ) t WHERE a <> b
+  AND NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.src = LEAST(a, b) AND e.dst = GREATEST(a, b))
+)""",
+        """adj3 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM edges UNION SELECT src, dst FROM badds
+  ) e
+  UNION ALL
+  SELECT dst, src FROM (
+    SELECT src, dst FROM edges UNION SELECT src, dst FROM badds
+  ) e2
+)""",
+        "src0 AS (SELECT MIN(id) AS s FROM nodes)",
+        """l0 AS MATERIALIZED (
+  SELECT (SELECT s FROM src0) AS id, CAST(0 AS BIGINT) AS dist,
+         CAST(1 AS BIGINT) AS sigma
+)""",
+        "st0 AS (SELECT * FROM l0)",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT a.dst AS id, CAST({i} AS BIGINT) AS dist,
+         CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM adj3 a JOIN l{i - 1} p ON p.id = a.src
+  WHERE a.dst NOT IN (SELECT id FROM st{i - 1})
+  GROUP BY a.dst
+)"""
+        )
+        parts.append(
+            f"st{i} AS (SELECT * FROM st{i - 1} UNION ALL SELECT * FROM l{i})"
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, dist, sigma FROM st{hops} ORDER BY id"
+    )
+
+
+SQL_DYN_BFS = _dyn_bfs_sql()
