@@ -92,17 +92,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_spanning_edge": e.q_spanning_edge,
         "graph_floyd_warshall": e.q_floyd_warshall,
         "graph_dyn_bfs": e.q_dyn_bfs,
+        "graph_local_max_matching": e.q_local_max_matching,
+        "graph_modularity_scoring": e.q_modularity_scoring,
+        "graph_nf_heuristic": e.q_nf_heuristic,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
         "graph_assortativity": e.q_assortativity,
         "graph_diameter": e.q_diameter,
-        "graph_coverage": e.q_coverage,
         "graph_edge_scores": e.q_edge_scores,
         "graph_linkpred": e.q_linkpred,
         "sim_cosine_topk": d.q_cosine_topk,
-        "graph_scalars": c.q_scalars,
-        "graph_cc_sizes": c.q_component_sizes,
         "graph_triangles": c.q_triangles,
         "graph_lcc": c.q_lcc,
         "graph_coarsen_cc": c.q_coarsen_cc,
@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_top_degree": c.q_top_degree,
         "graph_degree": c.q_degree,
         "dedup_minhash_sig": d.q_minhash_sig,
+        "graph_coverage": e.q_coverage,
+        "graph_scalars": c.q_scalars,
+        "graph_cc_sizes": c.q_component_sizes,
         "text_token_count": d.q_token_count,
         "text_quality": d.q_quality,
         "text_langid": d.q_langid,
@@ -300,4 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_spanning_edge": e.SQL_SPANNING_EDGE,
         "graph_floyd_warshall": e.SQL_FLOYD_WARSHALL,
         "graph_dyn_bfs": e.SQL_DYN_BFS,
+        "graph_local_max_matching": e.SQL_LOCAL_MAX_MATCHING,
+        "graph_modularity_scoring": e.SQL_MODULARITY_SCORING,
+        "graph_nf_heuristic": e.SQL_NF_HEURISTIC,
     }

@@ -6171,17 +6171,17 @@ adj2 AS (
 )"""
 
 
-def _bfs_unroll(adj: str, t0: str, hops: int) -> str:
-    steps = [f"t0 AS MATERIALIZED ({t0})"]
+def _bfs_unroll(adj: str, t0: str, hops: int, prefix: str = "t") -> str:
+    steps = [f"{prefix}0 AS MATERIALIZED ({t0})"]
     for i in range(1, hops + 1):
         steps.append(
-            f"""t{i} AS MATERIALIZED (
+            f"""{prefix}{i} AS MATERIALIZED (
   SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
          CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
                     COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
-  FROM t{i - 1} p FULL OUTER JOIN (
+  FROM {prefix}{i - 1} p FULL OUTER JOIN (
     SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
-    FROM {adj} a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+    FROM {adj} a JOIN {prefix}{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
   ) m ON m.s = p.s AND m.v = p.v
 )"""
         )
@@ -7110,3 +7110,184 @@ def _dyn_bfs_sql(hops: int = DYNB_HOPS, mod: int = DYNB_MOD) -> str:
 
 
 SQL_DYN_BFS = _dyn_bfs_sql()
+
+
+# ---------------------------------------------------------------------------
+# LocalMaxMatcher (matching/LocalMaxMatcher.cpp:21-77) — md5 tie order,
+# unrolled locally-heaviest rounds.
+# ---------------------------------------------------------------------------
+
+LMM_ROUNDS = 12
+
+
+def q_local_max_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.matching import local_max_matching
+
+    g = load_graph(spark, sf_dir)
+    matched, rounds = local_max_matching(g)
+    if rounds > LMM_ROUNDS:
+        raise AssertionError(
+            f"local_max_matching took {rounds} > {LMM_ROUNDS} rounds; "
+            "raise the oracle unroll"
+        )
+    return matched.orderBy("u", "v")
+
+
+def _local_max_matching_sql(rounds: int = LMM_ROUNDS) -> str:
+    parts = [
+        """lv0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v, 1.0 AS w,
+         md5('lmm|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR))
+           AS tie
+  FROM edges
+)"""
+    ]
+    unions = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""cb{r} AS (
+  SELECT u, v, w, tie FROM lv{p}
+  UNION ALL SELECT v AS u, u AS v, w, tie FROM lv{p}
+),
+cd{r} AS (
+  SELECT u, v AS pick FROM (
+    SELECT u, v, ROW_NUMBER() OVER (
+      PARTITION BY u ORDER BY w DESC, tie DESC, v DESC) AS rn
+    FROM cb{r}
+  ) t WHERE rn = 1
+),
+ag{r} AS (
+  SELECT a.u AS u, b.u AS v
+  FROM cd{r} a JOIN cd{r} b ON a.pick = b.u AND b.pick = a.u
+  WHERE a.u < b.u
+),
+mn{r} AS (
+  SELECT u AS id FROM ag{r} UNION ALL SELECT v FROM ag{r}
+),
+lv{r} AS MATERIALIZED (
+  SELECT l.u, l.v, l.w, l.tie FROM lv{p} l
+  WHERE l.u NOT IN (SELECT id FROM mn{r})
+    AND l.v NOT IN (SELECT id FROM mn{r})
+)"""
+        )
+        unions.append(f"SELECT u, v FROM ag{r}")
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + " UNION ALL ".join(unions)
+        + " ORDER BY u, v"
+    )
+
+
+SQL_LOCAL_MAX_MATCHING = _local_max_matching_sql()
+
+
+# ---------------------------------------------------------------------------
+# ModularityScoring (scoring/ModularityScoring.hpp:41-71) — per-edge
+# Delta-modularity of merging singleton clusters.
+# ---------------------------------------------------------------------------
+
+def q_modularity_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scoring import modularity_edge_score
+
+    g = load_graph(spark, sf_dir)
+    return modularity_edge_score(g).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    ).orderBy("src", "dst")
+
+
+SQL_MODULARITY_SCORING = f"""
+WITH {GRAPH_CTES},
+tw AS (SELECT COUNT(*) * 1.0 AS w FROM edges)
+SELECT e.src, e.dst,
+       ROUND(1.0 / (SELECT w FROM tw)
+             - (ds.degree / (2.0 * (SELECT w FROM tw)))
+               * (dd.degree / (2.0 * (SELECT w FROM tw))), 6) AS score
+FROM edges e
+JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+ORDER BY e.src, e.dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# NeighborhoodFunctionHeuristic (distance/NeighborhoodFunctionHeuristic
+# .cpp:41-129, SPLIT strategy) — degree-sorted stride sample, exact
+# integer half-up scaling, anchored endpoints; starred contract graph.
+# ---------------------------------------------------------------------------
+
+NFH_SAMPLES = 16
+
+
+def q_nf_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distancemisc import (
+        neighborhood_function_heuristic,
+    )
+
+    g2 = _starred(spark, sf_dir)
+    return neighborhood_function_heuristic(
+        g2, n_samples=NFH_SAMPLES
+    ).orderBy("h")
+
+
+def _nf_heuristic_sql(samples: int = NFH_SAMPLES, hops: int = DIAM_HOPS) -> str:
+    return (
+        f"WITH {GRAPH_CTES},\n{_STAR_CTES},\n"
+        + "deg2 AS (SELECT src AS id, COUNT(*) AS degree FROM adj2 "
+        "GROUP BY src),\n"
+        + "nn AS (SELECT COUNT(*) AS n FROM nodes),\n"
+        + "mm AS (SELECT COUNT(*) AS m FROM edges2),\n"
+        + f"stp AS (SELECT GREATEST(1, (SELECT n FROM nn) // {samples}) "
+        "AS s),\n"
+        + _bfs_unroll(
+            "adj2",
+            "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM nodes",
+            hops,
+        )
+        + f""",
+dia AS (SELECT MAX(dist) AS d FROM t{hops}),
+ranked AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY degree, id) - 1 AS rk FROM deg2
+),
+starts AS (
+  SELECT id FROM ranked
+  WHERE rk % (SELECT s FROM stp) = 0
+    AND rk / (SELECT s FROM stp) < {samples}
+),\n"""
+        + _bfs_unroll(
+            "adj2",
+            "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM starts",
+            hops,
+            prefix="u",
+        )
+        + f""",
+cnts AS (
+  SELECT dist AS h, COUNT(*) AS c FROM u{hops} WHERE dist > 0 GROUP BY dist
+),
+mids AS (
+  SELECT h,
+         (2 * c * (SELECT n FROM nn) + {samples}) // (2 * {samples}) AS inc
+  FROM cnts WHERE h >= 2 AND h <= (SELECT d FROM dia) - 1
+),
+cum AS (
+  SELECT h, SUM(inc) OVER (ORDER BY h) AS acc FROM mids
+),
+hh AS (
+  SELECT CAST(x.h AS BIGINT) AS h FROM (
+    SELECT UNNEST(RANGE(1, (SELECT d FROM dia) + 1)) AS h
+  ) x
+)
+SELECT hh.h,
+       CAST(CASE WHEN hh.h = 1 THEN 2 * (SELECT m FROM mm)
+            WHEN hh.h = (SELECT d FROM dia)
+              THEN (SELECT n FROM nn) * ((SELECT n FROM nn) - 1)
+            ELSE 2 * (SELECT m FROM mm)
+                 + COALESCE((SELECT MAX(acc) FROM cum c2 WHERE c2.h <= hh.h),
+                            0)
+       END AS BIGINT) AS nf
+FROM hh ORDER BY hh.h"""
+    )
+
+
+SQL_NF_HEURISTIC = _nf_heuristic_sql()

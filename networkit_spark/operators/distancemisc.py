@@ -290,3 +290,63 @@ def algebraic_distance(
         .select("src", "dst",
                 F.coalesce(score, F.lit(0.0)).alias("score"))
     )
+
+
+def neighborhood_function_heuristic(
+    g: Graph,
+    n_samples: int = 16,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """(h, nf) — the sampled neighborhood-function heuristic.
+
+    Reference: distance/NeighborhoodFunctionHeuristic.cpp:41-129 (SPLIT
+    strategy): start nodes are every (n/samples)-th node of the
+    degree-sorted node list; per-hop sample counts scale by n/samples
+    (half-up rounding) and accumulate, with the two anchors nf(1) = 2m
+    and nf(diameter) = n(n-1).  Deviations (documented): the degree
+    sort breaks ties by node id (the reference's parallel sort leaves
+    tie order unspecified), and the half-up rounding is computed in
+    exact integer arithmetic ((2*a + b) div (2*b)) so both engines
+    agree bit-for-bit.
+    """
+    from networkit_spark.operators.diameter import diameter
+    from networkit_spark.plans.ids import dense_ids
+
+    _require_single_component(g, "the neighborhood function heuristic")
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    n = g.number_of_nodes()
+    m = g.number_of_edges()
+    dia, _up = diameter(g, algo="exact")
+    dia = int(dia)
+    step = max(1, n // n_samples)
+
+    ranked = dense_ids(
+        g.degrees().select("id", "degree"), ["degree", "id"], "rk"
+    )
+    starts = ranked.filter(
+        (F.col("rk") % step == 0) & (F.col("rk") / step < n_samples)
+    ).select(F.col("id"))
+    settled, _ = _tagged_bfs(g, starts, dia, ckpt)
+    per_h = (
+        settled.filter(F.col("dist") > 0)
+        .groupBy(F.col("dist").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    cnt = {int(r["h"]): int(r["cnt"]) for r in per_h}
+    result = [0] * dia
+    result[0] = 2 * m
+    if dia >= 2:
+        result[dia - 1] = n * (n - 1)
+    lo = 2
+    hi = dia - 1
+    acc = result[0]
+    for h in range(lo, hi + 1):
+        a = cnt.get(h, 0) * n
+        inc = (2 * a + n_samples) // (2 * n_samples)  # exact half-up
+        acc = acc + inc
+        result[h - 1] = acc
+    return spark.createDataFrame(
+        [(h + 1, int(v)) for h, v in enumerate(result)], "h long, nf long"
+    )

@@ -394,3 +394,91 @@ def bsuitor_reference_replica(
             if any(x == u for x, _ in suitors[v]) and u < v:
                 out.add((u, v))
     return out
+
+
+def local_max_matching(
+    g: Graph,
+    checkpointer: Checkpointer | None = None,
+    max_rounds: int = 128,
+) -> tuple[DataFrame, int]:
+    """((u, v) matched pairs u < v, rounds) — LocalMaxMatcher.
+
+    Reference: matching/LocalMaxMatcher.cpp:21-77 — rounds of: every
+    node nominates its locally-heaviest incident edge; mutual
+    nominations match; matched nodes' edges drop; repeat while edges
+    remain.  The reference breaks weight ties with a uniform
+    perturbation (+Random.real(1e-6)); we break them DETERMINISTICALLY
+    by (weight, md5('lmm'|u|v), u, v) dominance so the DuckDB oracle
+    replays every round (documented deviation — any consistent total
+    order yields a valid local-max matching).
+
+    Spark-first: one round = a per-endpoint struct-argmax over the live
+    adjacency + a mutual-agreement self-join; the live edge set shrinks
+    by anti-join — O(live edges) per round, no driver state.
+    """
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    w = (
+        F.col("weight").cast("double")
+        if (g.weighted and "weight" in g.edges.columns)
+        else F.lit(1.0)
+    )
+    live = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            w.alias("w"),
+        )
+        .distinct()
+        .withColumn(
+            "tie",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("lmm"),
+                    F.col("u").cast("string"), F.col("v").cast("string"),
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    matched = spark.createDataFrame([], "u long, v long")
+    rounds = 0
+    while rounds < max_rounds and not live.isEmpty():
+        rounds += 1
+        both = live.select("u", "v", "w", "tie").unionByName(
+            live.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w", "tie"
+            )
+        )
+        cand = both.groupBy("u").agg(
+            F.max(F.struct("w", "tie", F.col("v").alias("pick"))).alias("m")
+        ).select("u", F.col("m.pick").alias("pick"))
+        # mutual agreement
+        agree = (
+            cand.alias("a")
+            .join(
+                cand.alias("b"),
+                (F.col("a.pick") == F.col("b.u"))
+                & (F.col("b.pick") == F.col("a.u")),
+            )
+            .filter(F.col("a.u") < F.col("b.u"))
+            .select(
+                F.col("a.u").alias("u"), F.col("b.u").alias("v")
+            )
+        )
+        agree = ckpt.cut(agree, rounds)
+        if agree.isEmpty():
+            break
+        matched = matched.unionByName(agree)
+        mnodes = (
+            agree.select("u")
+            .unionByName(agree.select(F.col("v").alias("u")))
+            .withColumnRenamed("u", "id")
+        )
+        live = ckpt.cut(
+            live.join(mnodes.withColumnRenamed("id", "u"), "u", "left_anti")
+            .join(mnodes.withColumnRenamed("id", "v"), "v", "left_anti"),
+            1000 + rounds,
+        )
+    return matched, rounds

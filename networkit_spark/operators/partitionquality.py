@@ -367,3 +367,24 @@ def partition_intersection(
         joined.select("l1", "l2").distinct(), ["l1", "l2"], "label"
     )
     return joined.join(classes, ["l1", "l2"]).select("id", "label")
+
+
+def hashing_overlapper(partitions: list[DataFrame]) -> DataFrame:
+    """(id, label) — the overlap (finest common coarsening cell
+    structure) of several partitions.
+
+    Reference: overlap/HashingOverlapper.cpp:13-80 — combines the input
+    clusterings by hashing the per-node label tuple (djb2 over packed
+    ids).  The hash only serves to give each distinct label TUPLE one
+    id (collisions aside); we produce the same cell structure with
+    DENSE intersection labels by folding
+    :func:`partition_intersection` over the list (documented
+    deviation: dense ids instead of djb2 values — partitions are
+    equal up to relabeling, and the dense form is deterministic with
+    no collision risk)."""
+    if not partitions:
+        raise ValueError("No clustering provided!")
+    out = partitions[0]
+    for p in partitions[1:]:
+        out = partition_intersection(out, p)
+    return out
