@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_max_matching": e.q_local_max_matching,
         "graph_modularity_scoring": e.q_modularity_scoring,
         "graph_nf_heuristic": e.q_nf_heuristic,
+        "graph_complex_paths": e.q_complex_paths,
+        "graph_complex_plci": e.q_complex_plci,
+        "graph_kpath": e.q_kpath,
         # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
         # brought forward so every query's driver row is at most one
         # round stale) -------------------------------------------------
@@ -102,18 +105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": e.q_diameter,
         "graph_edge_scores": e.q_edge_scores,
         "graph_linkpred": e.q_linkpred,
-        "sim_cosine_topk": d.q_cosine_topk,
         "graph_triangles": c.q_triangles,
         "graph_lcc": c.q_lcc,
         "graph_coarsen_cc": c.q_coarsen_cc,
-        "dedup_exact": d.q_dedup_exact,
-        "dedup_minhash_candidates": d.q_minhash_candidates,
         # --- ROTATION continued: r3-green, rotated out in r4 — must
         # hold a driver row this round
         "graph_plp": c.q_plp,
         # ---------------------------------------------------- 50-row cap
-        # --- displaced by the round-5c additions above: pure-SQL doc
+        # --- displaced by the round-5c/5d additions above: pure-SQL doc
         # queries (r3-green, near-zero drift risk, rehearsal-covered) ---
+        "sim_cosine_topk": d.q_cosine_topk,
+        "dedup_exact": d.q_dedup_exact,
+        "dedup_minhash_candidates": d.q_minhash_candidates,
         "sim_cosine_pairs": d.q_cosine_pairs,
         "dedup_jaccard_pairs": d.q_jaccard_pairs,
         "events_top_per_user": d.q_events_top_per_user,
@@ -306,4 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_local_max_matching": e.SQL_LOCAL_MAX_MATCHING,
         "graph_modularity_scoring": e.SQL_MODULARITY_SCORING,
         "graph_nf_heuristic": e.SQL_NF_HEURISTIC,
+        "graph_complex_paths": e.SQL_COMPLEX_PATHS,
+        "graph_complex_plci": e.SQL_COMPLEX_PLCI,
+        "graph_kpath": e.SQL_KPATH,
     }

@@ -7291,3 +7291,344 @@ FROM hh ORDER BY hh.h"""
 
 
 SQL_NF_HEURISTIC = _nf_heuristic_sql()
+
+
+# ---------------------------------------------------------------------------
+# ComplexPaths (centrality/ComplexPaths.cpp; Guilbeault-Centola complex
+# contagion).  The standard contract graph is triangle-poor (contagion
+# dies at the seed set), so these gates synthesize a DENSER graph:
+# 199 nodes, 8 affine generators over Z_199 (~1530 edges, avg degree
+# 15, 501 triangles) — threshold-2 contagion floods it in 6 rounds.
+# The oracle unrolls the monotone-idempotent activation rounds (extra
+# rounds past the fixpoint are no-ops) and the restricted BFS; the
+# Spark side raises past CPX_ROUNDS/CPX_DEPTH so an unroll shortfall
+# fails loudly rather than silently diverging.
+# ---------------------------------------------------------------------------
+
+CPX_MOD = 199
+CPX_GENS = [(31, 7), (57, 13), (17, 3), (43, 11),
+            (29, 5), (71, 23), (13, 19), (89, 37)]
+CPX_T = 2
+CPX_ROUNDS = 10
+CPX_DEPTH = 12
+CPX_NSRC = 8
+
+DENSE_CTES = (
+    "dbase AS (\n"
+    + "\n  UNION\n".join(
+        f"  SELECT DISTINCT (o_orderkey % {CPX_MOD}) AS u,\n"
+        f"         ((o_orderkey * {a} + {b}) % {CPX_MOD}) AS v FROM orders"
+        for a, b in CPX_GENS
+    )
+    + "\n),\n"
+    + f"""dedges AS (
+  SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst
+  FROM dbase WHERE u <> v
+),
+dadj AS (
+  SELECT src, dst FROM dedges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM dedges
+),
+dnodes AS (SELECT DISTINCT src AS id FROM dadj),
+ddeg AS (SELECT src AS id, COUNT(*) AS degree FROM dadj GROUP BY src)"""
+)
+
+
+def load_dense_graph(spark: SparkSession, sf_dir: str):
+    """Spark twin of DENSE_CTES."""
+    from networkit_spark.graph import Graph
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    base = None
+    for a, b in CPX_GENS:
+        part = orders.select(
+            (k % CPX_MOD).alias("u"), ((k * a + b) % CPX_MOD).alias("v")
+        )
+        base = part if base is None else base.unionByName(part)
+    base = base.distinct()
+    edges = (
+        base.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("src"),
+                F.greatest("u", "v").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(edges=edges, vertices=None, directed=False, weighted=False)
+
+
+def q_complex_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-node mode: adopters' activation round + BFS distance from
+    the max-degree seed inside the complex graph."""
+    from networkit_spark.operators.complexpaths import complex_path_graph
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.distance import bfs_distances
+
+    g = load_dense_graph(spark, sf_dir)
+    seed = int(
+        g.degrees().orderBy(F.desc("degree"), F.asc("id")).limit(1)
+        .collect()[0]["id"]
+    )
+    act, ce, rounds = complex_path_graph(g, seed, CPX_T,
+                                         max_rounds=CPX_ROUNDS)
+    cg = Graph(edges=ce.withColumn("weight", F.lit(1.0)), vertices=None,
+               directed=False, weighted=False)
+    dist, info = bfs_distances(cg, [seed], max_hops=CPX_DEPTH)
+    if info.iterations >= CPX_DEPTH:
+        raise AssertionError("complex BFS hit the oracle unroll depth")
+    return (
+        dist.join(act, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("round"), F.lit(-1)).cast("long").alias("round"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .orderBy("id")
+    )
+
+
+def _complex_paths_sql(rounds: int = CPX_ROUNDS, depth: int = CPX_DEPTH) -> str:
+    parts = [
+        """sd AS (SELECT id FROM ddeg ORDER BY degree DESC, id ASC LIMIT 1)""",
+        f"""sm AS (
+  SELECT a.dst AS id FROM dadj a
+  WHERE a.src = (SELECT id FROM sd)
+  ORDER BY md5('cpx|' || CAST((SELECT id FROM sd) AS VARCHAR)
+               || '|' || CAST(a.dst AS VARCHAR)), a.dst
+  LIMIT {CPX_T - 1}
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT id, 0 AS round FROM sd UNION ALL SELECT id, 0 AS round FROM sm
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT id, round FROM e{r - 1}
+  UNION ALL
+  SELECT g.u AS id, {r} AS round FROM (
+    SELECT a.src AS u, COUNT(*) AS c
+    FROM dadj a JOIN e{r - 1} e ON e.id = a.dst
+    GROUP BY a.src
+  ) g
+  WHERE g.c >= {CPX_T} AND g.u NOT IN (SELECT id FROM e{r - 1})
+)"""
+        )
+    parts.append(
+        f"""cadj AS MATERIALIZED (
+  SELECT DISTINCT a.src, a.dst FROM dadj a
+  WHERE a.src IN (SELECT id FROM e{rounds})
+     OR a.dst IN (SELECT id FROM e{rounds})
+)""",
+    )
+    parts.append(
+        "d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM sd)"
+    )
+    for l in range(1, depth + 1):
+        parts.append(
+            f"""d{l} AS MATERIALIZED (
+  SELECT id, dist FROM d{l - 1}
+  UNION ALL
+  SELECT x.id, {l} AS dist FROM (
+    SELECT DISTINCT a.dst AS id
+    FROM cadj a JOIN d{l - 1} d ON d.id = a.src AND d.dist = {l - 1}
+  ) x
+  WHERE x.id NOT IN (SELECT id FROM d{l - 1})
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n{DENSE_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT d.id,
+       CAST(COALESCE(e.round, -1) AS BIGINT) AS round,
+       CAST(d.dist AS BIGINT) AS dist
+FROM d{depth} d LEFT JOIN e{rounds} e ON e.id = d.id
+ORDER BY d.id"""
+    )
+
+
+SQL_COMPLEX_PATHS = _complex_paths_sql()
+
+
+def q_complex_plci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-nodes mode restricted to 8 md5-chosen sources: PLci(u)."""
+    from networkit_spark.operators.complexpaths import complex_path_lengths
+
+    g = load_dense_graph(spark, sf_dir)
+    srcs = [
+        int(r["id"])
+        for r in g.nodes()
+        .withColumn("r", F.md5(F.concat_ws("|", F.lit("cpxsrc"), F.col("id"))))
+        .orderBy("r", "id")
+        .limit(CPX_NSRC)
+        .collect()
+    ]
+    plci = complex_path_lengths(
+        g, CPX_T, sources=srcs, max_rounds=CPX_ROUNDS, max_depth=CPX_DEPTH
+    )
+    return plci.select("id", F.round("plci", 6).alias("plci")).orderBy("id")
+
+
+def _complex_plci_sql(rounds: int = CPX_ROUNDS, depth: int = CPX_DEPTH) -> str:
+    parts = [
+        f"""srcs AS MATERIALIZED (
+  SELECT id AS tag FROM dnodes
+  ORDER BY md5('cpxsrc|' || CAST(id AS VARCHAR)), id
+  LIMIT {CPX_NSRC}
+)""",
+        f"""tsm AS (
+  SELECT tag, id FROM (
+    SELECT s.tag, a.dst AS id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.tag
+             ORDER BY md5('cpx|' || CAST(s.tag AS VARCHAR)
+                          || '|' || CAST(a.dst AS VARCHAR)), a.dst
+           ) AS rn
+    FROM srcs s JOIN dadj a ON a.src = s.tag
+  ) WHERE rn <= {CPX_T - 1}
+)""",
+        """te0 AS MATERIALIZED (
+  SELECT tag, tag AS id FROM srcs UNION ALL SELECT tag, id FROM tsm
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""te{r} AS MATERIALIZED (
+  SELECT tag, id FROM te{r - 1}
+  UNION ALL
+  SELECT g.tag, g.u AS id FROM (
+    SELECT e.tag, a.src AS u, COUNT(*) AS c
+    FROM dadj a JOIN te{r - 1} e ON e.id = a.dst
+    GROUP BY e.tag, a.src
+  ) g
+  WHERE g.c >= {CPX_T}
+    AND NOT EXISTS (SELECT 1 FROM te{r - 1} p
+                    WHERE p.tag = g.tag AND p.id = g.u)
+)"""
+        )
+    parts.append(
+        f"""tcadj AS MATERIALIZED (
+  SELECT DISTINCT e.tag, a.src, a.dst
+  FROM dadj a JOIN te{rounds} e ON e.id = a.src
+  UNION
+  SELECT DISTINCT e.tag, a.src, a.dst
+  FROM dadj a JOIN te{rounds} e ON e.id = a.dst
+)"""
+    )
+    parts.append(
+        "td0 AS MATERIALIZED (SELECT tag, tag AS id, 0 AS dist FROM srcs)"
+    )
+    for l in range(1, depth + 1):
+        parts.append(
+            f"""td{l} AS MATERIALIZED (
+  SELECT tag, id, dist FROM td{l - 1}
+  UNION ALL
+  SELECT x.tag, x.id, {l} AS dist FROM (
+    SELECT DISTINCT a.tag, a.dst AS id
+    FROM tcadj a JOIN td{l - 1} d
+      ON d.tag = a.tag AND d.id = a.src AND d.dist = {l - 1}
+  ) x
+  WHERE NOT EXISTS (SELECT 1 FROM td{l - 1} p
+                    WHERE p.tag = x.tag AND p.id = x.id)
+)"""
+        )
+    nn = "(SELECT COUNT(*) FROM dnodes)"
+    return (
+        f"WITH {GRAPH_CTES},\n{DENSE_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT s.tag AS id,
+       ROUND(COALESCE(CAST(d.s AS DOUBLE), 0.0)
+             / CAST({nn} AS DOUBLE), 6) AS plci
+FROM srcs s LEFT JOIN (
+  SELECT tag, SUM(dist) AS s FROM td{depth} GROUP BY tag
+) d ON d.tag = s.tag
+ORDER BY s.tag"""
+    )
+
+
+SQL_COMPLEX_PLCI = _complex_plci_sql()
+
+
+# ---------------------------------------------------------------------------
+# KPathCentrality (centrality/KPathCentrality.cpp, Alahakoon et al.
+# randomized k-path) — md5-derandomized start/length/step draws; the
+# oracle replays every self-avoiding walk step with a ROW_NUMBER pick
+# equal to the Spark struct-min (md5 keys are unique per candidate).
+# ---------------------------------------------------------------------------
+
+KP_K = 5
+KP_T = 345
+KP_SEED = 42
+
+
+def q_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.kpath import k_path_centrality
+
+    g = load_graph(spark, sf_dir)
+    scores, info = k_path_centrality(g, k=KP_K, seed=KP_SEED, n_walks=KP_T)
+    if info.iterations > KP_K:
+        raise AssertionError("k-path walks exceeded the oracle unroll")
+    return scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+def _kpath_sql(k: int = KP_K, t: int = KP_T, seed: int = KP_SEED) -> str:
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"CAST(({nib}) AS BIGINT)"
+
+    hs = horner(f"md5('{seed}|s|' || CAST(i AS VARCHAR))")
+    hl = horner(f"md5('{seed}|l|' || CAST(i AS VARCHAR))")
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "kidx AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx FROM nodes)",
+        f"""kw0 AS MATERIALIZED (
+  SELECT s.i, s.l, x.id AS cur, [x.id] AS visited
+  FROM (
+    SELECT i, {hs} % (SELECT n FROM nn) AS sidx,
+           1 + ({hl} % {k}) AS l
+    FROM range({t}) t(i)
+  ) s JOIN kidx x ON x.idx = s.sidx
+)""",
+    ]
+    for j in range(1, k + 1):
+        parts.append(
+            f"""kw{j} AS MATERIALIZED (
+  SELECT i, l, dst AS cur, list_append(visited, dst) AS visited
+  FROM (
+    SELECT w.i, w.l, w.visited, a.dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.i
+             ORDER BY md5('{seed}|p|{j}|' || CAST(w.i AS VARCHAR)
+                          || '|' || CAST(a.dst AS VARCHAR)), a.dst
+           ) AS rn
+    FROM kw{j - 1} w JOIN adj a ON a.src = w.cur
+    WHERE {j} <= w.l AND NOT list_contains(w.visited, a.dst)
+  ) WHERE rn = 1
+)"""
+        )
+    visits = " UNION ALL ".join(
+        f"SELECT cur AS id FROM kw{j}" for j in range(1, k + 1)
+    )
+    parts.append(
+        f"kcnt AS (SELECT id, COUNT(*) AS c FROM ({visits}) GROUP BY id)"
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT n.id,
+       ROUND((({k}.0 * CAST((SELECT n FROM nn) AS DOUBLE))
+              * CAST(COALESCE(c.c, 0) AS DOUBLE)) / {t}.0, 6) AS score
+FROM nodes n LEFT JOIN kcnt c ON c.id = n.id
+ORDER BY n.id"""
+    )
+
+
+SQL_KPATH = _kpath_sql()
