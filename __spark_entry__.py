@@ -182,6 +182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_weighted_betweenness": e.q_weighted_betweenness,
         "graph_closeness_weighted": e.q_closeness_weighted,
+        # --- ROWS-ONLY TAIL: UST estimators (no oracle_sql — the md5-
+        # derandomized loop-erased walks are not SQL-unrollable; pytest
+        # proves them against dense-exact pseudo-inverse values) --------
+        "graph_approx_spanning_edge": e.q_approx_spanning_edge,
+        "graph_forest_centrality": e.q_forest_centrality,
+        "graph_electrical_closeness": e.q_electrical_closeness,
     }
 
 

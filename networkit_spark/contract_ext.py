@@ -7632,3 +7632,56 @@ ORDER BY n.id"""
 
 
 SQL_KPATH = _kpath_sql()
+
+
+# ---------------------------------------------------------------------------
+# UST estimators (centrality/ApproxSpanningEdge.cpp, ForestCentrality.cpp,
+# ApproxElectricalCloseness.cpp) — rows-only registry entries: the
+# md5-derandomized loop-erased walks have data-dependent unbounded
+# length, which SQL cannot unroll.  Correctness is pytest-proven against
+# dense-exact pseudo-inverse values (tests/test_ust.py); these queries
+# exist so the driver exercises the full sampling fan-out end-to-end on
+# the 199-node dense contract graph.
+# ---------------------------------------------------------------------------
+
+UST_Q_SAMPLES = 256
+UST_Q_SOLVE_ITERS = 120
+
+
+def q_approx_spanning_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.ust import approx_spanning_edge
+
+    g = load_dense_graph(spark, sf_dir)
+    return (
+        approx_spanning_edge(g, seed=1, n_samples=UST_Q_SAMPLES)
+        .select("src", "dst", F.round("score", 6).alias("score"))
+        .orderBy("src", "dst")
+    )
+
+
+def q_forest_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.ust import forest_centrality
+
+    g = load_dense_graph(spark, sf_dir)
+    return (
+        forest_centrality(
+            g, seed=1, n_samples=UST_Q_SAMPLES,
+            solve_iters=UST_Q_SOLVE_ITERS,
+        )
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy("id")
+    )
+
+
+def q_electrical_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.ust import approx_electrical_closeness
+
+    g = load_dense_graph(spark, sf_dir)
+    return (
+        approx_electrical_closeness(
+            g, seed=1, n_samples=UST_Q_SAMPLES,
+            solve_iters=UST_Q_SOLVE_ITERS,
+        )
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy("id")
+    )
