@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
         "graph_electrical_closeness": e.q_electrical_closeness,
+        # --- round-5d gated additions (below the cap; rehearsal-covered)
+        "graph_edge_score_suite": e.q_edge_score_suite,
+        "graph_prefix_jaccard": e.q_prefix_jaccard,
+        "graph_simrank": e.q_simrank,
     }
 
 
@@ -318,4 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_complex_paths": e.SQL_COMPLEX_PATHS,
         "graph_complex_plci": e.SQL_COMPLEX_PLCI,
         "graph_kpath": e.SQL_KPATH,
+        "graph_edge_score_suite": e.SQL_EDGE_SCORE_SUITE,
+        "graph_prefix_jaccard": e.SQL_PREFIX_JACCARD,
+        "graph_simrank": e.SQL_SIMRANK,
     }

@@ -7685,3 +7685,264 @@ def q_electrical_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.round("score", 6).alias("score"))
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge-score family (edgescores/*, sparsification/* scores) — three gates
+# over the standard contract graph: a per-edge score suite (quadrangles,
+# SCAN, chance-corrected, multiscale, geometric mean, linearizer), the
+# prefix-Jaccard + Simmelian-overlap pair, and a 3-iteration SimRank
+# unroll.  Every plan is deterministic (RANK ties share by attribute
+# alone; the linearizer tie-break is the replayed md5).
+# ---------------------------------------------------------------------------
+
+ESS_LIN_SEED = 1
+ESS_OV_RANK = 2
+SIMRANK_C = 0.8
+SIMRANK_ITERS = 3
+
+
+def q_edge_score_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.edgescores import (
+        chance_corrected_triangle_score,
+        edge_score_linearizer,
+        geometric_mean_score,
+        multiscale_score,
+        quadrangle_edge_score,
+        scan_structural_similarity_score,
+    )
+
+    g = load_graph(spark, sf_dir)
+    canon = g.edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+    attr1 = canon.withColumn("att", F.lit(1.0))
+    attr2 = canon.withColumn(
+        "att", (F.col("src") + F.col("dst")).cast("double")
+    )
+    quad = quadrangle_edge_score(g).withColumnRenamed("score", "quad")
+    scan = scan_structural_similarity_score(g).withColumnRenamed(
+        "score", "scan"
+    )
+    ccs = chance_corrected_triangle_score(g).withColumnRenamed("score", "ccs")
+    msc = multiscale_score(g, attr1).withColumnRenamed("score", "mscale")
+    gm = geometric_mean_score(g, attr2).withColumnRenamed("score", "gmean")
+    lin = edge_score_linearizer(g, attr2, seed=ESS_LIN_SEED).withColumnRenamed(
+        "score", "lin"
+    )
+    keys = ["src", "dst"]
+    return (
+        quad.join(scan, keys)
+        .join(ccs, keys)
+        .join(msc, keys)
+        .join(gm, keys)
+        .join(lin, keys)
+        .select(
+            "src", "dst", "quad",
+            F.round("scan", 6).alias("scan"),
+            F.round("ccs", 6).alias("ccs"),
+            F.round("mscale", 6).alias("mscale"),
+            F.round("gmean", 6).alias("gmean"),
+            F.round("lin", 6).alias("lin"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+SQL_EDGE_SCORE_SUITE = f"""WITH {GRAPH_CTES},
+tric AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         (SELECT COUNT(*) FROM adj a1 JOIN adj a2 ON a2.dst = a1.dst
+          WHERE a1.src = e.src AND a2.src = e.dst) AS t
+  FROM edges e
+),
+quadc AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         (SELECT COUNT(*)
+          FROM adj a1 JOIN adj a2 ON a2.src = a1.dst
+               JOIN adj a3 ON a3.src = a2.dst AND a3.dst = e.src
+          WHERE a1.src = e.dst AND a1.dst <> e.src
+            AND a2.dst <> e.src AND a2.dst <> e.dst) AS q
+  FROM edges e
+),
+msn AS (
+  SELECT id, 1.0 - POWER(1.0 - 1.0 / degree, degree - 1.0) AS p FROM deg
+),
+gatt AS (SELECT src, dst, CAST(src + dst AS DOUBLE) AS att FROM edges),
+gsum AS (
+  SELECT x.id, SUM(x.att) AS s FROM (
+    SELECT src AS id, att FROM gatt
+    UNION ALL
+    SELECT dst AS id, att FROM gatt
+  ) x GROUP BY x.id
+),
+linr AS (
+  SELECT src, dst,
+         (ROW_NUMBER() OVER (
+            ORDER BY CAST(src + dst AS DOUBLE),
+                     md5('lin|{ESS_LIN_SEED}|' || CAST(src AS VARCHAR)
+                         || '|' || CAST(dst AS VARCHAR)),
+                     src, dst) - 1) AS pos
+  FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+mm AS (SELECT COUNT(*) AS m FROM edges)
+SELECT e.src, e.dst,
+       q.q AS quad,
+       ROUND((t.t + 1.0) / SQRT((du.degree + 1.0) * (dv.degree + 1.0)), 6)
+         AS scan,
+       ROUND(CASE WHEN t.t > 0
+                  THEN t.t * (nn.n - 2.0)
+                       / ((du.degree - 1.0) * (dv.degree - 1.0))
+                  WHEN du.degree = 1 OR dv.degree = 1 THEN 1.0
+                  ELSE 0.0 END, 6) AS ccs,
+       ROUND(GREATEST(pu.p, pv.p), 6) AS mscale,
+       ROUND(ga.att / SQRT(su.s * sv.s), 6) AS gmean,
+       ROUND(CAST(l.pos AS DOUBLE) / (mm.m - 1.0), 6) AS lin
+FROM edges e
+JOIN tric t ON t.src = e.src AND t.dst = e.dst
+JOIN quadc q ON q.src = e.src AND q.dst = e.dst
+JOIN deg du ON du.id = e.src
+JOIN deg dv ON dv.id = e.dst
+JOIN msn pu ON pu.id = e.src
+JOIN msn pv ON pv.id = e.dst
+JOIN gatt ga ON ga.src = e.src AND ga.dst = e.dst
+JOIN gsum su ON su.id = e.src
+JOIN gsum sv ON sv.id = e.dst
+JOIN linr l ON l.src = e.src AND l.dst = e.dst
+CROSS JOIN nn CROSS JOIN mm
+ORDER BY e.src, e.dst"""
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.edgescores import (
+        prefix_jaccard_score,
+        simmelian_overlap_score,
+    )
+    from networkit_spark.operators.triangles import triangle_edge_score
+
+    g = load_graph(spark, sf_dir)
+    tri = triangle_edge_score(g)
+    pj = prefix_jaccard_score(
+        g, tri.withColumnRenamed("score", "att")
+    ).withColumnRenamed("score", "pj")
+    ov = simmelian_overlap_score(
+        g, ESS_OV_RANK, triangles=tri
+    ).withColumnRenamed("score", "ov")
+    return (
+        pj.join(ov, ["src", "dst"])
+        .select("src", "dst", F.round("pj", 6).alias("pj"), "ov")
+        .orderBy("src", "dst")
+    )
+
+
+SQL_PREFIX_JACCARD = f"""WITH {GRAPH_CTES},
+tric AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         (SELECT COUNT(*) FROM adj a1 JOIN adj a2 ON a2.dst = a1.dst
+          WHERE a1.src = e.src AND a2.src = e.dst) AS t
+  FROM edges e
+),
+half AS (
+  SELECT src AS ego, dst AS alter, t AS att FROM tric
+  UNION ALL
+  SELECT dst AS ego, src AS alter, t AS att FROM tric
+),
+rk AS MATERIALIZED (
+  SELECT ego, alter,
+         RANK() OVER (PARTITION BY ego ORDER BY att DESC) - 1 AS rnk
+  FROM half
+),
+ru AS (
+  SELECT e.src, e.dst, r.alter, r.rnk AS r_u
+  FROM edges e JOIN rk r ON r.ego = e.src
+  WHERE r.alter <> e.dst
+),
+rv AS (
+  SELECT e.src, e.dst, r.alter, r.rnk AS r_v
+  FROM edges e JOIN rk r ON r.ego = e.dst
+  WHERE r.alter <> e.src
+),
+ev AS (
+  SELECT COALESCE(ru.src, rv.src) AS src,
+         COALESCE(ru.dst, rv.dst) AS dst,
+         (ru.r_u IS NOT NULL AND rv.r_v IS NOT NULL) AS common,
+         COALESCE(LEAST(ru.r_u, rv.r_v), ru.r_u, rv.r_v) AS enter_union,
+         GREATEST(ru.r_u, rv.r_v) AS enter_inter
+  FROM ru FULL JOIN rv
+    ON rv.src = ru.src AND rv.dst = ru.dst AND rv.alter = ru.alter
+),
+events AS (
+  SELECT src, dst, r, SUM(du) AS du, SUM(di) AS di FROM (
+    SELECT src, dst, enter_union AS r, 1 AS du, 0 AS di FROM ev
+    UNION ALL
+    SELECT src, dst, enter_inter AS r, 0 AS du, 1 AS di FROM ev WHERE common
+  ) GROUP BY src, dst, r
+),
+best AS (
+  SELECT src, dst, MAX(ci * 1.0 / cu) AS pj FROM (
+    SELECT src, dst,
+           SUM(du) OVER w AS cu, SUM(di) OVER w AS ci
+    FROM events
+    WINDOW w AS (PARTITION BY src, dst ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) GROUP BY src, dst
+),
+ov AS (
+  SELECT e.src, e.dst, CAST(COUNT(*) AS DOUBLE) AS ov
+  FROM edges e
+  JOIN rk a ON a.ego = e.src AND a.rnk <= {ESS_OV_RANK} AND a.alter <> e.dst
+  JOIN rk b ON b.ego = e.dst AND b.rnk <= {ESS_OV_RANK}
+           AND b.alter = a.alter AND b.alter <> e.src
+  GROUP BY e.src, e.dst
+)
+SELECT e.src, e.dst,
+       ROUND(COALESCE(b.pj, 0.0), 6) AS pj,
+       COALESCE(o.ov, 0.0) AS ov
+FROM edges e
+LEFT JOIN best b ON b.src = e.src AND b.dst = e.dst
+LEFT JOIN ov o ON o.src = e.src AND o.dst = e.dst
+ORDER BY e.src, e.dst"""
+
+
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.edgescores import simrank_score
+
+    g = load_graph(spark, sf_dir)
+    return (
+        simrank_score(g, c=SIMRANK_C, iterations=SIMRANK_ITERS)
+        .select("src", "dst", F.round("score", 6).alias("score"))
+        .orderBy("src", "dst")
+    )
+
+
+def _simrank_sql(iters: int = SIMRANK_ITERS, c: float = SIMRANK_C) -> str:
+    parts = ["s0 AS (SELECT id AS u, id AS v, 1.0 AS s FROM nodes)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT a1.dst AS u, a2.dst AS v,
+         {c} * SUM(s.s) / (d1.degree * d2.degree) AS s
+  FROM s{k - 1} s
+  JOIN adj a1 ON a1.src = s.u
+  JOIN adj a2 ON a2.src = s.v
+  JOIN deg d1 ON d1.id = a1.dst
+  JOIN deg d2 ON d2.id = a2.dst
+  WHERE a1.dst <> a2.dst
+  GROUP BY a1.dst, a2.dst, d1.degree, d2.degree
+  UNION ALL
+  SELECT id AS u, id AS v, 1.0 AS s FROM nodes
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT e.src, e.dst, ROUND(COALESCE(s.s, 0.0), 6) AS score
+FROM edges e LEFT JOIN s{iters} s ON s.u = e.src AND s.v = e.dst
+ORDER BY e.src, e.dst"""
+    )
+
+
+SQL_SIMRANK = _simrank_sql()
