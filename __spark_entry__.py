@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
         "graph_electrical_closeness": e.q_electrical_closeness,
+        "graph_grow_shrink": e.q_grow_shrink,
         # --- round-5d gated additions (below the cap; rehearsal-covered)
         "graph_edge_score_suite": e.q_edge_score_suite,
         "graph_prefix_jaccard": e.q_prefix_jaccard,

@@ -7946,3 +7946,24 @@ ORDER BY e.src, e.dst"""
 
 
 SQL_SIMRANK = _simrank_sql()
+
+
+# ---------------------------------------------------------------------------
+# GroupClosenessGrowShrink (centrality/GroupClosenessGrowShrinkImpl.cpp)
+# — rows-only entry (the per-swap nested BFS unroll is impractical in
+# SQL; correctness is replica-proven in tests/test_growshrink.py).
+# Refines a deliberately bad seed group on the dense contract graph.
+# ---------------------------------------------------------------------------
+
+
+def q_grow_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.growshrink import grow_shrink
+
+    g = load_dense_graph(spark, sf_dir)
+    seed_group = [0, 1, 2]  # adjacent low-ids: a refinable seed
+    group, swaps, _ = grow_shrink(
+        g, seed_group, insertions=1, max_iterations=3
+    )
+    return spark.createDataFrame(
+        [(int(u), int(swaps)) for u in sorted(group)], "id long, swaps long"
+    )
