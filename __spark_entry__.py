@@ -98,9 +98,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_complex_paths": e.q_complex_paths,
         "graph_complex_plci": e.q_complex_plci,
         "graph_kpath": e.q_kpath,
-        # --- ROTATION: rotated past the 50-row cap in round 4 (r3-green;
-        # brought forward so every query's driver row is at most one
-        # round stale) -------------------------------------------------
+        # --- PRIORITY continued: round-5e/5f additions — never held a
+        # driver row before; full oracles except the two rows-only UST /
+        # grow-shrink entries (their strongest check is the driver row
+        # count + pytest replicas) --------------------------------------
+        "graph_clustering_gen": e.q_clustering_gen,
+        "graph_dyn_bmatching": e.q_dyn_bmatching,
+        "graph_agglomerative": e.q_agglomerative,
+        "graph_edge_score_suite": e.q_edge_score_suite,
+        "graph_prefix_jaccard": e.q_prefix_jaccard,
+        "graph_simrank": e.q_simrank,
+        "graph_grow_shrink": e.q_grow_shrink,
+        "graph_approx_spanning_edge": e.q_approx_spanning_edge,
+        # ---------------------------------------------------- 50-row cap
+        # --- rows-only UST siblings of approx_spanning_edge (same
+        # Wilson-walk machinery, pytest-proven vs dense pseudo-inverse) --
+        "graph_forest_centrality": e.q_forest_centrality,
+        "graph_electrical_closeness": e.q_electrical_closeness,
+        # --- ROTATION displaced by the never-rowed round-5 additions:
+        # r3-green core kernels (near-zero drift risk; still exercised
+        # every round by pytest + the all-pairs DuckDB rehearsal) -------
         "graph_assortativity": e.q_assortativity,
         "graph_diameter": e.q_diameter,
         "graph_edge_scores": e.q_edge_scores,
@@ -108,12 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": c.q_triangles,
         "graph_lcc": c.q_lcc,
         "graph_coarsen_cc": c.q_coarsen_cc,
-        # --- ROTATION continued: r3-green, rotated out in r4 — must
-        # hold a driver row this round
         "graph_plp": c.q_plp,
-        # ---------------------------------------------------- 50-row cap
-        # --- displaced by the round-5c/5d additions above: pure-SQL doc
-        # queries (r3-green, near-zero drift risk, rehearsal-covered) ---
+        # --- displaced in round 5c: pure-SQL doc queries (r3-green,
+        # near-zero drift risk, rehearsal-covered) ----------------------
         "sim_cosine_topk": d.q_cosine_topk,
         "dedup_exact": d.q_dedup_exact,
         "dedup_minhash_candidates": d.q_minhash_candidates,
@@ -182,17 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_weighted_betweenness": e.q_weighted_betweenness,
         "graph_closeness_weighted": e.q_closeness_weighted,
-        # --- ROWS-ONLY TAIL: UST estimators (no oracle_sql — the md5-
-        # derandomized loop-erased walks are not SQL-unrollable; pytest
-        # proves them against dense-exact pseudo-inverse values) --------
-        "graph_approx_spanning_edge": e.q_approx_spanning_edge,
-        "graph_forest_centrality": e.q_forest_centrality,
-        "graph_electrical_closeness": e.q_electrical_closeness,
-        "graph_grow_shrink": e.q_grow_shrink,
-        # --- round-5d gated additions (below the cap; rehearsal-covered)
-        "graph_edge_score_suite": e.q_edge_score_suite,
-        "graph_prefix_jaccard": e.q_prefix_jaccard,
-        "graph_simrank": e.q_simrank,
     }
 
 
@@ -326,4 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_edge_score_suite": e.SQL_EDGE_SCORE_SUITE,
         "graph_prefix_jaccard": e.SQL_PREFIX_JACCARD,
         "graph_simrank": e.SQL_SIMRANK,
+        "graph_clustering_gen": e.SQL_CLUSTERING_GEN,
+        "graph_dyn_bmatching": e.SQL_DYN_BMATCHING,
+        "graph_agglomerative": e.SQL_AGGLOMERATIVE,
     }

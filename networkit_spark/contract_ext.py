@@ -7967,3 +7967,347 @@ def q_grow_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(u), int(swaps)) for u in sorted(group)], "id long, swaps long"
     )
+
+
+# ---------------------------------------------------------------------------
+# ClusteringGenerator (community/ClusteringGenerator.cpp:15-87) — the
+# five synthetic partitions as one per-node row: singleton, one,
+# md5-derandomized random (k=5), continuous balanced (k=7, blocks of
+# n/k with the first n%k one larger), round-robin (k=7).
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.clusteringgen import (
+        continuous_balanced_clustering,
+        noncontinuous_balanced_clustering,
+        one_clustering,
+        random_clustering,
+        singleton_clustering,
+    )
+
+    g = load_graph(spark, sf_dir)
+    s = singleton_clustering(g).withColumnRenamed("label", "singleton")
+    o = one_clustering(g).withColumnRenamed("label", "onec")
+    r = random_clustering(g, 5).withColumnRenamed("label", "rnd")
+    cb = continuous_balanced_clustering(g, 7).withColumnRenamed(
+        "label", "contbal"
+    )
+    nc = noncontinuous_balanced_clustering(g, 7).withColumnRenamed(
+        "label", "noncont"
+    )
+    return (
+        s.join(o, "id").join(r, "id").join(cb, "id").join(nc, "id")
+        .orderBy("id")
+    )
+
+
+SQL_CLUSTERING_GEN = f"""
+WITH {GRAPH_CTES},
+rk AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS rank
+  FROM nodes
+),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)
+SELECT rk.id,
+  rk.id AS singleton,
+  CAST(0 AS BIGINT) AS onec,
+  CAST(({_md5_bucket_sql('id', 'rc')}) % 5 AS BIGINT) AS rnd,
+  CAST(CASE WHEN (c.n % 7) > 0 AND rk.rank < (c.n % 7) * (c.n // 7 + 1)
+       THEN rk.rank // (c.n // 7 + 1)
+       ELSE (c.n % 7)
+            + (rk.rank - (c.n % 7) * (c.n // 7 + 1)) // GREATEST(c.n // 7, 1)
+       END AS BIGINT) AS contbal,
+  CAST(rk.rank % 7 AS BIGINT) AS noncont
+FROM rk CROSS JOIN c ORDER BY rk.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DynamicBSuitorMatcher (matching/DynamicBSuitorMatcher.cpp:17-200) —
+# the reference gtest invariant is dynamic == fresh static BSuitor on
+# the final graph, so the oracle replays the STATIC unrolled
+# locally-dominant rounds (the q_bmatching shape) on the post-event
+# edge set while Spark answers with the incremental repair.  Weights
+# are injective by construction (x * 2654435761 % 2^31 is injective for
+# x = src*1009+dst < 2^20), even for base edges and odd for inserts, so
+# the fixpoint is unique.  Removals: 3% md5 bucket.  Inserts: a second
+# orders-derived pair family, minus existing edges.
+# ---------------------------------------------------------------------------
+
+DBM_B = 2
+DBM_ROUNDS = 16
+
+
+def q_dyn_bmatching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.dynmatching import dynamic_bsuitor
+
+    g = load_graph(spark, sf_dir)
+    bw = (
+        (((F.col("src") * 1009 + F.col("dst")) * 2654435761) % 2147483648)
+        .cast("double") * 2
+    )
+    base = g.edges.select("src", "dst", bw.alias("weight"))
+    gb = Graph(base, g.nodes(), directed=False, weighted=True)
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("dbm"),
+                    (F.col("src") * 997 + F.col("dst")).cast("string"),
+                )
+            ),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("long")
+    removals = base.filter(bucket % 100 < 3).select(
+        F.lit("de").alias("kind"), "src", "dst", F.lit(0.0).alias("weight")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    ins_pairs = (
+        orders.filter(k % 5 == 0)
+        .select(((k * 23 + 5) % 997).alias("u"), ((k * 71 + 29) % 997).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+        )
+        .distinct()
+        .join(base.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    iw = (
+        (((F.col("src") * 1009 + F.col("dst")) * 2654435761) % 2147483648)
+        .cast("double") * 2 + 1
+    )
+    inserts = ins_pairs.select(
+        F.lit("ae").alias("kind"), "src", "dst", iw.alias("weight")
+    )
+    events = removals.unionByName(inserts)
+    m, info = dynamic_bsuitor(gb, DBM_B, events, max_rounds=64)
+    if not info.converged:
+        raise AssertionError("dynamic_bsuitor repair did not converge")
+    return m.orderBy("src", "dst")
+
+
+def _dyn_bmatching_sql(b: int = DBM_B, rounds: int = DBM_ROUNDS) -> str:
+    parts = [
+        """bw AS (
+  SELECT src, dst,
+         CAST(((src * 1009 + dst) * 2654435761) % 2147483648 AS DOUBLE) * 2
+           AS w
+  FROM edges
+)""",
+        f"""rm AS (
+  SELECT src, dst FROM edges
+  WHERE ({_md5_bucket_sql('src * 997 + dst', 'dbm')}) % 100 < 3
+)""",
+        """insb AS (
+  SELECT DISTINCT ((o_orderkey * 23 + 5) % 997) AS u,
+                  ((o_orderkey * 71 + 29) % 997) AS v
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+insc AS (
+  SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst
+  FROM insb WHERE u <> v
+),
+ins AS (
+  SELECT i.src, i.dst,
+         CAST(((i.src * 1009 + i.dst) * 2654435761) % 2147483648 AS DOUBLE)
+           * 2 + 1 AS w
+  FROM insc i
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = i.src AND e.dst = i.dst)
+)""",
+        """fed AS MATERIALIZED (
+  SELECT b.src, b.dst, b.w FROM bw b
+  WHERE NOT EXISTS (SELECT 1 FROM rm r
+                    WHERE r.src = b.src AND r.dst = b.dst)
+  UNION ALL SELECT src, dst, w FROM ins
+),
+fadj AS MATERIALIZED (
+  SELECT src, dst, w FROM fed
+  UNION ALL SELECT dst AS src, src AS dst, w FROM fed
+),
+fnodes AS MATERIALIZED (
+  SELECT id FROM nodes
+  UNION SELECT src AS id FROM fed UNION SELECT dst FROM fed
+)""",
+        "dbm0 AS (SELECT src, dst, w FROM fed WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""drem{r} AS MATERIALIZED (
+  SELECT n.id, {b} - COALESCE(u.c, 0) AS rem
+  FROM fnodes n LEFT JOIN (
+    SELECT id, COUNT(*) AS c FROM (
+      SELECT src AS id FROM dbm{r - 1} UNION ALL SELECT dst FROM dbm{r - 1}
+    ) GROUP BY id
+  ) u ON u.id = n.id
+),
+dliv{r} AS MATERIALIZED (
+  SELECT a.src, a.dst, a.w FROM fadj a
+  JOIN drem{r} r1 ON r1.id = a.src AND r1.rem > 0
+  JOIN drem{r} r2 ON r2.id = a.dst AND r2.rem > 0
+  WHERE NOT EXISTS (SELECT 1 FROM dbm{r - 1} m
+                    WHERE (m.src = a.src AND m.dst = a.dst)
+                       OR (m.src = a.dst AND m.dst = a.src))
+),
+dpk{r} AS MATERIALIZED (
+  SELECT src, dst, w FROM (
+    SELECT l.src, l.dst, l.w,
+           ROW_NUMBER() OVER (PARTITION BY l.src
+                              ORDER BY l.w DESC, l.dst ASC) AS rk,
+           r1.rem
+    FROM dliv{r} l JOIN drem{r} r1 ON r1.id = l.src
+  ) WHERE rk <= rem
+),
+dbm{r} AS MATERIALIZED (
+  SELECT src, dst, w FROM dbm{r - 1}
+  UNION ALL
+  SELECT p1.src, p1.dst, p1.w
+  FROM dpk{r} p1 JOIN dpk{r} p2 ON p2.src = p1.dst AND p2.dst = p1.src
+  WHERE p1.src < p1.dst
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + f"\nSELECT src, dst, w AS weight FROM dbm{rounds} "
+        "ORDER BY src, dst"
+    )
+
+
+SQL_DYN_BMATCHING = _dyn_bmatching_sql()
+
+
+# ---------------------------------------------------------------------------
+# ParallelAgglomerativeClusterer (community/ParallelAgglomerativeClusterer
+# .cpp:20-84) — unrolled levels: per level the ModularityScoring
+# formula, the LocalMax matching rounds (md5 tie order — the documented
+# parallel stand-in for the reference's sequential PathGrowingMatcher,
+# see operators/agglomerative.py), min-endpoint contraction, and the
+# cumulative fine->coarse label composition.  All level weights stay
+# integer-valued (unit base weights + contraction sums), so every score
+# is bit-identical across engines.  The gate runs a fixed 3-level
+# budget; the Spark side raises if any level fails the reference's
+# repeat rule (so the oracle's unconditional 3 contractions are exact)
+# or exceeds the per-level round unroll.
+# ---------------------------------------------------------------------------
+
+AGG_LEVELS = 3
+AGG_LMM_ROUNDS = 12
+
+
+def q_agglomerative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.agglomerative import (
+        agglomerative_clustering,
+    )
+
+    g = load_graph(spark, sf_dir)
+    labels, metrics = agglomerative_clustering(
+        g, max_levels=AGG_LEVELS, matcher_rounds=AGG_LMM_ROUNDS
+    )
+    if len(metrics) != AGG_LEVELS or not all(
+        m["adopted"] for m in metrics
+    ):
+        raise AssertionError(
+            f"agglomerative gate expects {AGG_LEVELS} adopted levels, "
+            f"got {metrics}"
+        )
+    return labels.orderBy("id")
+
+
+def _agglomerative_sql(
+    levels: int = AGG_LEVELS, rounds: int = AGG_LMM_ROUNDS
+) -> str:
+    parts = [
+        "ael1 AS MATERIALIZED (SELECT src AS u, dst AS v, 1.0 AS w FROM edges)",
+        "and1 AS MATERIALIZED (SELECT id FROM nodes)",
+        "alab0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for L in range(1, levels + 1):
+        parts.append(
+            f"""atw{L} AS (SELECT SUM(w) AS total FROM ael{L}),
+awd{L} AS (
+  SELECT id, SUM(w) AS wd FROM (
+    SELECT u AS id, w FROM ael{L} UNION ALL SELECT v AS id, w FROM ael{L}
+  ) GROUP BY id
+),
+asc{L} AS MATERIALIZED (
+  SELECT e.u, e.v,
+         e.w / t.total
+           - (du.wd / (2 * t.total)) * (dv.wd / (2 * t.total)) AS s
+  FROM ael{L} e CROSS JOIN atw{L} t
+  JOIN awd{L} du ON du.id = e.u
+  JOIN awd{L} dv ON dv.id = e.v
+),
+alv{L}_0 AS MATERIALIZED (
+  SELECT u, v, s AS w,
+         md5('lmm|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR))
+           AS tie
+  FROM asc{L} WHERE s > 0 AND u <> v
+)"""
+        )
+        unions = []
+        for r in range(1, rounds + 1):
+            p = r - 1
+            parts.append(
+                f"""acb{L}_{r} AS (
+  SELECT u, v, w, tie FROM alv{L}_{p}
+  UNION ALL SELECT v AS u, u AS v, w, tie FROM alv{L}_{p}
+),
+acd{L}_{r} AS (
+  SELECT u, v AS pick FROM (
+    SELECT u, v, ROW_NUMBER() OVER (
+      PARTITION BY u ORDER BY w DESC, tie DESC, v DESC) AS rn
+    FROM acb{L}_{r}
+  ) t WHERE rn = 1
+),
+aag{L}_{r} AS (
+  SELECT a.u AS u, b.u AS v
+  FROM acd{L}_{r} a JOIN acd{L}_{r} b ON a.pick = b.u AND b.pick = a.u
+  WHERE a.u < b.u
+),
+amn{L}_{r} AS (
+  SELECT u AS id FROM aag{L}_{r} UNION ALL SELECT v FROM aag{L}_{r}
+),
+alv{L}_{r} AS MATERIALIZED (
+  SELECT l.u, l.v, l.w, l.tie FROM alv{L}_{p} l
+  WHERE l.u NOT IN (SELECT id FROM amn{L}_{r})
+    AND l.v NOT IN (SELECT id FROM amn{L}_{r})
+)"""
+            )
+            unions.append(f"SELECT u, v FROM aag{L}_{r}")
+        parts.append(
+            f"""amt{L} AS ({' UNION ALL '.join(unions)}),
+apm{L} AS (
+  SELECT u AS id, LEAST(u, v) AS label FROM amt{L}
+  UNION ALL SELECT v AS id, LEAST(u, v) AS label FROM amt{L}
+),
+apart{L} AS MATERIALIZED (
+  SELECT n.id, COALESCE(p.label, n.id) AS label
+  FROM and{L} n LEFT JOIN apm{L} p ON p.id = n.id
+),
+ael{L + 1} AS MATERIALIZED (
+  SELECT LEAST(pu.label, pv.label) AS u,
+         GREATEST(pu.label, pv.label) AS v,
+         SUM(e.w) AS w
+  FROM ael{L} e
+  JOIN apart{L} pu ON pu.id = e.u
+  JOIN apart{L} pv ON pv.id = e.v
+  GROUP BY 1, 2
+),
+and{L + 1} AS (SELECT DISTINCT label AS id FROM apart{L}),
+alab{L} AS MATERIALIZED (
+  SELECT l.id, p.label
+  FROM alab{L - 1} l JOIN apart{L} p ON p.id = l.label
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
+        + f"\nSELECT id, label FROM alab{levels} ORDER BY id"
+    )
+
+
+SQL_AGGLOMERATIVE = _agglomerative_sql()

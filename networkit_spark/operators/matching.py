@@ -482,3 +482,89 @@ def local_max_matching(
             1000 + rounds,
         )
     return matched, rounds
+
+
+def path_growing_matching(g: Graph) -> DataFrame:
+    """(src, dst, weight) — PathGrowingMatcher (Drake & Hougardy),
+    the heavier of the two alternating matchings grown along
+    greedy-heaviest paths.
+
+    Reference: matching/PathGrowingMatcher.cpp:32-151 — repeatedly pop
+    the highest-degree alive node, grow a path by following the
+    heaviest alive incident edge, alternating edges between two
+    matchings m1/m2 (the alternation flag is GLOBAL across paths,
+    :97-104), remove each visited node; return the heavier matching.
+
+    The walk is inherently sequential — the global m1/m2 parity couples
+    every path, and the reference itself is flagged "FIXME: so far only
+    sequential" where it is consumed (ParallelAgglomerativeClusterer
+    .cpp:44-46) — so this is a documented DRIVER-SIDE fixture-scale
+    implementation (same standing as the Hopcroft-Tarjan biconnected
+    oracle, operators/components.py): edges are collected once, the
+    path growth runs in plain Python, and the result returns as a
+    DataFrame.  The scale-path matchers are suitor_matching /
+    local_max_matching / bsuitor_matching above (all distributed
+    rounds); they carry the same 1/2-approximation guarantee.
+
+    Tie-breaking (documented deviations from unspecified reference
+    order): heaviest-edge ties resolve to the smallest neighbor id
+    (the reference takes the first strict max in adjacency-insertion
+    order, :74-95); the path-start queue pops the highest degree with
+    smallest id (BucketPQ bucket order unspecified, :42,66-68).
+    """
+    if g.directed:
+        raise ValueError("path_growing_matching supports undirected graphs only")
+    spark = g.edges.sparkSession
+    w = (
+        F.col("weight").cast("double")
+        if (g.weighted and "weight" in g.edges.columns)
+        else F.lit(1.0)
+    )
+    rows = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            w.alias("w"),
+        )
+        .distinct()
+        .collect()
+    )
+    nbrs: dict[int, dict[int, float]] = {}
+    for r in rows:
+        nbrs.setdefault(r["u"], {})[r["v"]] = float(r["w"])
+        nbrs.setdefault(r["v"], {})[r["u"]] = float(r["w"])
+    alive = {u for u, d in nbrs.items() if d}
+    degrees = {u: len(d) for u, d in nbrs.items()}
+    num_edges = len(rows)
+    m1: list[tuple[int, int, float]] = []
+    m2: list[tuple[int, int, float]] = []
+    take_m1 = True
+    while num_edges > 0:
+        # highest alive degree, smallest id (BucketPQ extractMin on -deg)
+        v = min(alive, key=lambda x: (-degrees[x], x))
+        while degrees[v] > 0:
+            best = min(
+                ((nb, wt) for nb, wt in nbrs[v].items() if nb in alive),
+                key=lambda t: (-t[1], t[0]),
+            )
+            (m1 if take_m1 else m2).append(
+                (min(v, best[0]), max(v, best[0]), best[1])
+            )
+            take_m1 = not take_m1
+            for nb in nbrs[v]:
+                if nb in alive:
+                    degrees[nb] -= 1
+                    num_edges -= 1
+                    if degrees[nb] == 0:
+                        alive.discard(nb)
+            alive.discard(v)
+            v = best[0]
+    # greedy growth may match a node twice across path hops only via
+    # the alternation; each matching list is vertex-disjoint by
+    # construction (every appended node dies immediately)
+    pick = m1 if sum(t[2] for t in m1) > sum(t[2] for t in m2) else m2
+    return spark.createDataFrame(
+        [(a, b, float(c)) for a, b, c in sorted(pick)],
+        "src long, dst long, weight double",
+    )
