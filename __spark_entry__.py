@@ -109,10 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_prefix_jaccard": e.q_prefix_jaccard,
         "graph_simrank": e.q_simrank,
         "graph_grow_shrink": e.q_grow_shrink,
-        "graph_approx_spanning_edge": e.q_approx_spanning_edge,
+        "graph_sampled_rand": e.q_sampled_rand,
         # ---------------------------------------------------- 50-row cap
-        # --- rows-only UST siblings of approx_spanning_edge (same
-        # Wilson-walk machinery, pytest-proven vs dense pseudo-inverse) --
+        # --- rows-only UST estimators (one family; pytest proves all
+        # three against dense-exact pseudo-inverse values) --------------
+        "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
         "graph_electrical_closeness": e.q_electrical_closeness,
         # --- ROTATION displaced by the never-rowed round-5 additions:
@@ -332,4 +333,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering_gen": e.SQL_CLUSTERING_GEN,
         "graph_dyn_bmatching": e.SQL_DYN_BMATCHING,
         "graph_agglomerative": e.SQL_AGGLOMERATIVE,
+        "graph_sampled_rand": e.SQL_SAMPLED_RAND,
     }

@@ -8311,3 +8311,112 @@ alab{L} AS MATERIALIZED (
 
 
 SQL_AGGLOMERATIVE = _agglomerative_sql()
+
+
+# ---------------------------------------------------------------------------
+# SampledNodeStructuralRandMeasure + SampledGraphStructuralRandMeasure
+# (community/SampledNodeStructuralRandMeasure.cpp:17-48,
+# SampledGraphStructuralRandMeasure.cpp:17-50) — md5-derandomized pair /
+# incident-edge samples; partitions compared are two md5 random
+# clusterings (k=4 / k=6).  The oracle replays the draws rank-for-rank.
+# ---------------------------------------------------------------------------
+
+SRAND_SAMPLES = 400
+
+
+def q_sampled_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.clusteringgen import random_clustering
+    from networkit_spark.operators.partitions import (
+        sampled_graph_structural_rand,
+        sampled_node_structural_rand,
+    )
+
+    g = load_graph(spark, sf_dir)
+    zeta = random_clustering(g, 4, "rc1").localCheckpoint(eager=True)
+    eta = random_clustering(g, 6, "rc2").localCheckpoint(eager=True)
+    nd, ns = sampled_node_structural_rand(g, zeta, eta, SRAND_SAMPLES)
+    gd, gs = sampled_graph_structural_rand(g, zeta, eta, SRAND_SAMPLES)
+    return spark.createDataFrame(
+        [(round(nd, 6), ns, round(gd, 6), gs)],
+        "node_rand double, node_samples long, graph_rand double, "
+        "graph_samples long",
+    )
+
+
+def _sampled_rand_sql(samples: int = SRAND_SAMPLES) -> str:
+    h_u = "md5('snr-u|' || CAST(i AS VARCHAR))"
+    h_v = "md5('snr-v|' || CAST(i AS VARCHAR))"
+    h_gu = "md5('sgr-u|' || CAST(i AS VARCHAR))"
+    h_gv = "md5('sgr-v|' || CAST(g.i AS VARCHAR) || '|' || CAST(a.dst AS VARCHAR))"
+    return f"""
+WITH {GRAPH_CTES},
+rk AS MATERIALIZED (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS rank
+  FROM nodes
+),
+ncnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+zp AS MATERIALIZED (
+  SELECT id, CAST(({_md5_bucket_sql('id', 'rc1')}) % 4 AS BIGINT) AS lbl
+  FROM nodes
+),
+yp AS MATERIALIZED (
+  SELECT id, CAST(({_md5_bucket_sql('id', 'rc2')}) % 6 AS BIGINT) AS lbl
+  FROM nodes
+),
+si AS (SELECT CAST(i AS BIGINT) AS i FROM range({samples}) t(i)),
+nd_draws AS (
+  SELECT i,
+         ({_md5_long13_sql(h_u)}) % n AS ru,
+         ({_md5_long13_sql(h_v)}) % n AS rv
+  FROM si CROSS JOIN ncnt
+),
+ndp AS (
+  SELECT d.i, a.id AS u, b.id AS v
+  FROM nd_draws d
+  JOIN rk a ON a.rank = d.ru
+  JOIN rk b ON b.rank = d.rv
+  WHERE d.ru <> d.rv
+),
+ndagg AS (
+  SELECT COUNT(*) AS s,
+         SUM(CASE WHEN (zu.lbl = zv.lbl AND eu.lbl = ev.lbl)
+                    OR (zu.lbl <> zv.lbl AND eu.lbl <> ev.lbl)
+             THEN 1 ELSE 0 END) AS agree
+  FROM ndp p
+  JOIN zp zu ON zu.id = p.u JOIN zp zv ON zv.id = p.v
+  JOIN yp eu ON eu.id = p.u JOIN yp ev ON ev.id = p.v
+),
+gu AS (
+  SELECT d.i, a.id AS u
+  FROM (
+    SELECT i, ({_md5_long13_sql(h_gu)}) % n AS ru
+    FROM si CROSS JOIN ncnt
+  ) d JOIN rk a ON a.rank = d.ru
+),
+gpick AS (
+  SELECT i, u, v FROM (
+    SELECT g.i, g.u, a.dst AS v,
+           ROW_NUMBER() OVER (
+             PARTITION BY g.i, g.u
+             ORDER BY ({_md5_long13_sql(h_gv)}) ASC, a.dst ASC) AS rn
+    FROM gu g JOIN adj a ON a.src = g.u
+  ) WHERE rn = 1
+),
+gagg AS (
+  SELECT COUNT(*) AS s,
+         SUM(CASE WHEN (zu.lbl = zv.lbl AND eu.lbl = ev.lbl)
+                    OR (zu.lbl <> zv.lbl AND eu.lbl <> ev.lbl)
+             THEN 1 ELSE 0 END) AS agree
+  FROM gpick p
+  JOIN zp zu ON zu.id = p.u JOIN zp zv ON zv.id = p.v
+  JOIN yp eu ON eu.id = p.u JOIN yp ev ON ev.id = p.v
+)
+SELECT ROUND(1.0 - CAST(n.agree AS DOUBLE) / n.s, 6) AS node_rand,
+       CAST(n.s AS BIGINT) AS node_samples,
+       ROUND(1.0 - CAST(g.agree AS DOUBLE) / g.s, 6) AS graph_rand,
+       CAST(g.s AS BIGINT) AS graph_samples
+FROM ndagg n CROSS JOIN gagg g
+"""
+
+
+SQL_SAMPLED_RAND = _sampled_rand_sql()

@@ -151,3 +151,140 @@ def conductance(g: Graph, zeta: DataFrame) -> float:
     if denom == 0.0:
         return 0.0
     return edge_cut(g, zeta) / denom
+
+
+def _md5_draw(seed: str, *cols):
+    """First 13 md5 nibbles of 'seed|col|col…' as a long (uniform
+    52-bit draw, the repo-wide derandomization rule; 13 matches the
+    oracle helper _md5_long13_sql)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), *[c.cast("string") for c in cols])),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def sampled_node_structural_rand(
+    g: Graph,
+    zeta: DataFrame,
+    eta: DataFrame,
+    max_samples: int,
+    seed: str = "snr",
+) -> tuple[float, int]:
+    """(dissimilarity, samples) — SampledNodeStructuralRandMeasure.
+
+    Reference: community/SampledNodeStructuralRandMeasure.cpp:17-48 —
+    draw random node pairs, count agreements (same/same) and
+    disagreements (diff/diff); dis = 1 - (n00+n11)/samples.  The
+    reference redraws until ``maxSamples`` DISTINCT pairs land; we
+    derandomize with md5 draws indexed 0..maxSamples-1 and simply drop
+    the u == v collisions (documented deviation: the sample count is
+    the deterministic number of distinct-pair draws, returned to the
+    caller), mapping each 48-bit draw onto the dense ascending-id rank
+    so sparse id spaces sample uniformly.
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    spark = g.edges.sparkSession
+    ranked = dense_ids(g.nodes(), ["id"], id_col="rank").localCheckpoint(
+        eager=True
+    )
+    n = ranked.count()
+    idx = spark.range(int(max_samples)).select(F.col("id").alias("i"))
+    draws = idx.select(
+        "i",
+        (_md5_draw(seed + "-u", F.col("i")) % n).alias("ru"),
+        (_md5_draw(seed + "-v", F.col("i")) % n).alias("rv"),
+    ).filter(F.col("ru") != F.col("rv"))
+    pairs = (
+        draws.join(
+            ranked.select(F.col("rank").alias("ru"), F.col("id").alias("u")),
+            "ru",
+        )
+        .join(
+            ranked.select(F.col("rank").alias("rv"), F.col("id").alias("v")),
+            "rv",
+        )
+        .join(zeta.select(F.col("id").alias("u"), F.col("label").alias("zu")), "u")
+        .join(zeta.select(F.col("id").alias("v"), F.col("label").alias("zv")), "v")
+        .join(eta.select(F.col("id").alias("u"), F.col("label").alias("eu")), "u")
+        .join(eta.select(F.col("id").alias("v"), F.col("label").alias("ev")), "v")
+    )
+    row = pairs.agg(
+        F.count("*").alias("s"),
+        F.sum(
+            (
+                ((F.col("zu") == F.col("zv")) & (F.col("eu") == F.col("ev")))
+                | ((F.col("zu") != F.col("zv")) & (F.col("eu") != F.col("ev")))
+            ).cast("long")
+        ).alias("agree"),
+    ).collect()[0]
+    s = int(row["s"] or 0)
+    if s == 0:
+        return 0.0, 0
+    return 1.0 - float(row["agree"] or 0) / s, s
+
+
+def sampled_graph_structural_rand(
+    g: Graph,
+    zeta: DataFrame,
+    eta: DataFrame,
+    max_samples: int,
+    seed: str = "sgr",
+) -> tuple[float, int]:
+    """(dissimilarity, samples) — SampledGraphStructuralRandMeasure.
+
+    Reference: community/SampledGraphStructuralRandMeasure.cpp:17-50 —
+    draw a random node with degree > 0, then a uniform incident edge,
+    and count clustering (dis)agreements over the sampled EDGES.
+    Derandomized: node draws are md5 ranks (zero-degree draws dropped,
+    deterministic sample count returned); the uniform neighbor pick is
+    a per-sample md5 ARGMIN over the node's adjacency — the same
+    uniform marginal as indexing the neighbor array, without sorting a
+    hub's neighbor list in one partition (hash-argmin is the hub rule).
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    spark = g.edges.sparkSession
+    ranked = dense_ids(g.nodes(), ["id"], id_col="rank").localCheckpoint(
+        eager=True
+    )
+    n = ranked.count()
+    idx = spark.range(int(max_samples)).select(F.col("id").alias("i"))
+    su = idx.select(
+        "i", (_md5_draw(seed + "-u", F.col("i")) % n).alias("ru")
+    ).join(
+        ranked.select(F.col("rank").alias("ru"), F.col("id").alias("u")), "ru"
+    )
+    adj = g.adj().select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    picked = (
+        su.join(adj, "u")  # zero-degree draws drop here
+        .withColumn("h", _md5_draw(seed + "-v", F.col("i"), F.col("v")))
+        .groupBy("i", "u")
+        .agg(F.min(F.struct("h", "v")).alias("m"))
+        .select("i", "u", F.col("m.v").alias("v"))
+    )
+    pairs = (
+        picked
+        .join(zeta.select(F.col("id").alias("u"), F.col("label").alias("zu")), "u")
+        .join(zeta.select(F.col("id").alias("v"), F.col("label").alias("zv")), "v")
+        .join(eta.select(F.col("id").alias("u"), F.col("label").alias("eu")), "u")
+        .join(eta.select(F.col("id").alias("v"), F.col("label").alias("ev")), "v")
+    )
+    row = pairs.agg(
+        F.count("*").alias("s"),
+        F.sum(
+            (
+                ((F.col("zu") == F.col("zv")) & (F.col("eu") == F.col("ev")))
+                | ((F.col("zu") != F.col("zv")) & (F.col("eu") != F.col("ev")))
+            ).cast("long")
+        ).alias("agree"),
+    ).collect()[0]
+    s = int(row["s"] or 0)
+    if s == 0:
+        return 0.0, 0
+    return 1.0 - float(row["agree"] or 0) / s, s
