@@ -108,11 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_score_suite": e.q_edge_score_suite,
         "graph_prefix_jaccard": e.q_prefix_jaccard,
         "graph_simrank": e.q_simrank,
-        "graph_grow_shrink": e.q_grow_shrink,
         "graph_sampled_rand": e.q_sampled_rand,
+        "graph_overlap_nmi": e.q_overlap_nmi,
         # ---------------------------------------------------- 50-row cap
-        # --- rows-only UST estimators (one family; pytest proves all
-        # three against dense-exact pseudo-inverse values) --------------
+        # --- rows-only entries (grow-shrink replica-proven in
+        # tests/test_growshrink.py; the UST family against dense-exact
+        # pseudo-inverse values in tests/test_ust.py) -------------------
+        "graph_grow_shrink": e.q_grow_shrink,
         "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
         "graph_electrical_closeness": e.q_electrical_closeness,
@@ -334,4 +336,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_bmatching": e.SQL_DYN_BMATCHING,
         "graph_agglomerative": e.SQL_AGGLOMERATIVE,
         "graph_sampled_rand": e.SQL_SAMPLED_RAND,
+        "graph_overlap_nmi": e.SQL_OVERLAP_NMI,
     }

@@ -8420,3 +8420,150 @@ FROM ndagg n CROSS JOIN gagg g
 
 
 SQL_SAMPLED_RAND = _sampled_rand_sql()
+
+
+# ---------------------------------------------------------------------------
+# OverlappingNMIDistance (community/OverlappingNMIDistance.cpp:13-268,
+# McDaid et al. 2011) — two md5-derandomized overlapping covers over
+# the contract nodes; one row with the dissimilarity under all five
+# normalizations.  The oracle replicates the indicator-entropy math
+# term for term (H* correction, H(X_i|Y) init, MAX/MIN/means/joint).
+# ---------------------------------------------------------------------------
+
+
+def _onmi_covers(spark: SparkSession, sf_dir: str):
+    from networkit_spark.contract import load_graph
+
+    g = load_graph(spark, sf_dir)
+    nodes = g.nodes()
+    bx = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("onx"), F.col("id").cast("string"))),
+            1, 6,
+        ), 16, 10,
+    ).cast("long")
+    by = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("ony"), F.col("id").cast("string"))),
+            1, 6,
+        ), 16, 10,
+    ).cast("long")
+    covx = (
+        nodes.select("id", (F.col("id") % 5).alias("subset"))
+        .unionByName(
+            nodes.filter(bx % 100 < 40).select(
+                "id", ((F.col("id") * 7 + 2) % 5).alias("subset")
+            )
+        )
+        .distinct()
+    )
+    # Y = X's base blocks with a 20% md5-shifted membership plus 15%
+    # extra memberships — correlated but not identical, so the NMI
+    # lands strictly inside (0, 1) and the gate discriminates
+    base_y = F.when(
+        by % 100 < 20, (F.col("id") % 5 + 1) % 5
+    ).otherwise(F.col("id") % 5)
+    covy = (
+        nodes.select("id", base_y.alias("subset"))
+        .unionByName(
+            nodes.filter(by % 100 >= 85).select(
+                "id", ((F.col("id") * 5 + 3) % 5).alias("subset")
+            )
+        )
+        .distinct()
+    )
+    return g, covx, covy
+
+
+def q_overlap_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.overlapnmi import (
+        NORMALIZATIONS,
+        overlapping_nmi_distance,
+    )
+
+    g, covx, covy = _onmi_covers(spark, sf_dir)
+    covx = covx.localCheckpoint(eager=True)
+    covy = covy.localCheckpoint(eager=True)
+    vals = [
+        round(overlapping_nmi_distance(g, covx, covy, norm), 6)
+        for norm in NORMALIZATIONS
+    ]
+    return spark.createDataFrame(
+        [tuple(vals)],
+        "d_min double, d_geometric double, d_arithmetic double, "
+        "d_max double, d_joint double",
+    )
+
+
+def _overlap_nmi_sql() -> str:
+    def H(e: str) -> str:
+        return (
+            f"(CASE WHEN ({e}) > 0 THEN -({e}) * LOG2(({e}) / n) "
+            "ELSE 0.0 END)"
+        )
+
+    ent_xi = f"({H('xi')} + {H('n - xi')})"
+    ent_yj = f"({H('yj')} + {H('n - yj')})"
+    habcd = (
+        f"({H('n + r - xi - yj')} + {H('yj - r')} + {H('xi - r')} + {H('r')})"
+    )
+    cond_ok = f"({H('n + r - xi - yj')} + {H('r')}) >= ({H('yj - r')} + {H('xi - r')})"
+    star_xy = f"(CASE WHEN {cond_ok} THEN {habcd} - {ent_yj} ELSE {ent_xi} END)"
+    star_yx = f"(CASE WHEN {cond_ok} THEN {habcd} - {ent_xi} ELSE {ent_yj} END)"
+    return f"""
+WITH {GRAPH_CTES},
+covx AS MATERIALIZED (
+  SELECT id, id % 5 AS s FROM nodes
+  UNION
+  SELECT id, (id * 7 + 2) % 5 AS s FROM nodes
+  WHERE ({_md5_bucket_sql('id', 'onx')}) % 100 < 40
+),
+covy AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN ({_md5_bucket_sql('id', 'ony')}) % 100 < 20
+              THEN (id % 5 + 1) % 5 ELSE id % 5 END AS s
+  FROM nodes
+  UNION
+  SELECT id, (id * 5 + 3) % 5 AS s FROM nodes
+  WHERE ({_md5_bucket_sql('id', 'ony')}) % 100 >= 85
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+sx AS (SELECT s AS i, CAST(COUNT(*) AS DOUBLE) AS xi FROM covx GROUP BY s),
+sy AS (SELECT s AS j, CAST(COUNT(*) AS DOUBLE) AS yj FROM covy GROUP BY s),
+itr AS (
+  SELECT x.s AS i, y.s AS j, CAST(COUNT(*) AS DOUBLE) AS r
+  FROM covx x JOIN covy y ON y.id = x.id GROUP BY x.s, y.s
+),
+pairs AS (
+  SELECT i, j, {star_xy} AS sxy, {star_yx} AS syx
+  FROM itr JOIN sx USING (i) JOIN sy USING (j) CROSS JOIN nn
+),
+ex AS (
+  SELECT SUM({ent_xi}) AS hx,
+         SUM(LEAST({ent_xi}, COALESCE(m.m, CAST('inf' AS DOUBLE)))) AS condx
+  FROM sx LEFT JOIN (SELECT i, MIN(sxy) AS m FROM pairs GROUP BY i) m
+    USING (i) CROSS JOIN nn
+),
+ey AS (
+  SELECT SUM({ent_yj}) AS hy,
+         SUM(LEAST({ent_yj}, COALESCE(m.m, CAST('inf' AS DOUBLE)))) AS condy
+  FROM sy LEFT JOIN (SELECT j, MIN(syx) AS m FROM pairs GROUP BY j) m
+    USING (j) CROSS JOIN nn
+),
+s AS (
+  SELECT hx, hy, 0.5 * (hx - condx + hy - condy) AS mi
+  FROM ex CROSS JOIN ey
+)
+SELECT
+  ROUND(1.0 - LEAST(GREATEST(mi / LEAST(hx, hy), 0.0), 1.0), 6) AS d_min,
+  ROUND(1.0 - LEAST(GREATEST(mi / SQRT(hx * hy), 0.0), 1.0), 6)
+    AS d_geometric,
+  ROUND(1.0 - LEAST(GREATEST(2.0 * mi / (hx + hy), 0.0), 1.0), 6)
+    AS d_arithmetic,
+  ROUND(1.0 - LEAST(GREATEST(mi / GREATEST(hx, hy), 0.0), 1.0), 6) AS d_max,
+  ROUND(1.0 - LEAST(GREATEST(mi / (hx + hy - mi), 0.0), 1.0), 6) AS d_joint
+FROM s
+"""
+
+
+SQL_OVERLAP_NMI = _overlap_nmi_sql()
