@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sampled_rand": e.q_sampled_rand,
         "graph_overlap_nmi": e.q_overlap_nmi,
         # ---------------------------------------------------- 50-row cap
+        # --- sf-INDEPENDENT gate (fixed n=1000 synthetic disk): the
+        # sf0.001 rehearsal runs the identical comparison the driver
+        # would, so a cap slot adds nothing ------------------------------
+        "graph_hyperbolic": e.q_hyperbolic,
         # --- rows-only entries (grow-shrink replica-proven in
         # tests/test_growshrink.py; the UST family against dense-exact
         # pseudo-inverse values in tests/test_ust.py) -------------------
@@ -337,4 +341,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_agglomerative": e.SQL_AGGLOMERATIVE,
         "graph_sampled_rand": e.SQL_SAMPLED_RAND,
         "graph_overlap_nmi": e.SQL_OVERLAP_NMI,
+        "graph_hyperbolic": e.SQL_HYPERBOLIC,
     }

@@ -8567,3 +8567,83 @@ FROM s
 
 
 SQL_OVERLAP_NMI = _overlap_nmi_sql()
+
+
+# ---------------------------------------------------------------------------
+# HyperbolicGenerator T=0 (generators/HyperbolicGenerator.cpp:37-56,
+# HyperbolicSpace.cpp:61-92) — md5-derandomized Krioukov disk points,
+# band/sector-bucketed candidate join, exact threshold filter.  The
+# oracle rebuilds the same points and brute-forces all pairs (fixture
+# scale); both sides spell cosh/sinh/acosh via exp/ln/sqrt and apply a
+# 1e-9 dead-band on the threshold so a 1-ulp JVM-vs-libm trig
+# difference cannot flip a boundary pair (gate-only margin; the
+# generator default is the exact rule).
+# ---------------------------------------------------------------------------
+
+HYP_N = 1000
+HYP_AVG = 8.0
+HYP_PLEXP = 3.0
+HYP_SEED = 42
+HYP_MARGIN = 1e-9
+
+
+def q_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.generators import hyperbolic_graph
+
+    edges, _pts, _R = hyperbolic_graph(
+        spark,
+        HYP_N,
+        avg_degree=HYP_AVG,
+        plexp=HYP_PLEXP,
+        seed=HYP_SEED,
+        threshold_margin=HYP_MARGIN,
+    )
+    return edges.orderBy("src", "dst")
+
+
+def _hyperbolic_sql() -> str:
+    import math
+
+    from networkit_spark.sources.generators import (
+        hyperbolic_target_radius,
+    )
+
+    alpha = 0.5 * (HYP_PLEXP - 1)
+    R = hyperbolic_target_radius(
+        float(HYP_N), HYP_N * HYP_AVG / 2.0, alpha
+    )
+    cha_r = (math.exp(alpha * R) + math.exp(-alpha * R)) / 2.0
+    cosh_r = (math.exp(R) + math.exp(-R)) / 2.0
+    frac_a = _md5_long13_sql(
+        f"md5('hga|{HYP_SEED}|' || CAST(i AS VARCHAR))"
+    )
+    frac_r = _md5_long13_sql(
+        f"md5('hgr|{HYP_SEED}|' || CAST(i AS VARCHAR))"
+    )
+    den = float(16 ** 13)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT i AS id,
+         2 * PI() * (({frac_a}) / {den!r}) AS theta,
+         LN(u + SQRT(u * u - 1.0)) / {alpha!r} AS r
+  FROM (
+    SELECT i, 1.0 + ({cha_r!r} - 1.0) * (({frac_r}) / {den!r}) AS u
+    FROM range({HYP_N}) t(i)
+  )
+),
+trig AS MATERIALIZED (
+  SELECT id, COS(theta) AS c, SIN(theta) AS s,
+         (EXP(r) + EXP(-r)) / 2 AS ch,
+         (EXP(r) - EXP(-r)) / 2 AS sh
+  FROM pts
+)
+SELECT a.id AS src, b.id AS dst
+FROM trig a JOIN trig b ON a.id < b.id
+WHERE (a.ch * b.ch - a.sh * b.sh * (a.c * b.c + a.s * b.s)) <= {cosh_r!r}
+  AND ABS((a.ch * b.ch - a.sh * b.sh * (a.c * b.c + a.s * b.s))
+          - {cosh_r!r}) >= {HYP_MARGIN!r}
+ORDER BY src, dst
+"""
+
+
+SQL_HYPERBOLIC = _hyperbolic_sql()

@@ -607,3 +607,209 @@ def configuration_model(
     g0 = havel_hakimi(spark, degrees)
     g, _ = edge_switching(g0, rounds=rounds, seed=seed)
     return g
+
+
+# ---------------------------------------------------------------------------
+# HyperbolicGenerator (T = 0 threshold mode)
+# ---------------------------------------------------------------------------
+
+_PI = 3.141592653589793
+
+
+def hyperbolic_expected_degree(n: float, alpha: float, R: float) -> float:
+    """HyperbolicSpace::getExpectedDegree (include/networkit/geometric/
+    HyperbolicSpace.hpp:181-192), verbatim formula."""
+    import math
+
+    gamma = 2 * alpha + 1
+    xi = (gamma - 1) / (gamma - 2)
+    first = math.exp(-R / 2)
+    second = math.exp(-alpha * R) * (
+        alpha * (R / 2)
+        * ((_PI / 4) * (1 / alpha) ** 2 - (_PI - 1) * (1 / alpha) + (_PI - 2))
+        - 1
+    )
+    return (2 / _PI) * xi * xi * n * (first + second)
+
+
+def hyperbolic_target_radius(
+    n: float, m: float, alpha: float, epsilon: float = 0.01
+) -> float:
+    """HyperbolicSpace::getTargetRadius / searchTargetRadiusForColdGraphs
+    (HyperbolicSpace.hpp:151-176, 204-211) for T = 0: bisect R until
+    the expected degree matches 2m/n within epsilon."""
+    import math
+
+    k = (m / n) * 2
+    gamma = 2 * alpha + 1
+    xi_inv = (gamma - 2) / (gamma - 1)
+    v = k * (_PI / 2) * xi_inv * xi_inv
+    current = 2 * math.log(n / v)
+    lo, hi = current / 2, current * 2
+    while True:
+        current = (lo + hi) / 2
+        ck = hyperbolic_expected_degree(n, alpha, current)
+        if ck < k:
+            hi = current
+        else:
+            lo = current
+        if abs(ck - k) <= epsilon:
+            return current
+
+
+def hyperbolic_points(
+    spark: SparkSession,
+    n: int,
+    alpha: float,
+    R: float,
+    seed: int = 42,
+    bands: int = 16,
+    sectors: int = 256,
+):
+    """(id, theta, r, cosT, sinT, coshr, sinhr, band, sector) — n
+    md5-derandomized points of the Krioukov hyperbolic disk model.
+
+    Reference sampling (HyperbolicSpace.cpp:61-92 fillPoints): theta
+    uniform on [0, 2*pi); the radial CDF is proportional to
+    cosh(alpha*r), so r = acosh(u)/alpha with u uniform on
+    [1, cosh(alpha*R)].  acosh/cosh/sinh are spelled via ln/exp/sqrt
+    identically in the Spark plan and the DuckDB oracle so the floats
+    agree bit-for-bit.
+    """
+    idx = spark.range(int(n)).select(F.col("id"))
+    theta = F.lit(2 * _PI) * _md5_frac(F.lit(f"hga|{seed}"), F.col("id"))
+    import math
+
+    chaR = (math.exp(alpha * R) + math.exp(-alpha * R)) / 2.0
+    u = F.lit(1.0) + F.lit(chaR - 1.0) * _md5_frac(
+        F.lit(f"hgr|{seed}"), F.col("id")
+    )
+    # acosh(u) = ln(u + sqrt(u*u - 1))
+    r = F.log(u + F.sqrt(u * u - F.lit(1.0))) / F.lit(alpha)
+    pts = idx.select("id", theta.alias("theta"), r.alias("r"))
+    er = F.exp(F.col("r"))
+    eri = F.exp(-F.col("r"))
+    return pts.select(
+        "id",
+        "theta",
+        "r",
+        F.cos("theta").alias("cosT"),
+        F.sin("theta").alias("sinT"),
+        ((er + eri) / 2).alias("coshr"),
+        ((er - eri) / 2).alias("sinhr"),
+        F.least(
+            F.lit(bands - 1), F.floor(F.col("r") / F.lit(R) * bands)
+        ).cast("long").alias("band"),
+        F.least(
+            F.lit(sectors - 1),
+            F.floor(F.col("theta") / F.lit(2 * _PI) * sectors),
+        ).cast("long").alias("sector"),
+    )
+
+
+def hyperbolic_graph(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    plexp: float = 3.0,
+    seed: int = 42,
+    bands: int = 16,
+    sectors: int = 256,
+    threshold_margin: float = 0.0,
+):
+    """Threshold (T = 0) hyperbolic random graph — the Krioukov model
+    the reference generates (HyperbolicGenerator.cpp:37-56: alpha =
+    (plexp - 1)/2, R from the expected-degree bisection; edge iff
+    hyperbolic distance <= R, i.e. cosh d = cosh r1 cosh r2 -
+    sinh r1 sinh r2 cos(dtheta) <= cosh R).
+
+    Spark-first candidate generation (the von Looz HPEC'16 band idea
+    re-expressed relationally, replacing the reference's shared-memory
+    quadtree): points land in (radial band, angular sector) buckets;
+    for every ordered band pair the WIDEST possible angular gap is
+    bounded at the bands' inner radii, giving a per-band-pair sector
+    offset budget.  Candidates = points joined through a broadcast
+    (band1, band2, offset) relation on (band, sector) — never all
+    pairs; inner (low-radius) bands get wide budgets, outer bands tiny
+    ones, which is exactly the hyperbolic geometry.  The exact distance
+    filter then decides each candidate.
+
+    ``threshold_margin``: optional dead-band epsilon — candidates with
+    |lhs - rhs| < margin are DROPPED instead of decided.  0 for the
+    true model; the cross-engine gate uses a tiny margin so a 1-ulp
+    libm difference between JVM and DuckDB trig cannot flip a
+    boundary pair (documented gate-only robustification).
+
+    Returns (edges(src, dst) canonical, points, R).
+    """
+    import math
+
+    if plexp <= 2:
+        raise ValueError("power-law exponent must be > 2")
+    if avg_degree >= n:
+        raise ValueError("average degree must be below n")
+    alpha = 0.5 * (plexp - 1)
+    R = hyperbolic_target_radius(float(n), n * avg_degree / 2.0, alpha)
+    pts = hyperbolic_points(
+        spark, n, alpha, R, seed=seed, bands=bands, sectors=sectors
+    ).localCheckpoint(eager=True)
+    coshR = (math.exp(R) + math.exp(-R)) / 2.0
+
+    def _cosh(x):
+        return (math.exp(x) + math.exp(-x)) / 2.0
+
+    def _sinh(x):
+        return (math.exp(x) - math.exp(-x)) / 2.0
+
+    # per ordered band pair: widest angular window at the inner radii
+    sector_w = 2 * _PI / sectors
+    offs = []
+    for b1 in range(bands):
+        rb1 = R * b1 / bands
+        for b2 in range(bands):
+            rb2 = R * b2 / bands
+            sh = _sinh(rb1) * _sinh(rb2)
+            if sh == 0.0:
+                tmax = _PI  # a center point reaches any angle
+            else:
+                c = (_cosh(rb1) * _cosh(rb2) - coshR) / sh
+                if c >= 1.0:
+                    continue  # even the easiest pair cannot connect
+                tmax = _PI if c <= -1.0 else math.acos(c)
+            dmax = min(int(math.ceil(tmax / sector_w)), sectors // 2)
+            offs.extend((b1, b2, o) for o in range(dmax + 1))
+    off_df = spark.createDataFrame(offs, "b1 long, b2 long, off long")
+    p1 = pts.select(
+        F.col("id").alias("u"), F.col("band").alias("b1"),
+        F.col("sector").alias("s1"), F.col("cosT").alias("c1"),
+        F.col("sinT").alias("n1"), F.col("coshr").alias("ch1"),
+        F.col("sinhr").alias("sh1"),
+    )
+    p2 = pts.select(
+        F.col("id").alias("v"), F.col("band").alias("b2"),
+        F.col("sector").alias("s2"), F.col("cosT").alias("c2"),
+        F.col("sinT").alias("n2"), F.col("coshr").alias("ch2"),
+        F.col("sinhr").alias("sh2"),
+    )
+    cand = (
+        p1.join(F.broadcast(off_df), "b1")
+        .withColumn("s2", (F.col("s1") + F.col("off")) % sectors)
+        .join(p2, ["b2", "s2"])
+        .filter(F.col("u") != F.col("v"))
+    )
+    # cos(dtheta) via the per-point cos/sin — per-pair arithmetic only
+    lhs = F.col("ch1") * F.col("ch2") - F.col("sh1") * F.col("sh2") * (
+        F.col("c1") * F.col("c2") + F.col("n1") * F.col("n2")
+    )
+    cond = lhs <= F.lit(coshR)
+    if threshold_margin > 0.0:
+        cond = cond & (
+            F.abs(lhs - F.lit(coshR)) >= F.lit(threshold_margin)
+        )
+    edges = (
+        cand.filter(cond)
+        .select(F.least("u", "v").alias("src"),
+                F.greatest("u", "v").alias("dst"))
+        .distinct()
+    )
+    return edges, pts, R
