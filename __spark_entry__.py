@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001 rehearsal runs the identical comparison the driver
         # would, so a cap slot adds nothing ------------------------------
         "graph_hyperbolic": e.q_hyperbolic,
+        "graph_pivot_mds": e.q_pivot_mds,
         # --- rows-only entries (grow-shrink replica-proven in
         # tests/test_growshrink.py; the UST family against dense-exact
         # pseudo-inverse values in tests/test_ust.py) -------------------
@@ -342,4 +343,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_sampled_rand": e.SQL_SAMPLED_RAND,
         "graph_overlap_nmi": e.SQL_OVERLAP_NMI,
         "graph_hyperbolic": e.SQL_HYPERBOLIC,
+        "graph_pivot_mds": e.SQL_PIVOT_MDS,
     }

@@ -8647,3 +8647,126 @@ ORDER BY src, dst
 
 
 SQL_HYPERBOLIC = _hyperbolic_sql()
+
+
+# ---------------------------------------------------------------------------
+# PivotMDS (viz/PivotMDS.cpp:20-129) — md5-derandomized pivots +
+# power-method init, fixed-iteration unroll (the repo's convergence-
+# loop determinism rule), double-centered RAW distances exactly as the
+# reference code does.  Oracle: recursive-CTE multi-source BFS, SQL
+# centering/CᵀC, and a fully unrolled normalize-multiply chain with
+# driver-identical md5 init literals; outputs rounded to 5 decimals
+# (double-sum association wobble ~1e-10 on O(1e2) coordinates).
+# ---------------------------------------------------------------------------
+
+PMDS_K = 8
+PMDS_ITERS = 60
+PMDS_HOPS = 32
+
+
+def q_pivot_mds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.pivotmds import pivot_mds
+
+    g = load_graph(spark, sf_dir)
+    out, _ = pivot_mds(
+        g, dim=2, num_pivots=PMDS_K, power_iters=PMDS_ITERS
+    )
+    return out.select(
+        "id", F.round("x0", 5).alias("x0"), F.round("x1", 5).alias("x1")
+    ).orderBy("id")
+
+
+def _pivot_mds_sql(k: int = PMDS_K, iters: int = PMDS_ITERS) -> str:
+    from networkit_spark.operators.pivotmds import _frac
+
+    parts = [
+        f"""piv AS MATERIALIZED (
+  SELECT j, id FROM (
+    SELECT id, ROW_NUMBER() OVER (
+      ORDER BY md5('pmds-p|' || CAST(id AS VARCHAR)), id) - 1 AS j
+    FROM nodes
+  ) WHERE j < {k}
+),
+bfs(j, id, d) AS (
+  SELECT j, id, CAST(0 AS BIGINT) AS d FROM piv
+  UNION
+  SELECT b.j, a.dst, b.d + 1 FROM bfs b JOIN adj a ON a.src = b.id
+  WHERE b.d < {PMDS_HOPS}
+),
+dist AS MATERIALIZED (SELECT j, id, MIN(d) AS d FROM bfs GROUP BY j, id),
+ncnt AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n FROM dist),
+rm AS MATERIALIZED (
+  SELECT id, SUM(d) / CAST({k} AS DOUBLE) AS rm FROM dist GROUP BY id
+),
+cm AS MATERIALIZED (
+  SELECT j, SUM(d) / (SELECT n FROM ncnt) AS cm FROM dist GROUP BY j
+),
+gm AS (
+  SELECT (SELECT SUM(rm / (2.0 * (SELECT n FROM ncnt))) FROM rm)
+       + (SELECT SUM(cm / (2.0 * {k})) FROM cm) AS g
+),
+cmat AS MATERIALIZED (
+  SELECT dist.id, dist.j,
+         CAST(d AS DOUBLE) - rm.rm - cm.cm + (SELECT g FROM gm) AS val
+  FROM dist JOIN rm ON rm.id = dist.id JOIN cm ON cm.j = dist.j
+),
+cc0 AS MATERIALIZED (
+  SELECT a.j AS i, b.j AS jj, SUM(a.val * b.val) AS v
+  FROM cmat a JOIN cmat b ON b.id = a.id GROUP BY 1, 2
+)"""
+    ]
+    for d in range(2):
+        init = ", ".join(
+            f"({i}, {2.0 * _frac('pmds-w', d, i) - 1.0!r})" for i in range(k)
+        )
+        cc = f"cc{d}"
+        parts.append(
+            f"p{d}_0(i, val) AS MATERIALIZED (SELECT * FROM (VALUES {init}) t(i, val))"
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f"""q{d}_{t} AS MATERIALIZED (
+  SELECT m.i, SUM(m.v * p.val) AS val
+  FROM {cc} m JOIN p{d}_{t - 1} p ON p.i = m.jj GROUP BY m.i
+),
+p{d}_{t} AS MATERIALIZED (
+  SELECT i, val / (SELECT SQRT(SUM(val * val)) FROM q{d}_{t}) AS val
+  FROM q{d}_{t}
+)"""
+            )
+        parts.append(
+            f"""mv{d} AS MATERIALIZED (
+  SELECT m.i, SUM(m.v * p.val) AS val
+  FROM {cc} m JOIN p{d}_{iters} p ON p.i = m.jj GROUP BY m.i
+),
+lam{d} AS MATERIALIZED (
+  SELECT (SELECT SUM(mv{d}.val * p.val)
+          FROM mv{d} JOIN p{d}_{iters} p ON p.i = mv{d}.i)
+       / (SELECT SUM(val * val) FROM p{d}_{iters}) AS l
+),
+x{d} AS MATERIALIZED (
+  SELECT c.id, SUM(c.val * p.val) AS x
+  FROM cmat c JOIN p{d}_{iters} p ON p.i = c.j GROUP BY c.id
+)"""
+        )
+        if d == 0:
+            parts.append(
+                f"""cc1 AS MATERIALIZED (
+  SELECT m.i, m.jj,
+         m.v - (SELECT l FROM lam0)
+               / (SELECT SUM(val * val) FROM p0_{iters})
+               * a.val * b.val AS v
+  FROM cc0 m
+  JOIN p0_{iters} a ON a.i = m.i
+  JOIN p0_{iters} b ON b.i = m.jj
+)"""
+            )
+    return (
+        f"WITH RECURSIVE {GRAPH_CTES},\n" + ",\n".join(parts)
+        + """
+SELECT x0.id, ROUND(x0.x, 5) AS x0, ROUND(x1.x, 5) AS x1
+FROM x0 JOIN x1 ON x1.id = x0.id ORDER BY x0.id"""
+    )
+
+
+SQL_PIVOT_MDS = _pivot_mds_sql()

@@ -531,3 +531,64 @@ def lfm_local(
         q,
         SuperstepResult(iterations=rounds, metrics=metrics),
     )
+
+
+def lfm_cover(
+    g: Graph,
+    alpha: float = 1.0,
+    max_steps: int = 64,
+    max_communities: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """((id, subset) overlapping cover, per-community metrics) — global
+    LFM.
+
+    Reference: community/LFM.cpp:16-40 — visit nodes in random order;
+    every node not yet covered seeds one expandOneCommunity call (here
+    :func:`lfm_local`, the same SCD the reference's Python bindings
+    default to) whose members join a fresh subset.  Nodes can appear
+    in several subsets: the cover is overlapping.
+
+    Deviations, documented: the random visiting order is derandomized
+    to ascending md5('lfm|' || id) (forNodesInRandomOrder replay rule),
+    and the covered set lives on the driver — the reference's loop is
+    equally sequential (each expansion must see the previous ones), so
+    this is a fixture-scale orchestration of distributed expansions,
+    like cut_clustering.  ``max_communities`` bounds the loop for
+    safety on large graphs.
+    """
+    order = [
+        int(r["id"])
+        for r in g.nodes()
+        .select(
+            "id",
+            F.md5(
+                F.concat_ws("|", F.lit("lfm"), F.col("id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "id")
+        .collect()
+    ]
+    spark = g.edges.sparkSession
+    covered: set[int] = set()
+    rows: list[tuple[int, int]] = []
+    metrics: list[dict] = []
+    o = 0
+    for u in order:
+        if u in covered:
+            continue
+        if max_communities is not None and o >= max_communities:
+            break
+        com_df, fitness, info = lfm_local(g, {u}, alpha=alpha,
+                                          max_steps=max_steps)
+        members = {int(r["id"]) for r in com_df.collect()}
+        rows.extend((m, o) for m in sorted(members))
+        covered |= members
+        metrics.append(
+            {"subset": o, "seed": u, "size": len(members),
+             "fitness": fitness, "iterations": info.iterations}
+        )
+        o += 1
+    return (
+        spark.createDataFrame(rows or [], "id long, subset long"),
+        metrics,
+    )

@@ -1195,3 +1195,106 @@ def write_binary_edgelist_partition(
         for u, p in rows:
             f.write(int(u + first_node).to_bytes(width, "little"))
             f.write(int(p).to_bytes(width, "little"))
+
+
+_PS_COLORS = [
+    (1.0, 0.0, 0.0), (1.0, 0.5, 0.0), (1.0, 1.0, 0.0), (0.5, 1.0, 0.0),
+    (0.0, 1.0, 0.0), (0.0, 1.0, 0.5), (0.0, 1.0, 1.0), (0.0, 0.5, 1.0),
+    (0.0, 0.0, 1.0), (0.5, 0.0, 1.0), (1.0, 0.0, 1.0), (1.0, 0.0, 0.5),
+    (0.6, 0.0, 0.0), (0.6, 0.3, 0.0), (0.6, 0.6, 0.0), (0.3, 0.6, 0.0),
+    (0.0, 0.6, 0.0), (0.0, 0.6, 0.3), (0.0, 0.6, 0.6), (0.0, 0.3, 0.6),
+    (0.0, 0.0, 0.6), (0.3, 0.0, 0.6), (0.6, 0.0, 0.6), (0.6, 0.0, 0.3),
+]
+
+
+def write_postscript(
+    g,
+    coordinates,
+    path: str,
+    clustering=None,
+    torus: bool = False,
+) -> None:
+    """PostscriptWriter (viz/PostscriptWriter.cpp:37-168): EPS drawing
+    of a laid-out graph, intra-cluster edges in the 24-color cyclic
+    palette (:20-33), inter-cluster edges grey, nodes as filled dots.
+
+    ``coordinates``: (id, x0, x1) DataFrame (e.g. operators/pivotmds
+    output); ``clustering``: optional (id, label) — omitted = the
+    reference's makeOneClustering fallback (:163-168).  Fixture-scale
+    collect like every other writer here (the reference streams through
+    one ofstream, :143-160); the 1020x1020 canvas, zero border
+    (ps_border is default-initialized in the reference), fixed 3-digit
+    formatting, and the torus +-500 wrap replicate :37-115.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (local import style)
+
+    rows = coordinates.collect()
+    cols = coordinates.columns
+    xs = {r["id"]: (float(r[cols[1]]), float(r[cols[2]])) for r in rows}
+    labels = {}
+    if clustering is not None:
+        labels = {r["id"]: r["label"] for r in clustering.collect()}
+    else:
+        labels = {u: 0 for u in xs}
+    edges = [
+        (r["src"], r["dst"])
+        for r in g.edges.select("src", "dst").collect()
+        if r["src"] in xs and r["dst"] in xs
+    ]
+    size = 1020.0
+    border = 0.0
+    min_x = min(p[0] for p in xs.values())
+    min_y = min(p[1] for p in xs.values())
+    max_x = max(p[0] for p in xs.values())
+    max_y = max(p[1] for p in xs.values())
+    sx = (size - 2 * border) / (max_x - min_x) if max_x > min_x else 1.0
+    sy = (size - 2 * border) / (max_y - min_y) if max_y > min_y else 1.0
+
+    def adj(p):
+        return ((p[0] - min_x) * sx + border, (p[1] - min_y) * sy + border)
+
+    out = []
+    out.append("%!PS-Adobe-3.0 EPSF-3.0\n" if torus else "%!PS-Adobe-1.0\n")
+    out.append("%%Title: NetworKit visualization\n")
+    out.append(f"%%BoundingBox: 0.000 0.000 {size:.3f} {size:.3f}\n")
+    out.append("%%EndComments\n")
+    if not torus:
+        out.append("%%EndProlog\ngsave\n")
+    out.append(
+        "/p {newpath} bind def\n/m {moveto} bind def\n"
+        "/r {rmoveto} bind def\n/k {rlineto} bind def\n"
+        "/l {lineto} bind def\n/n {rlineto} bind def\n"
+        "/c {setrgbcolor} bind def\n/s {stroke} bind def\n"
+        "/w {setlinewidth} bind def\n/h {show} bind def\n"
+        "/a {arc closepath fill} bind def\n/b {closepath eofill} bind def\n"
+    )
+    out.append("0.000 0.000 0.000 c\n")
+    for u, v in edges:
+        lu, lv = labels.get(u), labels.get(v)
+        if lu == lv and lu is not None:
+            r_, g_, b_ = _PS_COLORS[int(lu) % len(_PS_COLORS)]
+            out.append(f"{r_:.3f} {g_:.3f} {b_:.3f} c ")
+        else:
+            out.append("0.80 0.80 0.80 c 1.0 w ")
+        start, end = adj(xs[u]), adj(xs[v])
+        if torus:
+            d0, d1 = end[0] - start[0], end[1] - start[1]
+            d0 += -1000.0 if d0 > 500.0 else (1000.0 if d0 < -500.0 else 0.0)
+            d1 += -1000.0 if d1 > 500.0 else (1000.0 if d1 < -500.0 else 0.0)
+            end = (start[0] + d0, start[1] + d1)
+        out.append(
+            f"p {start[0]:.3f} {start[1]:.3f} m {end[0]:.3f} {end[1]:.3f} l s\n"
+        )
+    for u in sorted(xs):
+        lu = labels.get(u)
+        if lu is not None:
+            r_, g_, b_ = _PS_COLORS[int(lu) % len(_PS_COLORS)]
+            out.append(f"{r_:.3f} {g_:.3f} {b_:.3f} c ")
+        else:
+            out.append("0.0 0.0 0.0 c ")
+        p = adj(xs[u])
+        out.append(f"p {p[0]:.3f} {p[1]:.3f} 2.000 0.00 360.00 a s\n")
+    if not torus:
+        out.append("grestore\n")
+    with open(path, "w") as fh:
+        fh.write("".join(out))
