@@ -2990,6 +2990,124 @@ SQL_DYN_BETWEENNESS = _dyn_betweenness_sql()
 
 
 # ---------------------------------------------------------------------------
+# DynBetweennessOneNode (centrality/DynBetweennessOneNode.cpp) — the
+# focus node's betweenness maintained incrementally; bcx derived from
+# the repaired APSP sigma relation (sigmax = product rule through x).
+# Oracle: the same forward sigma unroll on the POST-insertion graph,
+# then two joins through x — no dependency sweep needed.
+# ---------------------------------------------------------------------------
+
+
+def q_dyn_bc_one_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.dynbetweennessonenode import (
+        DynBetweennessOneNode,
+    )
+
+    g = load_graph(spark, sf_dir)
+    e2 = g.edges.filter(
+        (F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0)
+    ).select("src", "dst", F.lit(1.0).alias("weight"))
+    sub = Graph(e2, vertices=None, directed=False, weighted=False)
+    node_ids = {int(r["id"]) for r in sub.nodes().collect()}
+    present = {
+        (int(r["src"]), int(r["dst"]))
+        for r in e2.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).collect()
+    }
+    x = min(node_ids)
+    dyn = DynBetweennessOneNode(sub, x)
+    bcx = dyn.run()
+    maxd = dyn.P.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    if int(maxd or 0) > DYNBC_HOPS:  # must survive python -O
+        raise AssertionError(
+            f"subgraph eccentricity {maxd} exceeds the oracle unroll "
+            f"{DYNBC_HOPS}"
+        )
+    for u, v in DYNBC_CANDS:
+        if u in node_ids and v in node_ids \
+                and (min(u, v), max(u, v)) not in present:
+            bcx = dyn.update(u, v)
+    return spark.createDataFrame(
+        [(int(x), round(bcx, 6))], "x long, bcx double"
+    )
+
+
+def _dyn_bc_one_node_sql(hops: int = DYNBC_HOPS) -> str:
+    cand = " UNION ALL ".join(
+        f"SELECT {u} AS u, {v} AS v" for u, v in DYNBC_CANDS
+    )
+    parts = [
+        """e2 AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src % 3 = 0 AND dst % 3 = 0
+),
+n2 AS (SELECT DISTINCT src AS id FROM (
+  SELECT src FROM e2 UNION ALL SELECT dst AS src FROM e2
+)),
+xn AS (SELECT MIN(id) AS x FROM n2)""",
+        f"cand AS ({cand})",
+        """valid AS (
+  SELECT u, v FROM cand
+  WHERE EXISTS (SELECT 1 FROM n2 WHERE n2.id = cand.u)
+    AND EXISTS (SELECT 1 FROM n2 WHERE n2.id = cand.v)
+    AND NOT EXISTS (SELECT 1 FROM e2 e
+                    WHERE e.src = LEAST(cand.u, cand.v)
+                      AND e.dst = GREATEST(cand.u, cand.v))
+)""",
+        """e3 AS MATERIALIZED (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM valid
+),
+adj3 AS (
+  SELECT src, dst FROM e3 UNION ALL SELECT dst AS src, src AS dst FROM e3
+)""",
+        "f0 AS MATERIALIZED (SELECT id AS s, id AS v, 1.0 AS sigma FROM n2)",
+        "seen0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for l in range(1, hops + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+  SELECT p.s, a.dst AS v, SUM(p.sigma) AS sigma
+  FROM f{l - 1} p JOIN adj3 a ON a.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen{l - 1} t WHERE t.s = p.s AND t.v = a.dst
+  )
+  GROUP BY p.s, a.dst
+),
+seen{l} AS MATERIALIZED (
+  SELECT s, v FROM seen{l - 1} UNION ALL SELECT s, v FROM f{l}
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT s, v, sigma, {l} AS dist FROM f{l}" for l in range(hops + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED (\n  {union}\n)")
+    parts.append(
+        """xa AS (SELECT s, dist AS da, sigma AS sa
+      FROM sig WHERE v = (SELECT x FROM xn)),
+xb AS (SELECT v AS t, dist AS db, sigma AS sb
+      FROM sig WHERE s = (SELECT x FROM xn))"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\nSELECT CAST((SELECT x FROM xn) AS BIGINT) AS x,"
+        "\n  ROUND(COALESCE(SUM(sa * sb / r.sigma), 0.0), 6) AS bcx"
+        "\nFROM sig r"
+        "\nJOIN xa ON xa.s = r.s"
+        "\nJOIN xb ON xb.t = r.v"
+        "\nWHERE r.s <> (SELECT x FROM xn) AND r.v <> (SELECT x FROM xn)"
+        "\n  AND xa.da + xb.db = r.dist"
+    )
+
+
+SQL_DYN_BC_ONE_NODE = _dyn_bc_one_node_sql()
+
+
+# ---------------------------------------------------------------------------
 # DynApproxBetweenness (centrality/DynApproxBetweenness.cpp) — the
 # incremental path-resampling estimator.  Spark applies the valid
 # candidate insertions one by one, re-sampling only affected paths; the
@@ -3564,9 +3682,10 @@ def q_group_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = load_graph(spark, sf_dir)
-    # batch=512: identical picks (lazy greedy is batch-invariant),
-    # ~3x fewer wave rounds at fixture scale
-    group, score = group_harmonic_closeness(g, k=GROUPHARM_K, batch=512)
+    # batch=1024 >= n at fixture scale: identical picks (lazy greedy is
+    # batch-invariant), ONE wave per greedy round — at web scale the
+    # default batch=64 bounds per-wave state to O(batch * region)
+    group, score = group_harmonic_closeness(g, k=GROUPHARM_K, batch=1024)
     # F.round, not Python round: banker's rounding diverges from
     # DuckDB's half-away-from-zero on exact .5 ulp boundaries
     return spark.createDataFrame(
@@ -3673,7 +3792,7 @@ def q_group_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.groupcentrality import group_closeness
 
     g = load_graph(spark, sf_dir)
-    group, score, _ = group_closeness(g, k=GROUPCLO_K, batch=512)
+    group, score, _ = group_closeness(g, k=GROUPCLO_K, batch=1024)
     return spark.createDataFrame(
         [(i + 1, u, score) for i, u in enumerate(group)],
         "rank long, id long, score double",

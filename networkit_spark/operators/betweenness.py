@@ -454,7 +454,11 @@ def approx_betweenness(
         )
         if cnt == 0:
             break
-        sig = ckpt.cut(sig.unionByName(nxt), 100 + lvl)
+        # union of cut per-level increments — never re-materializes the
+        # whole sigma relation per level; compact every 8 levels
+        sig = sig.unionByName(nxt)
+        if lvl % 8 == 0:
+            sig = ckpt.cut(sig, 100 + lvl)
         frontier = nxt
 
     # -- backward: one uniformly-sampled shortest path per reachable pair

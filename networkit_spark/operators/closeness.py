@@ -79,9 +79,17 @@ def _tagged_bfs(
             .join(settled.select("s", "v"), ["s", "v"], "left_anti")
         )
         hop += 1
-        new_rows = nxt.select("s", "v", F.lit(hop).cast("long").alias("dist"))
-        settled = ckpt.cut(settled.unionByName(new_rows), hop)
-        frontier = settled.filter(F.col("dist") == hop).select("s", "v")
+        new_rows = ckpt.cut(
+            nxt.select("s", "v", F.lit(hop).cast("long").alias("dist")), hop
+        )
+        # union of per-hop cut increments: each piece is cached, so the
+        # whole settled relation is never re-materialized per hop; every
+        # 8 hops the union is compacted so long-diameter graphs don't
+        # accumulate O(hops) scan branches per anti-join
+        settled = settled.unionByName(new_rows)
+        if hop % 8 == 0:
+            settled = ckpt.cut(settled, 10000 + hop)
+        frontier = new_rows.select("s", "v")
         reached = frontier.count()
         metrics.append(
             ckpt.log(hop, state=settled, reached=reached, wall_sec=time.time() - t0)

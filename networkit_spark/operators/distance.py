@@ -73,9 +73,15 @@ def bfs_distances(
             .join(dist, "id", "left_anti")
         )
         hop += 1
-        new_rows = nxt.select("id", F.lit(hop).cast("long").alias("dist"))
-        dist = ckpt.cut(dist.unionByName(new_rows), hop)
-        frontier = dist.filter(F.col("dist") == hop).select("id")
+        new_rows = ckpt.cut(
+            nxt.select("id", F.lit(hop).cast("long").alias("dist")), hop
+        )
+        # union of cut per-hop increments — the full distance relation is
+        # never re-materialized per hop; compact every 8 hops
+        dist = dist.unionByName(new_rows)
+        if hop % 8 == 0:
+            dist = ckpt.cut(dist, 10000 + hop)
+        frontier = new_rows.select("id")
         reached = frontier.count()
         metrics.append(
             ckpt.log(hop, state=dist, reached=reached, wall_sec=time.time() - t0)

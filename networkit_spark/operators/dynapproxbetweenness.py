@@ -88,7 +88,11 @@ def _sample_paths(
         nxt = ckpt.cut(nxt, lvl)
         if nxt.limit(1).count() == 0:
             break
-        sig = ckpt.cut(sig.unionByName(nxt), 100 + lvl)
+        # union of cut per-level increments (no full re-materialize);
+        # compact every 8 levels
+        sig = sig.unionByName(nxt)
+        if lvl % 8 == 0:
+            sig = ckpt.cut(sig, 100 + lvl)
         frontier = nxt
 
     walk = (

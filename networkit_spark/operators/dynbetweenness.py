@@ -96,7 +96,11 @@ def apsp_sigma(
         nxt = ckpt.cut(nxt, lvl)
         if nxt.limit(1).count() == 0:
             break
-        settled = ckpt.cut(settled.unionByName(nxt), 500 + lvl)
+        # union of cut per-level increments (no full re-materialize);
+        # compact every 8 levels
+        settled = settled.unionByName(nxt)
+        if lvl % 8 == 0:
+            settled = ckpt.cut(settled, 500 + lvl)
         frontier = nxt
     adj.unpersist()
     return settled

@@ -116,7 +116,11 @@ def edmonds_karp(
             cnt = nxt.count()
             if cnt == 0:
                 break
-            visited = ckpt.cut(visited.unionByName(nxt), 100 * aug + 50 + lvl)
+            # union of cut per-level increments (no full re-materialize);
+            # compact every 8 levels
+            visited = visited.unionByName(nxt)
+            if lvl % 8 == 0:
+                visited = ckpt.cut(visited, 100 * aug + 50 + lvl)
             if nxt.filter(F.col("v") == sink).limit(1).count() > 0:
                 found = True
                 break

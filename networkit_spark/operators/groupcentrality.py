@@ -279,7 +279,13 @@ def _improvement_bfs(
         nxt = ckpt.cut(nxt, tag + lvl)
         if nxt.limit(1).count() == 0:
             break
-        settled = ckpt.cut(settled.unionByName(nxt), tag + 500 + lvl)
+        # settled is a union of already-cut per-level increments: each
+        # piece scans from cache, so re-checkpointing the whole relation
+        # per level (O(levels * total) row copies) is avoided; compact
+        # every 8 levels to bound the union fan-out on long diameters
+        settled = settled.unionByName(nxt)
+        if lvl % 8 == 0:
+            settled = ckpt.cut(settled, tag + 800 + lvl)
         frontier = nxt
     return settled
 
@@ -300,7 +306,7 @@ def _lazy_pick(
     semantics — bounds dominate gains, so every potential tie is
     evaluated before the loop stops).
 
-    ``evaluate(ids_df) -> list[Row(id, gain)]``.  Returns
+    ``evaluate(ids, ids_df) -> list[Row(id, gain)]``.  Returns
     (picked_id, picked_gain, evaluated [(id, gain)] incl. the pick).
     """
     remaining = bounds
@@ -323,7 +329,7 @@ def _lazy_pick(
             break  # pruning: no unswept candidate can tie or beat
         ids = [int(r["id"]) for r in wave_rows]
         ids_df = spark.createDataFrame([(i,) for i in ids], "id long")
-        for row in evaluate(ids_df):
+        for row in evaluate(ids, ids_df):
             gid, gain = int(row["id"]), row["gain"]
             evaluated.append((gid, gain))
             if best_id is None or (gain, -gid) > (best_gain, -best_id):
@@ -402,15 +408,30 @@ def group_closeness(
     metrics: list[dict] = []
 
     # -- first member: top-1 generalized closeness via the NB-growth
-    # upper-bound waves (TopCloseness seed, GroupCloseness.cpp:85)
-    ub0 = (
-        _closeness_upper_bounds(g, n, ckpt)
-        .select("id", F.col("ub").alias("bound"))
-        .localCheckpoint(eager=True)
-    )
+    # upper-bound waves (TopCloseness seed, GroupCloseness.cpp:85).
+    # batch >= n: one wave sweeps everything — skip the bound pass
+    # (identical pick, see group-harmonic note)
+    if batch >= n:
+        ub0 = g.nodes().select(
+            "id", F.lit(float("inf")).alias("bound")
+        ).localCheckpoint(eager=True)
+    else:
+        ub0 = (
+            _closeness_upper_bounds(g, n, ckpt)
+            .select("id", F.col("ub").alias("bound"))
+            .localCheckpoint(eager=True)
+        )
 
-    def eval_closeness(ids_df):
+    # per-wave settled relations, reused for the pick's relax step: the
+    # multi-source BFS settles each source independently (every join and
+    # aggregation keys on the source column), so filtering the wave's
+    # relation to the picked source is bit-identical to re-running the
+    # BFS from it alone — one full BFS per round saved
+    wave_cache: list[tuple[set[int], DataFrame]] = []
+
+    def eval_closeness(ids, ids_df):
         settled, _ = _tagged_bfs(g, ids_df, None, ckpt)
+        wave_cache.append((set(ids), settled))
         return (
             settled.groupBy(F.col("s").alias("id"))
             .agg(F.count("*").alias("r"), F.sum("dist").alias("dsum"))
@@ -430,9 +451,11 @@ def group_closeness(
     top, _, _ = _lazy_pick(spark, ub0, eval_closeness, batch, metrics, "seed")
     group = [int(top)]
 
-    # -- d: BFS distances from top, unreachable pinned at 0 (the quirk)
-    top_df = spark.createDataFrame([(group[0],)], "id long")
-    settled0, _ = _tagged_bfs(g, top_df, None, ckpt)
+    # -- d: BFS distances from top, unreachable pinned at 0 (the quirk);
+    # reuse the seed wave's settled rows for the top source
+    settled0 = next(
+        st for ids, st in wave_cache if group[0] in ids
+    ).filter(F.col("s") == group[0])
     d_rel = (
         g.nodes()
         .join(settled0.select(F.col("v").alias("id"), "dist"), "id", "left")
@@ -465,12 +488,15 @@ def group_closeness(
     )
 
     for rnd in range(1, k):
-        def eval_improvement(ids_df):
+        wave_cache.clear()
+
+        def eval_improvement(ids, ids_df):
             cand = ids_df.select(F.col("id").alias("u"))
             settled = _improvement_bfs(
                 adj, cand, d_rel, ckpt, missing_is_inf=False,
                 tag=1000 * rnd,
             )
+            wave_cache.append((set(ids), settled))
             metrics.append(
                 {"phase": "improve", "round": rnd, "settled_rows": settled.count()}
             )
@@ -486,11 +512,11 @@ def group_closeness(
         )
         group.append(int(pick))
         # relax d with the pick's improving distances (updateDistances
-        # :51-68); the (pick, pick, 0) start row zeroes d[pick]
-        pick_df = spark.createDataFrame([(group[-1],)], "u long")
-        sp = _improvement_bfs(
-            adj, pick_df, d_rel, ckpt, missing_is_inf=False, tag=1000 * rnd + 600
-        )
+        # :51-68); the (pick, pick, 0) start row zeroes d[pick].  The
+        # pick's rows are already in its wave's settled relation
+        sp = next(
+            st for ids, st in wave_cache if group[-1] in ids
+        ).filter(F.col("u") == group[-1])
         d_rel = (
             d_rel.join(sp.select(F.col("w").alias("v"), "dist"), "v", "left")
             .select(
@@ -544,15 +570,30 @@ def _group_harmonic_pruned(
     )
     metrics: list[dict] = []
 
-    # -- round 1: top raw-harmonic node via the NBcut bound waves
-    bounds = (
-        _closeness_upper_bounds(g, n, ckpt, harmonic=True)
-        .select("id", F.col("ub").alias("bound"))
-        .localCheckpoint(eager=True)
-    )
+    # -- round 1: top raw-harmonic node via the NBcut bound waves.
+    # When one wave covers every candidate (batch >= n) the bound pass
+    # is pure overhead — the sweep is exhaustive and the argmax exact
+    # either way — so a uniform bound replaces it (identical picks;
+    # later rounds rebound from fresh gains, which dominate NBcut)
+    if batch >= n:
+        bounds = g.nodes().select(
+            "id", F.lit(float("inf")).alias("bound")
+        ).localCheckpoint(eager=True)
+    else:
+        bounds = (
+            _closeness_upper_bounds(g, n, ckpt, harmonic=True)
+            .select("id", F.col("ub").alias("bound"))
+            .localCheckpoint(eager=True)
+        )
 
-    def eval_harmonic(ids_df):
+    # per-wave settled relations, reused for the pick's ds update (see
+    # group_closeness: per-source independence makes the filter
+    # bit-identical to a fresh single-source run)
+    wave_cache: list[tuple[set[int], DataFrame]] = []
+
+    def eval_harmonic(ids, ids_df):
         settled, _ = _tagged_bfs(g, ids_df, None, ckpt)
+        wave_cache.append((set(ids), settled))
         return (
             settled.filter(F.col("dist") > 0)
             .groupBy(F.col("s").alias("id"))
@@ -575,9 +616,11 @@ def _group_harmonic_pruned(
     group = [int(pick)]
     bounds = _rebound(spark, bounds, evaluated, group[0])
 
-    # ds: positive distances from the members (v, d); missing = inf
-    pick_df = spark.createDataFrame([(group[0],)], "id long")
-    s0, _ = _tagged_bfs(g, pick_df, None, ckpt)
+    # ds: positive distances from the members (v, d); missing = inf —
+    # reuse the round-1 wave's settled rows for the picked source
+    s0 = next(
+        st for ids, st in wave_cache if group[0] in ids
+    ).filter(F.col("s") == group[0])
     ds = (
         s0.filter(F.col("dist") > 0)
         .select("v", F.col("dist").cast("double").alias("d"))
@@ -586,13 +629,15 @@ def _group_harmonic_pruned(
 
     for rnd in range(2, k + 1):
         grp_df = spark.createDataFrame([(u,) for u in group], "id long")
+        wave_cache.clear()
 
-        def eval_gain(ids_df):
+        def eval_gain(ids, ids_df):
             cand = ids_df.select(F.col("id").alias("u"))
             settled = _improvement_bfs(
                 adj, cand, ds.select("v", "d"), ckpt,
                 missing_is_inf=True, tag=2000 * rnd,
             )
+            wave_cache.append((set(ids), settled))
             metrics.append(
                 {"phase": "improve", "round": rnd, "settled_rows": settled.count()}
             )
@@ -636,12 +681,13 @@ def _group_harmonic_pruned(
         )
         group.append(int(pick))
         # ds <- min(ds, pick's improving distances); the start row
-        # (pick, 0) is EXCLUDED — the oracle keeps a member's old ds row
-        pick_df = spark.createDataFrame([(group[-1],)], "u long")
-        sp = _improvement_bfs(
-            adj, pick_df, ds.select("v", "d"), ckpt,
-            missing_is_inf=True, tag=2000 * rnd + 900,
-        ).filter(F.col("w") != F.col("u"))
+        # (pick, 0) is EXCLUDED — the oracle keeps a member's old ds row.
+        # The pick's rows come from its wave's settled relation
+        sp = (
+            next(st for ids, st in wave_cache if group[-1] in ids)
+            .filter(F.col("u") == group[-1])
+            .filter(F.col("w") != F.col("u"))
+        )
         ds = (
             ds.join(
                 sp.select(F.col("w").alias("v"), F.col("dist").alias("nd")),

@@ -123,7 +123,11 @@ def _path_interiors(
         nxt = ckpt.cut(nxt, lvl)
         if nxt.limit(1).count() == 0:
             break
-        sig = ckpt.cut(sig.unionByName(nxt), 100 + lvl)
+        # union of cut per-level increments — never re-materializes the
+        # whole sigma relation per level; compact every 8 levels
+        sig = sig.unionByName(nxt)
+        if lvl % 8 == 0:
+            sig = ckpt.cut(sig, 100 + lvl)
         frontier = nxt
 
     walk = (
