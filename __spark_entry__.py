@@ -116,9 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # would, so a cap slot adds nothing ------------------------------
         "graph_hyperbolic": e.q_hyperbolic,
         "graph_pivot_mds": e.q_pivot_mds,
-        # --- round-5g addition (post-cap): full oracle, rehearsal-green
-        # at sf0.001 + sf0.01 every round; incremental == static pytest
+        # --- round-5g additions (post-cap): full oracles, rehearsal-green
+        # at sf0.001 + sf0.01 every round
         "graph_dyn_bc_one_node": e.q_dyn_bc_one_node,
+        "graph_mocnik": e.q_mocnik,
         # --- rows-only entries (grow-shrink replica-proven in
         # tests/test_growshrink.py; the UST family against dense-exact
         # pseudo-inverse values in tests/test_ust.py) -------------------
@@ -348,4 +349,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_hyperbolic": e.SQL_HYPERBOLIC,
         "graph_pivot_mds": e.SQL_PIVOT_MDS,
         "graph_dyn_bc_one_node": e.SQL_DYN_BC_ONE_NODE,
+        "graph_mocnik": e.SQL_MOCNIK,
     }

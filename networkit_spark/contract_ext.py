@@ -8769,6 +8769,83 @@ SQL_HYPERBOLIC = _hyperbolic_sql()
 
 
 # ---------------------------------------------------------------------------
+# MocnikGenerator (generators/MocnikGenerator.cpp) — spatial network:
+# uniform points in the ball, directed edge i->j iff
+# dist <= k * distMin(i).  Engine: grid-bucketed expanding-ring NN +
+# range joins (the reference's cell machinery, relational).  Oracle:
+# brute-force all-pairs on the same md5-replayed points (fixture-scale
+# exact; the bucketed plan is the scale path).  Same 1e-9 threshold
+# dead-band as the hyperbolic gate.
+# ---------------------------------------------------------------------------
+
+MCK_N = 400
+MCK_K = 2.5
+MCK_DIM = 2
+MCK_SEED = 42
+MCK_MARGIN = 1e-9
+MCK_CAND = 4 * MCK_N + 64
+
+
+def q_mocnik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.generators import mocnik_graph
+
+    edges, _pts, _dm = mocnik_graph(
+        spark,
+        MCK_N,
+        k=MCK_K,
+        dim=MCK_DIM,
+        seed=MCK_SEED,
+        threshold_margin=MCK_MARGIN,
+    )
+    return edges.orderBy("src", "dst")
+
+
+def _mocnik_sql() -> str:
+    den = float(16 ** 13)
+    parts = []
+    for j in range(MCK_DIM):
+        h = _md5_long13_sql(
+            f"md5('mck|{MCK_SEED}|{j}|' || CAST(i AS VARCHAR))"
+        )
+        parts.append(f"({h}) / {den!r} AS x{j}")
+    fracs = ",\n         ".join(parts)
+    r2 = " + ".join(
+        f"(x{j} - 0.5) * (x{j} - 0.5)" for j in range(MCK_DIM)
+    )
+    d2 = " + ".join(
+        f"(a.x{j} - b.x{j}) * (a.x{j} - b.x{j})" for j in range(MCK_DIM)
+    )
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT i,
+         {fracs}
+  FROM range({MCK_CAND}) t(i)
+),
+acc AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY i) - 1 AS id
+  FROM cand WHERE {r2} <= 0.25
+),
+pts AS MATERIALIZED (
+  SELECT id, {", ".join(f"x{j}" for j in range(MCK_DIM))}
+  FROM acc WHERE id < {MCK_N}
+),
+dm AS MATERIALIZED (
+  SELECT a.id, MIN(SQRT({d2})) AS dm
+  FROM pts a JOIN pts b ON b.id <> a.id
+  GROUP BY a.id
+)
+SELECT a.id AS src, b.id AS dst
+FROM pts a JOIN dm ON dm.id = a.id JOIN pts b ON b.id <> a.id
+WHERE SQRT({d2}) <= {MCK_K!r} * dm.dm
+  AND ABS(SQRT({d2}) - {MCK_K!r} * dm.dm) >= {MCK_MARGIN!r}
+ORDER BY src, dst
+"""
+
+
+SQL_MOCNIK = _mocnik_sql()
+
+
+# ---------------------------------------------------------------------------
 # PivotMDS (viz/PivotMDS.cpp:20-129) — md5-derandomized pivots +
 # power-method init, fixed-iteration unroll (the repo's convergence-
 # loop determinism rule), double-centered RAW distances exactly as the

@@ -813,3 +813,209 @@ def hyperbolic_graph(
         .distinct()
     )
     return edges, pts, R
+
+
+# ---------------------------------------------------------------------------
+# MocnikGenerator (spatial network model)
+# ---------------------------------------------------------------------------
+
+
+def _chebyshev_ring(dim: int, r: int) -> list[tuple[int, ...]]:
+    """Integer offset vectors at Chebyshev norm exactly ``r``."""
+    import itertools
+
+    if r == 0:
+        return [tuple([0] * dim)]
+    return [
+        v
+        for v in itertools.product(range(-r, r + 1), repeat=dim)
+        if max(abs(c) for c in v) == r
+    ]
+
+
+def mocnik_graph(
+    spark: SparkSession,
+    n: int,
+    k: float = 2.5,
+    dim: int = 2,
+    seed: int = 42,
+    weighted: bool = False,
+    threshold_margin: float = 0.0,
+    cand_factor: int = 4,
+):
+    """MocnikGenerator (generators/MocnikGenerator.cpp:305-347,
+    MocnikGeneratorBasic.cpp:42-92): n points drawn uniformly in the
+    ball B_{0.5}(0.5,...,0.5) of [0,1]^dim by rejection sampling; a
+    DIRECTED edge i -> j for every pair with
+    dist(i, j) <= k * distMin(i), distMin(i) = min_j dist(i, j).
+    ``weighted`` stores dist(i, j) as the edge weight (:297).
+
+    Spark-first re-expression of the reference's cell machinery
+    (initCellArray/boxSurface/boxVolume, :230-301): points are bucketed
+    into a grid of side 1/aMax, aMax = ceil((n/2)^(1/dim) / k) (:234);
+    distMin is resolved by EXPANDING CHEBYSHEV RING candidate joins —
+    ring r only joins the still-unresolved nodes, and a node is exact
+    once dm <= r/aMax (cells with index gap >= r+1 in any dimension are
+    > r/aMax away), the relational form of the reference's per-cell
+    surface loop (:258-276); the edge range query joins ring r against
+    the nodes whose radius k*distMin still reaches it (boxVolume,
+    :279-290).  Never an all-pairs product.
+
+    Point draws are md5-derandomized (coordinate j of candidate c =
+    md5-frac('mck|seed|j', c)), candidates scanned in index order and
+    densely re-ranked after rejection (plans/ids two-phase — no global
+    window), so a plain-SQL oracle replays them bit-for-bit.
+
+    ``threshold_margin`` > 0 asserts-by-filter that no candidate pair
+    sits within the margin of the k*distMin threshold (the same
+    float-boundary dead-band as hyperbolic_graph).
+
+    Returns (edges DataFrame, pts DataFrame (id, x0..x{dim-1}),
+    dist_min DataFrame (id, dm)).
+    """
+    from networkit_spark.plans.ids import dense_ids
+
+    import math
+
+    if dim < 1 or n < 2:
+        raise ValueError("dim >= 1 and n >= 2 required")
+    if k <= 1.0:
+        raise ValueError("k must be > 1 (MocnikGenerator.cpp:314)")
+    xcols = [f"x{j}" for j in range(dim)]
+    cand = spark.range(cand_factor * n + 64).select(
+        F.col("id").alias("i"),
+        *[
+            _md5_frac(F.lit(f"mck|{seed}|{j}"), F.col("id")).alias(xcols[j])
+            for j in range(dim)
+        ],
+    )
+    radius2 = sum(
+        ((F.col(c) - 0.5) * (F.col(c) - 0.5) for c in xcols), F.lit(0.0)
+    )
+    acc = cand.filter(radius2 <= 0.25)
+    pts = (
+        dense_ids(acc, ["i"], "id")
+        .filter(F.col("id") < n)
+        .select("id", *xcols)
+        .localCheckpoint(eager=True)
+    )
+    got = pts.count()
+    if got < n:
+        raise ValueError(
+            f"rejection sampling produced {got} < {n} points; raise "
+            "cand_factor"
+        )
+
+    a_max = max(1, math.ceil((n / 2.0) ** (1.0 / dim) / k))
+    ccols = [f"c{j}" for j in range(dim)]
+    by_cell = pts.select(
+        F.col("id").alias("jid"),
+        *[F.col(c).alias(f"y{j}") for j, c in enumerate(xcols)],
+        *[
+            F.least(
+                F.floor(F.col(c) * a_max).cast("int"), F.lit(a_max - 1)
+            ).alias(f"t{j}")
+            for j, c in enumerate(xcols)
+        ],
+    ).localCheckpoint(eager=True)
+    home = pts.select(
+        "id",
+        *xcols,
+        *[
+            F.least(
+                F.floor(F.col(c) * a_max).cast("int"), F.lit(a_max - 1)
+            ).alias(ccols[j])
+            for j, c in enumerate(xcols)
+        ],
+    )
+
+    dist2 = sum(
+        (
+            (F.col(c) - F.col(f"y{j}")) * (F.col(c) - F.col(f"y{j}"))
+            for j, c in enumerate(xcols)
+        ),
+        F.lit(0.0),
+    )
+    dist = F.sqrt(dist2)
+
+    def ring_pairs(nodes, r):
+        """nodes (id, x*, c*) x points in cells at Chebyshev ring r."""
+        offs = spark.createDataFrame(
+            _chebyshev_ring(dim, r),
+            ", ".join(f"o{j} int" for j in range(dim)),
+        )
+        tgt = nodes.join(F.broadcast(offs))
+        for j in range(dim):
+            tgt = tgt.withColumn(f"t{j}", F.col(ccols[j]) + F.col(f"o{j}"))
+            tgt = tgt.filter(
+                (F.col(f"t{j}") >= 0) & (F.col(f"t{j}") < a_max)
+            )
+        return tgt.join(
+            by_cell, [f"t{j}" for j in range(dim)]
+        ).filter(F.col("jid") != F.col("id"))
+
+    # -- distMin: expanding-ring nearest neighbor.  After searching
+    # rings 0..r, dm is exact once dm <= r/aMax (any unexplored cell
+    # differs by >= r+1 in some dimension, hence is > r/aMax away) —
+    # the relational form of the reference's surface loop (:258-276);
+    # each ring joins only the still-unresolved nodes.
+    state = home.withColumn("dm", F.lit(None).cast("double"))
+    unresolved = state.localCheckpoint(eager=True)
+    r = 0
+    while True:
+        found = (
+            ring_pairs(unresolved, r)
+            .groupBy(F.col("id").alias("fid"))
+            .agg(F.min(dist).alias("fdm"))
+        )
+        merged = (
+            unresolved.join(found, unresolved.id == found.fid, "left")
+            .select(
+                "id",
+                *xcols,
+                *ccols,
+                F.least(
+                    F.coalesce("dm", F.col("fdm")),
+                    F.coalesce("fdm", F.col("dm")),
+                ).alias("dm"),
+            )
+        )
+        state = (
+            merged.unionByName(
+                state.join(unresolved.select("id"), "id", "left_anti")
+            )
+            .localCheckpoint(eager=True)
+        )
+        unresolved = state.filter(
+            F.col("dm").isNull() | (F.col("dm") > r / a_max)
+        ).localCheckpoint(eager=True)
+        if unresolved.limit(1).count() == 0:
+            break
+        r += 1
+    dist_min = state.select("id", "dm")
+
+    # -- edges: per-ring range query up to ceil(k*dm*aMax) -------------------
+    radii = state.select(
+        "id",
+        *xcols,
+        *ccols,
+        (F.lit(float(k)) * F.col("dm")).alias("kdm"),
+        F.ceil(F.lit(float(k)) * F.col("dm") * a_max).cast("int").alias("ri"),
+    ).localCheckpoint(eager=True)
+    max_ri = int(radii.agg(F.max("ri").alias("m")).collect()[0]["m"] or 0)
+    pieces = []
+    for rr in range(0, max_ri + 1):
+        active = radii.filter(F.col("ri") >= rr)
+        pair = ring_pairs(active, rr).filter(dist <= F.col("kdm"))
+        if threshold_margin > 0.0:
+            pair = pair.filter(
+                F.abs(dist - F.col("kdm")) >= F.lit(threshold_margin)
+            )
+        cols = [F.col("id").alias("src"), F.col("jid").alias("dst")]
+        if weighted:
+            cols.append(dist.alias("weight"))
+        pieces.append(pair.select(*cols).localCheckpoint(eager=True))
+    edges = pieces[0]
+    for p in pieces[1:]:
+        edges = edges.unionByName(p)
+    return edges, pts, dist_min
