@@ -96,7 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity_scoring": e.q_modularity_scoring,
         "graph_nf_heuristic": e.q_nf_heuristic,
         "graph_complex_paths": e.q_complex_paths,
-        "graph_complex_plci": e.q_complex_plci,
         "graph_kpath": e.q_kpath,
         # --- PRIORITY continued: round-5e/5f additions — never held a
         # driver row before; full oracles except the two rows-only UST /
@@ -106,11 +105,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_bmatching": e.q_dyn_bmatching,
         "graph_agglomerative": e.q_agglomerative,
         "graph_edge_score_suite": e.q_edge_score_suite,
-        "graph_prefix_jaccard": e.q_prefix_jaccard,
         "graph_simrank": e.q_simrank,
         "graph_sampled_rand": e.q_sampled_rand,
         "graph_overlap_nmi": e.q_overlap_nmi,
+        # --- round-5h: PrunedLandmarkLabeling (PSL supersteps, full label
+        # set) + dynamic-insertion repair (independent BFS oracle).  Two
+        # same-module companions of in-cap rows (graph_complex_plci /
+        # complexpaths.py, graph_prefix_jaccard / edgescores.py) moved
+        # post-cap to make room — every module keeps a driver row.
+        "graph_pll": e.q_pll,
+        "graph_dyn_pll": e.q_dyn_pll,
         # ---------------------------------------------------- 50-row cap
+        "graph_complex_plci": e.q_complex_plci,
+        "graph_prefix_jaccard": e.q_prefix_jaccard,
         # --- sf-INDEPENDENT gate (fixed n=1000 synthetic disk): the
         # sf0.001 rehearsal runs the identical comparison the driver
         # would, so a cap slot adds nothing ------------------------------
@@ -350,4 +357,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_pivot_mds": e.SQL_PIVOT_MDS,
         "graph_dyn_bc_one_node": e.SQL_DYN_BC_ONE_NODE,
         "graph_mocnik": e.SQL_MOCNIK,
+        "graph_pll": e.SQL_PLL,
+        "graph_dyn_pll": e.SQL_DYN_PLL,
     }

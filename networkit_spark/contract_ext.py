@@ -8966,3 +8966,117 @@ FROM x0 JOIN x1 ON x1.id = x0.id ORDER BY x0.id"""
 
 
 SQL_PIVOT_MDS = _pivot_mds_sql()
+
+
+# ---------------------------------------------------------------------------
+# PrunedLandmarkLabeling (distance/PrunedLandmarkLabeling.cpp:12-131) —
+# canonical 2-hop hub labeling of the (degree desc, id asc) rank order,
+# computed level-synchronously (PSL); the oracle unrolls the identical
+# per-level candidate + rank-filter + 2-hop-refutation recurrence, and the
+# brute-force canonical characterization (min-rank vertex on the union of
+# all shortest paths) is asserted equal in tests/test_pll.py.
+# ---------------------------------------------------------------------------
+
+PLL_LEVELS = 9  # contract-graph diameter is 8 (sf0.001) / 6 (sf0.01)
+
+
+def q_pll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.pll import pruned_landmark_labeling
+
+    g = load_graph(spark, sf_dir)
+    res = pruned_landmark_labeling(g)
+    return res.labels.select("hub", "id", "dist").orderBy("hub", "id")
+
+
+def _pll_sql(levels: int = PLL_LEVELS) -> str:
+    parts = [
+        "rnk AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER"
+        " (ORDER BY degree DESC, id ASC) AS r FROM deg)",
+        "lab0 AS MATERIALIZED (SELECT id AS hub, id,"
+        " CAST(0 AS BIGINT) AS dist FROM nodes)",
+        "f0 AS (SELECT hub, id, dist FROM lab0)",
+    ]
+    for d in range(1, levels + 1):
+        parts.append(
+            f"""c{d} AS MATERIALIZED (
+  SELECT DISTINCT f.hub, a.dst AS id FROM f{d - 1} f JOIN adj a ON a.src = f.id)"""
+        )
+        parts.append(
+            f"""f{d} AS MATERIALIZED (
+  SELECT c.hub, c.id, CAST({d} AS BIGINT) AS dist
+  FROM c{d} c JOIN rnk rh ON rh.id = c.hub JOIN rnk ru ON ru.id = c.id
+  WHERE rh.r < ru.r AND NOT EXISTS (
+    SELECT 1 FROM lab{d - 1} p JOIN lab{d - 1} q ON p.hub = q.hub
+    WHERE p.id = c.hub AND q.id = c.id AND p.dist + q.dist <= {d}))"""
+        )
+        parts.append(
+            f"lab{d} AS MATERIALIZED"
+            f" (SELECT * FROM lab{d - 1} UNION ALL SELECT * FROM f{d})"
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT hub, id, dist FROM lab{levels} ORDER BY hub, id"
+    )
+
+
+SQL_PLL = _pll_sql()
+
+
+# ---------------------------------------------------------------------------
+# DynPrunedLandmarkLabeling (distance/DynPrunedLandmarkLabeling.cpp:11-160)
+# — remove a deterministic ~7-edge subset, label the reduced graph, replay
+# the removed edges as EDGE_ADDITION events through the dynamic repair, and
+# answer 36 sampled s-t queries.  The oracle is INDEPENDENT semantics: BFS
+# distances on the final (full) graph — exactly the reference gtest's
+# update-vs-recompute invariant.
+# ---------------------------------------------------------------------------
+
+DYN_PLL_MOD = 499
+DYN_PLL_RES = 5
+DYN_PLL_K = 6
+
+
+def q_dyn_pll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.pll import (
+        dyn_pll_add_edges,
+        pll_query,
+        pruned_landmark_labeling,
+    )
+
+    g = load_graph(spark, sf_dir)
+    removed = (F.col("src") * 7 + F.col("dst") * 13) % DYN_PLL_MOD == DYN_PLL_RES
+    # bounded collect: the deterministic event list (7 edges at sf0.01)
+    events = [
+        (int(r["src"]), int(r["dst"]))
+        for r in g.edges.filter(removed).orderBy("src", "dst").collect()
+    ]
+    g0 = Graph(
+        g.edges.filter(~removed), vertices=g.nodes(),
+        directed=False, weighted=False,
+    )
+    res0 = pruned_landmark_labeling(g0)
+    res = dyn_pll_add_edges(g, res0, events)
+    nodes = [int(r["id"]) for r in g.nodes().orderBy("id").collect()]
+    pairs = spark.createDataFrame(
+        [(s, t) for s in nodes[:DYN_PLL_K] for t in nodes[-DYN_PLL_K:]],
+        "s long, t long",
+    )
+    return pll_query(res, pairs).orderBy("s", "t")
+
+
+SQL_DYN_PLL = (
+    f"WITH {GRAPH_CTES},\n"
+    + f"""srcs AS (SELECT id FROM nodes ORDER BY id LIMIT {DYN_PLL_K}),
+tgts AS (SELECT id FROM nodes ORDER BY id DESC LIMIT {DYN_PLL_K}),\n"""
+    + _bfs_unroll(
+        "adj",
+        "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM srcs",
+        DIAM_HOPS,
+    )
+    + f"""
+SELECT t.s, t.v AS t, t.dist FROM t{DIAM_HOPS} t
+WHERE t.v IN (SELECT id FROM tgts)
+ORDER BY t.s, t.v"""
+)
