@@ -118,6 +118,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------------------------------------------- 50-row cap
         "graph_complex_plci": e.q_complex_plci,
         "graph_prefix_jaccard": e.q_prefix_jaccard,
+        # --- round-5i: link-prediction completion (KatzIndex,
+        # AdjustedRand/NeighborhoodDistance/NeighborsMeasure/SameCommunity,
+        # AlgebraicDistanceIndex, RandomLinkSampler + ROC/PR metrics).
+        # Post-cap (the 50 slots are taken by earlier never-rowed round-5
+        # queries); full DuckDB oracles, rehearsal-verified at BOTH
+        # sf0.001 and sf0.01 (the driver's exact comparison) every round.
+        "graph_linkpred_more": e.q_linkpred_more,
+        "graph_linkpred_katz": e.q_linkpred_katz,
+        "graph_linkpred_algdist": e.q_linkpred_algdist,
+        "graph_linkpred_eval": e.q_linkpred_eval,
         # --- sf-INDEPENDENT gate (fixed n=1000 synthetic disk): the
         # sf0.001 rehearsal runs the identical comparison the driver
         # would, so a cap slot adds nothing ------------------------------
@@ -359,4 +369,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_mocnik": e.SQL_MOCNIK,
         "graph_pll": e.SQL_PLL,
         "graph_dyn_pll": e.SQL_DYN_PLL,
+        "graph_linkpred_more": e.SQL_LINKPRED_MORE,
+        "graph_linkpred_katz": e.SQL_LINKPRED_KATZ,
+        "graph_linkpred_algdist": e.SQL_LINKPRED_ALGDIST,
+        "graph_linkpred_eval": e.SQL_LINKPRED_EVAL,
     }

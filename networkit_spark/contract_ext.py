@@ -9080,3 +9080,389 @@ SELECT t.s, t.v AS t, t.dist FROM t{DIAM_HOPS} t
 WHERE t.v IN (SELECT id FROM tgts)
 ORDER BY t.s, t.v"""
 )
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction completion (linkprediction/AdjustedRandIndex.cpp:14-42,
+# NeighborhoodDistanceIndex.hpp:17-23, NeighborsMeasureIndex.hpp:18-31,
+# SameCommunityIndex.cpp:28-31) — the distance-2 candidate pairs scored
+# with the round-5 indices; SameCommunity uses the deterministic id%4
+# partition (the PLM default is gated separately via graph_plm).
+# ---------------------------------------------------------------------------
+
+def q_linkpred_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import missing_links
+    from networkit_spark.operators.linkpredmore import (
+        adjusted_rand_index,
+        neighborhood_distance_index,
+        neighbors_measure_index,
+        same_community_index,
+    )
+
+    g = load_graph(spark, sf_dir)
+    pairs = missing_links(g, 2).localCheckpoint(eager=True)
+    part = g.nodes().select("id", (F.col("id") % 4).alias("label"))
+    ari = adjusted_rand_index(g, pairs).withColumnRenamed("score", "ari")
+    nd = neighborhood_distance_index(g, pairs).withColumnRenamed(
+        "score", "nbhd_distance"
+    )
+    nm = neighbors_measure_index(g, pairs).withColumnRenamed(
+        "score", "nbrs_measure"
+    )
+    sc = same_community_index(g, pairs, part).withColumnRenamed(
+        "score", "same_comm"
+    )
+    return (
+        pairs.join(ari, ["u", "v"])
+        .join(nd, ["u", "v"])
+        .join(nm, ["u", "v"])
+        .join(sc, ["u", "v"])
+        .select(
+            "u",
+            "v",
+            F.round("ari", 6).alias("ari"),
+            F.round("nbhd_distance", 6).alias("nbhd_distance"),
+            F.col("nbrs_measure").cast("long").alias("nbrs_measure"),
+            F.col("same_comm").cast("long").alias("same_comm"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+SQL_LINKPRED_MORE = f"""
+WITH {GRAPH_CTES},
+wedge AS (
+  SELECT a1.dst AS u, a2.dst AS v, a1.src AS w
+  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+),
+cand AS (
+  SELECT u, v, COUNT(*) AS cn FROM wedge wx
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = wx.u AND e.dst = wx.v)
+  GROUP BY u, v
+),
+btw AS (
+  SELECT c.u, c.v, COUNT(*) AS b
+  FROM cand c
+  JOIN adj au ON au.src = c.u
+  JOIN adj av ON av.src = c.v
+  JOIN edges e ON e.src = LEAST(au.dst, av.dst)
+             AND e.dst = GREATEST(au.dst, av.dst)
+  GROUP BY c.u, c.v
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+sc AS (
+  SELECT c.u, c.v,
+         CAST(c.cn AS DOUBLE) AS a,
+         CAST(du.degree + dv.degree - c.cn AS DOUBLE) AS b2,
+         CAST((SELECT n FROM nn) - (du.degree + dv.degree - c.cn)
+              AS DOUBLE) AS d2,
+         CAST(du.degree AS DOUBLE) AS du, CAST(dv.degree AS DOUBLE) AS dv,
+         COALESCE(bt.b, 0) AS btwn
+  FROM cand c
+  JOIN deg du ON du.id = c.u
+  JOIN deg dv ON dv.id = c.v
+  LEFT JOIN btw bt ON bt.u = c.u AND bt.v = c.v
+)
+SELECT u, v,
+       ROUND(CASE WHEN (a*b2 + a*b2 + 2*a*d2 + b2*b2 + b2*d2 + b2*b2 + b2*d2)
+                       <> 0
+                  THEN 2 * (a*d2 - b2*b2)
+                       / (a*b2 + a*b2 + 2*a*d2 + b2*b2 + b2*d2 + b2*b2 + b2*d2)
+                  ELSE 0.0 END, 6) AS ari,
+       ROUND(a / SQRT(du * dv), 6) AS nbhd_distance,
+       CAST(a + btwn AS BIGINT) AS nbrs_measure,
+       CASE WHEN u % 4 = v % 4 THEN 1 ELSE 0 END AS same_comm
+FROM sc
+ORDER BY u, v
+"""
+
+
+# ---------------------------------------------------------------------------
+# KatzIndex (linkprediction/KatzIndex.cpp:36-60) — walk-hit accumulation
+# from the lower-degree endpoint over the distance-2 candidate pairs;
+# damping 0.5 makes every addend an exact dyadic rational, so the
+# 4-level unrolled oracle is hash-exact.
+# ---------------------------------------------------------------------------
+
+KATZ_LEVELS = 4
+KATZ_DAMPING = 0.5
+
+
+def q_linkpred_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import missing_links
+    from networkit_spark.operators.linkpredmore import katz_index
+
+    g = load_graph(spark, sf_dir)
+    pairs = missing_links(g, 2)
+    return (
+        katz_index(
+            g, pairs, max_path_length=KATZ_LEVELS, damping=KATZ_DAMPING
+        )
+        .select("u", "v", F.round("score", 6).alias("score"))
+        .orderBy("u", "v")
+    )
+
+
+def _linkpred_katz_sql(
+    levels: int = KATZ_LEVELS, damping: float = KATZ_DAMPING
+) -> str:
+    parts = [
+        """tg AS MATERIALIZED (
+  SELECT c.u, c.v,
+         CASE WHEN du.degree > dv.degree THEN c.v ELSE c.u END AS s,
+         CASE WHEN du.degree > dv.degree THEN c.u ELSE c.v END AS e
+  FROM cand c JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v)""",
+        "f0 AS (SELECT DISTINCT s, s AS node FROM tg)",
+    ]
+    unions = []
+    for lv in range(1, levels + 1):
+        parts.append(
+            f"""h{lv} AS MATERIALIZED (
+  SELECT f.s, a.dst AS node, COUNT(*) AS h
+  FROM f{lv - 1} f JOIN adj a ON a.src = f.node GROUP BY f.s, a.dst)"""
+        )
+        parts.append(f"f{lv} AS (SELECT s, node FROM h{lv})")
+        unions.append(
+            f"SELECT s, node, CAST({damping**lv!r} AS DOUBLE) * h AS c"
+            f" FROM h{lv}"
+        )
+    contrib = " UNION ALL ".join(unions)
+    return f"""
+WITH {GRAPH_CTES},
+wedge AS (
+  SELECT a1.dst AS u, a2.dst AS v
+  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+),
+cand AS (
+  SELECT DISTINCT u, v FROM wedge wx
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = wx.u AND e.dst = wx.v)
+),
+{','.join(parts)},
+contrib AS ({contrib}),
+score AS (SELECT s, node, SUM(c) AS score FROM contrib GROUP BY s, node)
+SELECT tg.u, tg.v, ROUND(COALESCE(sc.score, 0.0), 6) AS score
+FROM tg LEFT JOIN score sc ON sc.s = tg.s AND sc.node = tg.e
+ORDER BY tg.u, tg.v"""
+
+
+SQL_LINKPRED_KATZ = _linkpred_katz_sql()
+
+
+# ---------------------------------------------------------------------------
+# AlgebraicDistanceIndex (linkprediction/AlgebraicDistanceIndex.cpp:24-74)
+# — RAW (un-normalized, unlike distance/AlgebraicDistance) md5 loads,
+# 5 unrolled Jacobi iterations, 2-norm over the distance-2 candidates.
+# ---------------------------------------------------------------------------
+
+LPAD_SYSTEMS = 3
+LPAD_ITERS = 5
+LPAD_SEED = 11
+
+
+def q_linkpred_algdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import missing_links
+    from networkit_spark.operators.linkpredmore import algebraic_distance_index
+
+    g = load_graph(spark, sf_dir)
+    pairs = missing_links(g, 2)
+    return (
+        algebraic_distance_index(
+            g, pairs, num_systems=LPAD_SYSTEMS, num_iters=LPAD_ITERS,
+            omega=0.5, norm=2, seed=LPAD_SEED,
+        )
+        .select("u", "v", F.round("score", 6).alias("score"))
+        .orderBy("u", "v")
+    )
+
+
+def _linkpred_algdist_sql(
+    k: int = LPAD_SYSTEMS, iters: int = LPAD_ITERS, seed: int = LPAD_SEED
+) -> str:
+    cols = [f"l{i}" for i in range(k)]
+    init = ", ".join(
+        f"CAST({_md5_long13_sql(f_h)} AS DOUBLE) / 4503599627370496.0"
+        f" AS {c}"
+        for i, c in enumerate(cols)
+        for f_h in [f"md5('ad|{seed}|{i}|' || CAST(id AS VARCHAR))"]
+    )
+    parts = [f"x0 AS MATERIALIZED (SELECT id, {init} FROM nodes)"]
+    for t in range(1, iters + 1):
+        p = t - 1
+        sums = ", ".join(f"SUM(x.{c}) AS s_{c}" for c in cols)
+        blend = ", ".join(
+            f"CASE WHEN n.wd IS NOT NULL THEN 0.5 * p.{c}"
+            f" + 0.5 * (n.s_{c} / n.wd) ELSE p.{c} END AS {c}"
+            for c in cols
+        )
+        parts.append(
+            f"""n{t} AS (
+  SELECT a.src AS id, CAST(COUNT(*) AS DOUBLE) AS wd, {sums}
+  FROM adj a JOIN x{p} x ON x.id = a.dst GROUP BY a.src
+),
+x{t} AS MATERIALIZED (
+  SELECT p.id, {blend}
+  FROM x{p} p LEFT JOIN n{t} n ON n.id = p.id
+)"""
+        )
+    sq = " + ".join(
+        f"POWER(ABS(xu.{c} - xv.{c}), 2.0)" for c in cols
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + """wedge AS (
+  SELECT a1.dst AS u, a2.dst AS v
+  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+),
+cand AS (
+  SELECT DISTINCT u, v FROM wedge wx
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = wx.u AND e.dst = wx.v)
+),
+"""
+        + ",\n".join(parts)
+        + f"""
+SELECT c.u, c.v, ROUND(POWER({sq}, 0.5), 6) AS score
+FROM cand c JOIN x{iters} xu ON xu.id = c.u JOIN x{iters} xv ON xv.id = c.v
+ORDER BY c.u, c.v"""
+    )
+
+
+SQL_LINKPRED_ALGDIST = _linkpred_algdist_sql()
+
+
+# ---------------------------------------------------------------------------
+# RandomLinkSampler + ROCMetric + PrecisionRecallMetric
+# (linkprediction/RandomLinkSampler.cpp:15-35, EvaluationMetric.cpp:26-178,
+# ROCMetric.cpp:12-31, PrecisionRecallMetric.cpp:12-38) — md5-rank 70%
+# training split, common-neighbor predictions on its distance-2 missing
+# links, evaluated against the FULL graph: curve points (equal-x dedup
+# keeps the last y) + trapezoid AUC for both metrics.
+# ---------------------------------------------------------------------------
+
+LPE_SEED = 3
+LPE_TRAIN = 0.7
+LPE_NT = 9
+
+
+def q_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import (
+        link_prediction,
+        missing_links,
+    )
+    from networkit_spark.operators.linkpredmore import (
+        evaluation_curve,
+        random_link_sampler_by_percentage,
+    )
+
+    g = load_graph(spark, sf_dir)
+    tr = random_link_sampler_by_percentage(g, LPE_TRAIN, seed=LPE_SEED)
+    preds = link_prediction(
+        tr, pairs=missing_links(tr, 2), indices=("common_neighbors",)
+    ).select("u", "v", F.col("common_neighbors").alias("score"))
+    rows = []
+    for metric in ("roc", "pr"):
+        pts, auc = evaluation_curve(
+            preds, g, metric=metric, num_thresholds=LPE_NT
+        )
+        rows += [
+            (metric, i, round(x, 6), round(y, 6), round(auc, 6))
+            for i, (x, y) in enumerate(pts)
+        ]
+    return spark.createDataFrame(
+        rows, "metric string, i long, x double, y double, auc double"
+    ).orderBy("metric", "i")
+
+
+SQL_LINKPRED_EVAL = f"""
+WITH {GRAPH_CTES},
+ek AS (
+  SELECT src, dst,
+         {_md5_long13_sql("md5('rls|" + str(LPE_SEED) + "|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR))")} AS k
+  FROM edges
+),
+mm AS (SELECT COUNT(*) AS m FROM edges),
+rk AS (
+  SELECT src, dst, ROW_NUMBER() OVER (ORDER BY k, src, dst) - 1 AS r FROM ek
+),
+tr AS (
+  SELECT src, dst FROM rk
+  WHERE r >= (SELECT m - CAST(FLOOR({LPE_TRAIN} * m) AS BIGINT) FROM mm)
+),
+tadj AS (SELECT src, dst FROM tr UNION ALL SELECT dst AS src, src AS dst FROM tr),
+wedge2 AS (
+  SELECT a1.dst AS u, a2.dst AS v
+  FROM tadj a1 JOIN tadj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+),
+pr AS (
+  SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS score FROM wedge2 w
+  WHERE NOT EXISTS (SELECT 1 FROM tr e WHERE e.src = w.u AND e.dst = w.v)
+  GROUP BY u, v
+),
+rnk AS (
+  SELECT u, v, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC) AS rn,
+         CASE WHEN EXISTS (SELECT 1 FROM edges e WHERE e.src = u AND e.dst = v)
+              THEN 1 ELSE 0 END AS pos
+  FROM pr
+),
+np AS (SELECT COUNT(*) AS np, SUM(pos) AS npos FROM rnk),
+cum AS (SELECT rn, SUM(pos) OVER (ORDER BY rn) AS ctp FROM rnk),
+th AS (
+  SELECT DISTINCT CAST(CEIL(np * (CAST(i AS DOUBLE) / {LPE_NT - 1}.0))
+                       AS BIGINT) AS t
+  FROM np, range({LPE_NT}) r(i)
+),
+tpt AS (
+  SELECT t.t, COALESCE(c.ctp, 0) AS tp,
+         t.t - COALESCE(c.ctp, 0) AS fp
+  FROM th t LEFT JOIN cum c ON c.rn = t.t
+),
+rocp AS (
+  SELECT t, CAST(fp AS DOUBLE) / (SELECT np - npos FROM np) AS x,
+         CAST(tp AS DOUBLE) / (SELECT npos FROM np) AS y
+  FROM tpt
+),
+rocd AS (
+  SELECT x, y FROM (
+    SELECT x, y, ROW_NUMBER() OVER (PARTITION BY x ORDER BY t DESC) AS rr
+    FROM rocp) WHERE rr = 1
+),
+rocseg AS (
+  SELECT x, y, LEAD(x) OVER (ORDER BY x) AS nx,
+         LEAD(y) OVER (ORDER BY x) AS ny FROM rocd
+),
+rocauc AS (SELECT SUM(0.5 * (nx - x) * (y + ny)) AS auc FROM rocseg
+           WHERE nx IS NOT NULL),
+prp AS (
+  SELECT t,
+         CASE WHEN tp > 0 OR ((SELECT npos FROM np) - tp) > 0
+              THEN CAST(tp AS DOUBLE) / (SELECT npos FROM np)
+              ELSE 1.0 END AS x,
+         CASE WHEN tp > 0 OR fp > 0
+              THEN CAST(tp AS DOUBLE) / (tp + fp)
+              ELSE 1.0 END AS y
+  FROM tpt
+),
+prd AS (
+  SELECT x, y FROM (
+    SELECT x, y, ROW_NUMBER() OVER (PARTITION BY x ORDER BY t DESC) AS rr
+    FROM prp) WHERE rr = 1
+),
+prseg AS (
+  SELECT x, y, LEAD(x) OVER (ORDER BY x) AS nx,
+         LEAD(y) OVER (ORDER BY x) AS ny FROM prd
+),
+prauc AS (SELECT SUM(0.5 * (nx - x) * (y + ny)) AS auc FROM prseg
+          WHERE nx IS NOT NULL)
+SELECT 'roc' AS metric,
+       ROW_NUMBER() OVER (ORDER BY x) - 1 AS i,
+       ROUND(x, 6) AS x, ROUND(y, 6) AS y,
+       ROUND((SELECT auc FROM rocauc), 6) AS auc
+FROM rocd
+UNION ALL
+SELECT 'pr' AS metric,
+       ROW_NUMBER() OVER (ORDER BY x) - 1 AS i,
+       ROUND(x, 6) AS x, ROUND(y, 6) AS y,
+       ROUND((SELECT auc FROM prauc), 6) AS auc
+FROM prd
+ORDER BY metric, i
+"""
