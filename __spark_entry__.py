@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only entries (grow-shrink replica-proven in
         # tests/test_growshrink.py; the UST family against dense-exact
         # pseudo-inverse values in tests/test_ust.py) -------------------
+        # --- round-5j: Dinic (value-equal companion of in-cap
+        # graph_maxflow; full EK-unroll oracle projecting the flow value)
+        "graph_dinic": e.q_dinic,
         "graph_grow_shrink": e.q_grow_shrink,
         "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
@@ -304,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_group_harmonic": e.SQL_GROUP_HARMONIC,
         "graph_kadabra": e.SQL_KADABRA,
         "graph_maxflow": e.SQL_MAXFLOW,
+        "graph_dinic": e.SQL_DINIC,
         "graph_edge_switching": e.SQL_EDGE_SWITCHING,
         "graph_max_cliques": e.SQL_MAX_CLIQUES,
         "graph_scd_nibble": e.SQL_SCD_NIBBLE,

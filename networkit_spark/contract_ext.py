@@ -1307,7 +1307,8 @@ def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = load_graph(spark, sf_dir)
     lb, ub = diameter(g, algo="exact", check=False)
-    assert lb == ub
+    if lb != ub:
+        raise AssertionError(f"exact diameter did not converge: lb={lb} ub={ub}")
     eff = effective_diameter(g, ratio=EFF_RATIO, check=False)
     return spark.createDataFrame(
         [(int(lb), float(eff))], "diameter bigint, eff_diameter double"
@@ -4245,6 +4246,48 @@ SELECT ROUND({vals}, 6) AS flow,
 
 
 SQL_MAXFLOW = _maxflow_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dinic max flow (flow/Dinic.cpp:15-140) — directed graph built from the
+# contract graph's symmetric adjacency with unit capacities (Dinic requires
+# directed+weighted, :17-22).  The flow VALUE equals the undirected
+# Edmonds-Karp value (max-flow/min-cut; both route the same unit
+# capacities), so the oracle is the EK unroll projecting the value only.
+# ---------------------------------------------------------------------------
+
+def q_dinic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.flow import dinic
+
+    g = load_graph(spark, sf_dir)
+    deg = g.degrees()
+    s = int(deg.orderBy(F.asc("degree"), F.asc("id")).limit(1).collect()[0]["id"])
+    t = int(deg.orderBy(F.desc("degree"), F.asc("id")).limit(1).collect()[0]["id"])
+    gd = Graph(
+        g.adj().select("src", "dst", F.lit(1.0).alias("weight")),
+        vertices=g.nodes(),
+        directed=True,
+        weighted=True,
+    )
+    val, info = dinic(gd, s, t, max_phases=FLOW_AUGS)
+    if info.iterations >= FLOW_AUGS:  # must survive python -O
+        raise AssertionError("dinic hit the phase unroll bound")
+    return spark.createDataFrame([(float(val),)], "flow double").select(
+        F.round("flow", 6).alias("flow")
+    )
+
+
+def _dinic_sql(augs: int = FLOW_AUGS, lvls: int = FLOW_LVLS) -> str:
+    full = _maxflow_sql(augs, lvls)
+    head, _, _ = full.rpartition("\nSELECT ROUND(")
+    vals = " + ".join(
+        f"COALESCE((SELECT b FROM bn{a}), 0)" for a in range(1, augs + 1)
+    )
+    return head + f"\nSELECT ROUND({vals}, 6) AS flow"
+
+
+SQL_DINIC = _dinic_sql()
 
 
 # ---------------------------------------------------------------------------

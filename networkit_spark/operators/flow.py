@@ -233,3 +233,187 @@ def cut_clustering(
     return spark.createDataFrame(
         sorted(labels.items()), "id long, label long"
     )
+
+
+def dinic(
+    g: Graph,
+    source: int,
+    sink: int,
+    max_phases: int = 64,
+    max_paths: int = 10_000,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[float, SuperstepResult]:
+    """Dinic max-flow VALUE on a directed weighted graph.
+
+    Reference: /root/reference/networkit/cpp/flow/Dinic.cpp:15-140 —
+    run() alternates level-graph BFS (canReachTargetInLevelGraph,
+    :50-76) with a blocking flow over the level parents
+    (computeBlockingPath, :78-124) until the sink leaves the level
+    graph; requires a directed weighted graph (:17-22) and non-negative
+    capacities (:36-38).  The flow VALUE is engine-independent
+    (max-flow/min-cut); the reference exposes only getMaxFlow (:139).
+
+    Spark plan: each phase is one level BFS (frontier joins, O(frontier)
+    rows per step) on the residual arcs; the blocking flow saturates the
+    shortest-path DAG one deterministic min-parent path at a time — the
+    same tiny-join backtrack as :func:`edmonds_karp`, but restricted to
+    arcs with level(dst) = level(src)+1, which is what bounds the phase
+    count at O(V).  Phase count and per-phase path count are data-small
+    (paths of one length class per phase); driver state is O(path).
+    """
+    if not g.directed:
+        raise ValueError("Dinic requires a directed graph (Dinic.cpp:17)")
+    if source == sink:
+        raise ValueError("source and sink must differ (Dinic.cpp:23)")
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    if g.edges.filter(F.col("weight") < 0).limit(1).count() > 0:
+        raise ValueError("Dinic requires non-negative capacities")
+    arcs = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.col("weight").alias("cap"))
+        .groupBy("src", "dst")
+        .agg(F.sum("cap").alias("cap"))
+    )
+    arcs = materialize_partitioned(arcs, "src")
+    flow = spark.createDataFrame([], "src long, dst long, f double")
+    total = 0.0
+    metrics: list[dict] = []
+    paths = 0
+    phase = 0
+
+    def residual(fl: DataFrame) -> DataFrame:
+        rev = fl.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col("f").alias("fr"),
+        )
+        return (
+            arcs.join(fl.hint("shuffle_hash"), ["src", "dst"], "left")
+            .join(rev.hint("shuffle_hash"), ["src", "dst"], "left")
+            .select(
+                "src", "dst",
+                (
+                    F.col("cap")
+                    - F.coalesce("f", F.lit(0.0))
+                    + F.coalesce("fr", F.lit(0.0))
+                ).alias("r"),
+            )
+            .filter(F.col("r") > 1e-12)
+        )
+
+    while phase < max_phases:
+        phase += 1
+        t0 = time.time()
+        radj = ckpt.cut(residual(flow), 10_000 + phase)
+        # level BFS from source (Dinic.cpp:50-76)
+        levels = spark.createDataFrame([(source, 0)], "v long, lvl long")
+        frontier = levels
+        sink_lvl = None
+        lvl = 0
+        while True:
+            lvl += 1
+            nxt = (
+                frontier.hint("shuffle_hash")
+                .join(radj, frontier.v == radj.src)
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(levels.select("v"), "v", "left_anti")
+                .select("v", F.lit(lvl).cast("long").alias("lvl"))
+            )
+            nxt = ckpt.cut(nxt, 10_000 + 100 * phase + lvl)
+            if nxt.limit(1).count() == 0:
+                break
+            levels = levels.unionByName(nxt)
+            if lvl % 8 == 0:
+                levels = ckpt.cut(levels, 10_000 + 100 * phase + 50 + lvl)
+            if nxt.filter(F.col("v") == sink).limit(1).count() > 0:
+                sink_lvl = lvl
+                break
+            frontier = nxt
+        if sink_lvl is None:
+            metrics.append(
+                ckpt.log(phase, phase_name="done", value=total,
+                         wall_sec=time.time() - t0)
+            )
+            phase -= 1
+            break
+        levels = ckpt.cut(levels, 10_000 + 100 * phase + 99)
+        lsrc = levels.select(F.col("v").alias("src"), F.col("lvl").alias("lsrc"))
+        ldst = levels.select(F.col("v").alias("dst"), F.col("lvl").alias("ldst"))
+        pushed_phase = 0.0
+        # blocking flow: saturate min-parent shortest paths on the level
+        # DAG until the sink is cut off at this level (Dinic.cpp:78-124)
+        while paths < max_paths:
+            lradj = (
+                residual(flow)
+                .join(lsrc, "src")
+                .join(ldst, "dst")
+                .filter(
+                    (F.col("ldst") == F.col("lsrc") + 1)
+                    & (F.col("ldst") <= sink_lvl)
+                )
+                .select("src", "dst", "r")
+            )
+            lradj = ckpt.cut(lradj, 20_000 + 100 * phase + paths % 100)
+            # min-parent BFS of depth sink_lvl on the level arcs
+            vis = spark.createDataFrame(
+                [(source, None)], "v long, par long"
+            )
+            frontier = vis.select("v")
+            reached = False
+            for step in range(1, sink_lvl + 1):
+                nxt = (
+                    frontier.hint("shuffle_hash")
+                    .join(lradj, frontier.v == lradj.src)
+                    .groupBy(F.col("dst").alias("v"))
+                    .agg(F.min("src").alias("par"))
+                    .join(vis.select("v"), "v", "left_anti")
+                )
+                nxt = ckpt.cut(
+                    nxt, 30_000 + 1000 * phase + 10 * (paths % 90) + step
+                )
+                if nxt.limit(1).count() == 0:
+                    break
+                vis = vis.unionByName(nxt)
+                if nxt.filter(F.col("v") == sink).limit(1).count() > 0:
+                    reached = True
+                    break
+                frontier = nxt.select("v")
+            if not reached:
+                break
+            paths += 1
+            path: list[tuple[int, int]] = []
+            cur = sink
+            for _ in range(sink_lvl):
+                row = vis.filter(F.col("v") == cur).collect()[0]
+                par = row["par"]
+                if par is None:
+                    break
+                path.append((int(par), cur))
+                cur = int(par)
+            path_df = spark.createDataFrame(path, "src long, dst long")
+            bottleneck = float(
+                lradj.join(F.broadcast(path_df), ["src", "dst"])
+                .agg(F.min("r").alias("b"))
+                .collect()[0]["b"]
+            )
+            total += bottleneck
+            pushed_phase += bottleneck
+            flow = ckpt.cut(
+                flow.unionByName(
+                    path_df.select(
+                        "src", "dst", F.lit(bottleneck).alias("f")
+                    )
+                )
+                .groupBy("src", "dst")
+                .agg(F.sum("f").alias("f")),
+                40_000 + paths,
+            )
+        metrics.append(
+            ckpt.log(phase, phase_name="blocking_flow", pushed=pushed_phase,
+                     value=total, wall_sec=time.time() - t0)
+        )
+        if pushed_phase <= 1e-12:
+            break
+    arcs.unpersist()
+    return total, SuperstepResult(iterations=phase, metrics=metrics)

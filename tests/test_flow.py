@@ -67,3 +67,63 @@ def test_cut_clustering_proper_partition(spark):
     # very large alpha: every node's min cut isolates it -> singletons
     singles = cut_clustering(g, alpha=10.0)
     assert singles.select("label").distinct().count() == 8
+
+
+# ---------------------------------------------------------------------------
+# Dinic (flow/Dinic.cpp)
+# ---------------------------------------------------------------------------
+
+def test_dinic_directed_known_value(spark):
+    from networkit_spark.operators.flow import dinic
+
+    g = Graph.from_pandas(spark, DIRECTED, directed=True, weighted=True, n=6)
+    v, info = dinic(g, 0, 5)
+    assert v == pytest.approx(19.0)
+    # phases strictly fewer than EK augment count is not guaranteed, but
+    # the phase count is bounded by the number of distinct s-t distance
+    # classes; this fixture needs <= 3
+    assert info.iterations <= 3
+
+
+def test_dinic_matches_edmonds_karp(spark):
+    from networkit_spark.operators.flow import dinic
+
+    edges = [
+        (0, 1, 3.0), (0, 2, 7.0), (1, 3, 9.0), (1, 4, 9.0), (2, 1, 5.0),
+        (2, 4, 9.0), (3, 5, 3.0), (4, 3, 8.0), (4, 5, 17.0), (3, 4, 2.0),
+    ]
+    g = Graph.from_pandas(spark, edges, directed=True, weighted=True, n=6)
+    v_ek, _, _ = edmonds_karp(g, 0, 5)
+    v_d, _ = dinic(g, 0, 5)
+    assert v_d == pytest.approx(v_ek)
+
+
+def test_dinic_rejects_undirected_and_loops(spark):
+    from networkit_spark.operators.flow import dinic
+
+    gu = Graph.from_pandas(spark, [(0, 1)], n=2)
+    with pytest.raises(ValueError, match="directed"):
+        dinic(gu, 0, 1)
+    gd = Graph.from_pandas(spark, [(0, 1, 1.0)], directed=True,
+                           weighted=True, n=2)
+    with pytest.raises(ValueError, match="differ"):
+        dinic(gd, 0, 0)
+
+
+def test_dinic_negative_capacity_rejected(spark):
+    from networkit_spark.operators.flow import dinic
+
+    g = Graph.from_pandas(spark, [(0, 1, -1.0), (1, 2, 1.0)],
+                          directed=True, weighted=True, n=3)
+    with pytest.raises(ValueError, match="non-negative"):
+        dinic(g, 0, 2)
+
+
+def test_dinic_disconnected_sink_zero(spark):
+    from networkit_spark.operators.flow import dinic
+
+    g = Graph.from_pandas(spark, [(0, 1, 4.0), (2, 3, 4.0)],
+                          directed=True, weighted=True, n=4)
+    v, info = dinic(g, 0, 3)
+    assert v == 0.0
+    assert info.iterations == 0
