@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5j: Dinic (value-equal companion of in-cap
         # graph_maxflow; full EK-unroll oracle projecting the flow value)
         "graph_dinic": e.q_dinic,
+        # --- round-5j: GraphDifference edit script (full SQL oracle)
+        "graph_diff": e.q_graph_diff,
         "graph_grow_shrink": e.q_grow_shrink,
         "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
@@ -308,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kadabra": e.SQL_KADABRA,
         "graph_maxflow": e.SQL_MAXFLOW,
         "graph_dinic": e.SQL_DINIC,
+        "graph_diff": e.SQL_GRAPH_DIFF,
         "graph_edge_switching": e.SQL_EDGE_SWITCHING,
         "graph_max_cliques": e.SQL_MAX_CLIQUES,
         "graph_scd_nibble": e.SQL_SCD_NIBBLE,

@@ -9509,3 +9509,72 @@ SELECT 'pr' AS metric,
 FROM prd
 ORDER BY metric, i
 """
+
+
+# ---------------------------------------------------------------------------
+# GraphDifference (dynamics/GraphDifference.cpp:18-120) — edit script from
+# the contract graph to a deterministically perturbed variant: drop edges
+# with (src*7+dst)%9 = 0, add the canonicalized (src, (dst+1)%N) image of
+# edges with (src+dst)%5 = 0.  Node sets are edge-endpoint-derived, so node
+# removals/additions arise naturally; the id-bound rule picks
+# RESTORATION vs ADDITION exactly as the operator does.
+# ---------------------------------------------------------------------------
+
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.streaming.dynamics import graph_difference
+
+    g1 = load_graph(spark, sf_dir)
+    e = g1.edges
+    keep = e.filter((F.col("src") * 7 + F.col("dst")) % 9 != 0).select(
+        "src", "dst"
+    )
+    shifted = (
+        e.filter((F.col("src") + F.col("dst")) % 5 == 0)
+        .select(
+            F.least(F.col("src"), (F.col("dst") + 1) % N_MOD).alias("src"),
+            F.greatest(F.col("src"), (F.col("dst") + 1) % N_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e2 = keep.unionByName(shifted).distinct().withColumn(
+        "weight", F.lit(1.0)
+    )
+    g2 = Graph(e2, vertices=None, directed=False, weighted=False)
+    return graph_difference(g1, g2).select(
+        "cls", "type", "u", "v", F.round("w", 6).alias("w")
+    )
+
+
+SQL_GRAPH_DIFF = f"""
+WITH {GRAPH_CTES},
+e2 AS (
+  SELECT src, dst FROM edges WHERE (src * 7 + dst) % 9 <> 0
+  UNION
+  SELECT LEAST(src, (dst + 1) % {N_MOD}) AS src,
+         GREATEST(src, (dst + 1) % {N_MOD}) AS dst
+  FROM edges WHERE (src + dst) % 5 = 0 AND src <> (dst + 1) % {N_MOD}
+),
+n1 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges
+                                UNION SELECT dst FROM edges)),
+n2 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e2
+                                UNION SELECT dst FROM e2)),
+b1 AS (SELECT MAX(id) AS b FROM n1)
+SELECT 0 AS cls, 'EDGE_REMOVAL' AS type, e.src AS u, e.dst AS v,
+       CAST(NULL AS DOUBLE) AS w
+FROM edges e WHERE NOT EXISTS
+  (SELECT 1 FROM e2 WHERE e2.src = e.src AND e2.dst = e.dst)
+UNION ALL
+SELECT 1, 'NODE_REMOVAL', n1.id, NULL, NULL
+FROM n1 WHERE NOT EXISTS (SELECT 1 FROM n2 WHERE n2.id = n1.id)
+UNION ALL
+SELECT 1,
+       CASE WHEN n2.id <= (SELECT b FROM b1) THEN 'NODE_RESTORATION'
+            ELSE 'NODE_ADDITION' END,
+       n2.id, NULL, NULL
+FROM n2 WHERE NOT EXISTS (SELECT 1 FROM n1 WHERE n1.id = n2.id)
+UNION ALL
+SELECT 2, 'EDGE_ADDITION', e2.src, e2.dst, ROUND(1.0, 6)
+FROM e2 WHERE NOT EXISTS
+  (SELECT 1 FROM edges e WHERE e.src = e2.src AND e.dst = e2.dst)
+"""

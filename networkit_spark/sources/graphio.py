@@ -373,7 +373,7 @@ def read_dgs(spark: SparkSession, path: str):
             if not parts:
                 continue
             tag = parts[0]
-            if tag == "st" and len(parts) == 2:
+            if tag == "st":  # bare "st" (DGSWriter.cpp:52) or "st <t>"
                 step += 1
                 rows.append((step, "TIME_STEP", None, None, None))
             elif tag == "an" and len(parts) >= 2:
@@ -1298,3 +1298,47 @@ def write_postscript(
         out.append("grestore\n")
     with open(path, "w") as fh:
         fh.write("".join(out))
+
+
+def write_dgs(events: DataFrame, path: str, order_by=("step", "cls", "u", "v")) -> None:
+    """DGSWriter (/root/reference/networkit/cpp/dynamics/DGSWriter.cpp:
+    14-60): serialize a GraphEvent relation as a DGS004 stream — header
+    ``DGS004 / noname 0 0`` (:17), `an`/`dn`/`rn` node lines, `ae u-v u
+    v weight=w`, `de u-v`, `ce u-v weight=w`, `ie u-v weight=w`, `st`
+    (:20-55).  Edge names are the reference's own ``u-v`` scheme (:34).
+
+    ``events`` columns: (type, u, v[, w][, step][, cls]); rows are
+    emitted in ``order_by`` order restricted to the columns present
+    (a DGS stream is ordered; pass the ordering your event source
+    defines).  Fixture-scale writer (driver-side collect) like every
+    other format writer here — parquet is the 100 TB-native format.
+    """
+    cols = set(events.columns)
+    keys = [c for c in order_by if c in cols]
+    rows = events.orderBy(*keys).collect() if keys else events.collect()
+    with open(path, "w") as out:
+        out.write("DGS004\nnoname 0 0\n")
+        for r in rows:
+            t = r["type"]
+            u = None if "u" not in cols else r["u"]
+            v = None if "v" not in cols else r["v"]
+            w = None if "w" not in cols else r["w"]
+            if t == "NODE_ADDITION":
+                out.write(f"an {u}\n")
+            elif t == "NODE_REMOVAL":
+                out.write(f"dn {u}\n")
+            elif t == "NODE_RESTORATION":
+                out.write(f"rn {u}\n")
+            elif t == "EDGE_ADDITION":
+                ww = 1.0 if w is None else w
+                out.write(f"ae {u}-{v} {u} {v} weight={ww}\n")
+            elif t == "EDGE_REMOVAL":
+                out.write(f"de {u}-{v}\n")
+            elif t == "EDGE_WEIGHT_UPDATE":
+                out.write(f"ce {u}-{v} weight={w}\n")
+            elif t == "EDGE_WEIGHT_INCREMENT":
+                out.write(f"ie {u}-{v} weight={w}\n")
+            elif t == "TIME_STEP":
+                out.write("st\n")
+            else:
+                raise ValueError(f"unknown event type: {t}")

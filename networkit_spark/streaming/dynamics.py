@@ -215,3 +215,100 @@ def stream_components(spark, events_stream: DataFrame, g0: Graph, out_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def graph_difference(g1: Graph, g2: Graph) -> DataFrame:
+    """Edit script turning ``g1`` into ``g2`` — the reference's
+    GraphDifference (/root/reference/networkit/cpp/dynamics/
+    GraphDifference.cpp:18-120): edge removals first, then node events,
+    then edge additions / weight updates (:31-33, :115-119); a G2-only
+    node inside G1's id bound is a NODE_RESTORATION, beyond it a
+    NODE_ADDITION (:43-59); a common edge with a different weight is an
+    EDGE_WEIGHT_UPDATE carrying G2's weight (:83-86).
+
+    Returns (cls, type, u, v, w) where ``cls`` is the reference's emit
+    class (0 = edge removals, 1 = node events, 2 = edge additions +
+    weight updates); the deterministic total order is (cls, u, v).
+    Documented deviations: within a class the reference emits in node-
+    scan x neighbor-insertion order (storage-dependent) — here (u, v)
+    ascending; the reference's add-then-remove id-bound padding
+    (:48-53) is an artifact of its dense id allocator and has no
+    analogue for explicit-id DataFrame graphs.
+
+    Spark plan: four anti-/outer-joins on the canonical edge sets and
+    one on the node sets — no windows, no collects beyond the single
+    max-id scalar.
+    """
+    if g1.directed != g2.directed:
+        raise ValueError(
+            "either both or none of the graphs must be directed"
+        )
+    if g1.weighted != g2.weighted:
+        raise ValueError(
+            "either both or none of the graphs must be weighted"
+        )
+
+    def canon(g: Graph) -> DataFrame:
+        e = g.edges.select("src", "dst", "weight")
+        if not g.directed:
+            e = e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+        return e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+    e1, e2 = canon(g1), canon(g2)
+    n1, n2 = g1.nodes(), g2.nodes()
+    bound1 = n1.agg(F.max("id").alias("m")).collect()[0]["m"]
+    bound1 = -1 if bound1 is None else int(bound1)
+
+    edge_removals = (
+        e1.join(e2.select("src", "dst"), ["src", "dst"], "left_anti")
+        .select(
+            F.lit(0).alias("cls"), F.lit("EDGE_REMOVAL").alias("type"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.lit(None).cast("double").alias("w"),
+        )
+    )
+    node_removals = n1.join(n2, "id", "left_anti").select(
+        F.lit(1).alias("cls"), F.lit("NODE_REMOVAL").alias("type"),
+        F.col("id").alias("u"), F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    node_adds = n2.join(n1, "id", "left_anti").select(
+        F.lit(1).alias("cls"),
+        F.when(F.col("id") <= bound1, F.lit("NODE_RESTORATION"))
+        .otherwise(F.lit("NODE_ADDITION"))
+        .alias("type"),
+        F.col("id").alias("u"), F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    weight_updates = (
+        e1.select("src", "dst", F.col("weight").alias("w1"))
+        .join(e2.select("src", "dst", F.col("weight").alias("w2")),
+              ["src", "dst"])
+        .filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.lit(2).alias("cls"),
+            F.lit("EDGE_WEIGHT_UPDATE").alias("type"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.col("w2").alias("w"),
+        )
+    )
+    if not (g1.weighted and g2.weighted):
+        weight_updates = weight_updates.limit(0)
+    edge_adds = (
+        e2.join(e1.select("src", "dst"), ["src", "dst"], "left_anti")
+        .select(
+            F.lit(2).alias("cls"), F.lit("EDGE_ADDITION").alias("type"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.col("weight").alias("w"),
+        )
+    )
+    return (
+        edge_removals.unionByName(node_removals)
+        .unionByName(node_adds)
+        .unionByName(weight_updates)
+        .unionByName(edge_adds)
+    )
