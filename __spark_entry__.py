@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dinic": e.q_dinic,
         # --- round-5j: GraphDifference edit script (full SQL oracle)
         "graph_diff": e.q_graph_diff,
+        # --- round-5j: ClusteringProjector + RandomSpanningForest
+        "graph_project_back": e.q_project_back,
+        "graph_random_forest": e.q_random_forest,
         "graph_grow_shrink": e.q_grow_shrink,
         "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
@@ -311,6 +314,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_maxflow": e.SQL_MAXFLOW,
         "graph_dinic": e.SQL_DINIC,
         "graph_diff": e.SQL_GRAPH_DIFF,
+        "graph_project_back": e.SQL_PROJECT_BACK,
+        "graph_random_forest": e.SQL_RANDOM_FOREST,
         "graph_edge_switching": e.SQL_EDGE_SWITCHING,
         "graph_max_cliques": e.SQL_MAX_CLIQUES,
         "graph_scd_nibble": e.SQL_SCD_NIBBLE,

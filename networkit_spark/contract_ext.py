@@ -9578,3 +9578,80 @@ SELECT 2, 'EDGE_ADDITION', e2.src, e2.dst, ROUND(1.0, 6)
 FROM e2 WHERE NOT EXISTS
   (SELECT 1 FROM edges e WHERE e.src = e2.src AND e.dst = e2.dst)
 """
+
+
+# ---------------------------------------------------------------------------
+# RandomSpanningForest (components/RandomSpanningForest.cpp:18-50) — the
+# md5 walk itself has data-dependent unbounded length (not SQL-unrollable,
+# same stance as the Wilson UST family), but the forest INVARIANT is fully
+# checkable: per component, exactly size-1 tree edges, all inside the
+# component.  The gate hashes (label, size, tree_edges) per component;
+# tree validity (acyclic, spanning, edges subset of G) is pytest-proven.
+# ---------------------------------------------------------------------------
+
+def q_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.spanning import random_spanning_forest
+
+    g = load_graph(spark, sf_dir)
+    forest = random_spanning_forest(g, seed=5)
+    labels, _ = connected_components(g)
+    lab = labels.select(F.col("id").alias("src"), F.col("label").alias("label"))
+    per_comp = (
+        forest.join(lab, "src")
+        .groupBy("label")
+        .agg(F.count("*").alias("tree_edges"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        sizes.join(per_comp, "label", "left")
+        .select(
+            "label", "size",
+            F.coalesce("tree_edges", F.lit(0)).alias("tree_edges"),
+        )
+    )
+
+
+SQL_RANDOM_FOREST = f"""
+WITH RECURSIVE {GRAPH_CTES},
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM reach r JOIN adj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+),
+cc AS (SELECT id, MIN(lbl) AS label FROM reach GROUP BY id)
+SELECT label, COUNT(*) AS size,
+       CAST(COUNT(*) - 1 AS BIGINT) AS tree_edges
+FROM cc GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# ClusteringProjector (coarsening/ClusteringProjector.cpp:13-84) — two
+# coarsening levels (degree classes, then coarse-id mod 3), then the fine
+# partition read back through the composed maps.  With compact=False the
+# coarse id IS the label value, so the projected label of node v is
+# degree(v) % 3 — which is what the oracle states directly.
+# ---------------------------------------------------------------------------
+
+def q_project_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.coarsening import (
+        coarsen,
+        project_back_to_finest,
+    )
+
+    g = load_graph(spark, sf_dir)
+    l1 = g.degrees().select("id", F.col("degree").alias("label"))
+    g1, m1 = coarsen(g, l1)
+    l2 = g1.nodes().select("id", (F.col("id") % 3).alias("label"))
+    g2, m2 = coarsen(g1, l2)
+    coarse_labels = g2.nodes().select("id", F.col("id").alias("label"))
+    return project_back_to_finest(coarse_labels, [m1, m2])
+
+
+SQL_PROJECT_BACK = f"""
+WITH {GRAPH_CTES}
+SELECT id, degree % 3 AS label FROM deg
+"""

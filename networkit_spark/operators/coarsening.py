@@ -147,3 +147,85 @@ def coverage(g: Graph, labels: DataFrame) -> float:
         .collect()[0][0]
     )
     return intra / total
+
+
+def project_back(
+    fine_to_coarse: DataFrame, coarse_labels: DataFrame
+) -> DataFrame:
+    """ClusteringProjector::projectBack (/root/reference/networkit/cpp/
+    coarsening/ClusteringProjector.cpp:13-26): zetaFine[v] =
+    zetaCoarse[fineToCoarse[v]] — one broadcast-ready equi-join.
+
+    ``fine_to_coarse``: (id, coarse_id) as returned by :func:`coarsen`;
+    ``coarse_labels``: (id, label) over the coarse graph's ids.
+    Returns (id, label) over the fine ids.
+    """
+    return (
+        fine_to_coarse.join(
+            coarse_labels.select(
+                F.col("id").alias("coarse_id"), "label"
+            ),
+            "coarse_id",
+        )
+        .select("id", "label")
+    )
+
+
+def project_back_to_finest(
+    coarse_labels: DataFrame, maps: list[DataFrame]
+) -> DataFrame:
+    """ClusteringProjector::projectBackToFinest (ClusteringProjector.cpp:
+    28-58): compose the per-level fine->coarse maps finest-first, then
+    read the coarse partition through the composition.  ``maps`` is the
+    list of (id, coarse_id) mappings level by level (finest level
+    first), exactly what repeated :func:`coarsen` calls produce.
+
+    Spark plan: a chain of |maps| equi-joins — each level's map relation
+    is usually far smaller than the finest node set, so Catalyst
+    broadcasts the shrinking side; no collects.
+    """
+    if not maps:
+        return coarse_labels
+    acc = maps[0].select("id", F.col("coarse_id").alias("super"))
+    for m in maps[1:]:
+        acc = (
+            acc.join(
+                m.select(
+                    F.col("id").alias("super"),
+                    F.col("coarse_id").alias("nsuper"),
+                ),
+                "super",
+            )
+            .select("id", F.col("nsuper").alias("super"))
+        )
+    return (
+        acc.join(
+            coarse_labels.select(F.col("id").alias("super"), "label"),
+            "super",
+        )
+        .select("id", "label")
+    )
+
+
+def project_coarse_graph_to_finest_clustering(
+    maps: list[DataFrame],
+) -> DataFrame:
+    """ClusteringProjector::projectCoarseGraphToFinestClustering
+    (ClusteringProjector.cpp:60-84): each finest node's cluster id is
+    its coarsest supernode id — the composed map itself, with
+    label = coarse_id."""
+    if not maps:
+        raise ValueError("need at least one fine->coarse map")
+    acc = maps[0].select("id", F.col("coarse_id").alias("super"))
+    for m in maps[1:]:
+        acc = (
+            acc.join(
+                m.select(
+                    F.col("id").alias("super"),
+                    F.col("coarse_id").alias("nsuper"),
+                ),
+                "super",
+            )
+            .select("id", F.col("nsuper").alias("super"))
+        )
+    return acc.select("id", F.col("super").alias("label"))

@@ -158,3 +158,93 @@ def maximum_spanning_forest(
         Graph(forest, g.vertices, directed=False, weighted=g.weighted),
         SuperstepResult(iterations=rounds),
     )
+
+
+def random_spanning_forest(g: Graph, seed: int = 1) -> DataFrame:
+    """RandomSpanningForest (/root/reference/networkit/cpp/components/
+    RandomSpanningForest.cpp:18-50): per connected component, start a
+    random walk at a random root and add the tree edge (curr, neigh)
+    whenever the walk first reaches an unvisited node (Aldous-Broder;
+    the walk samples spanning trees uniformly at random).
+
+    Documented deviations: draws are md5-derandomized — the root of the
+    component labeled L is its members[h13('rsf', seed, L) % size] in
+    ascending-id order, and the i-th step out of the walk picks neighbor
+    h13('rsf', seed, L, i) % deg (the reference uses a global RNG for
+    both; any draw sequence is a valid sample, ours replays bit-for-bit
+    on any executor count).
+
+    Spark-first shape: the walk is inherently sequential per component
+    — exactly one reference loop iteration per step — so the distributed
+    axis is the COMPONENT fan-out: the compacted CSR is broadcast once
+    and ``mapInPandas`` over the (label, root, size) component relation
+    walks each component in its own task, emitting only the n-1 tree
+    edges.  Same stance as the Wilson-UST estimators (operators/ust.py).
+
+    Returns (src, dst) rows in walk orientation (reference adds
+    forest.addEdge(curr, neigh)).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.ust import _csr, _h13
+
+    if g.directed:
+        raise ValueError("random_spanning_forest is undirected-only")
+    spark = g.edges.sparkSession
+    ids, indptr, indices = _csr(g)
+    bc = spark.sparkContext.broadcast((ids, indptr, indices))
+
+    labels, _ = connected_components(g)
+    comps = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("size"), F.min("id").alias("lo"))
+        .select("label", "size")
+    )
+
+    def run(batches):
+        b_ids, b_indptr, b_indices = bc.value
+        pos = {int(v): i for i, v in enumerate(b_ids)}
+        for pdf in batches:
+            out_src: list[int] = []
+            out_dst: list[int] = []
+            for lab, size in zip(pdf["label"], pdf["size"]):
+                lab, size = int(lab), int(size)
+                if size <= 1:
+                    continue
+                # members of the component: BFS over CSR from the label
+                # node (labels are min-member ids here)
+                rootq = [pos[lab]]
+                seen = {pos[lab]}
+                while rootq:
+                    cur = rootq.pop()
+                    for j in range(b_indptr[cur], b_indptr[cur + 1]):
+                        w = int(b_indices[j])
+                        if w not in seen:
+                            seen.add(w)
+                            rootq.append(w)
+                members = sorted(int(b_ids[p]) for p in seen)
+                root = members[_h13("rsf", seed, lab) % len(members)]
+                visited = {pos[root]}
+                cur = pos[root]
+                step = 0
+                while len(visited) < size:
+                    d = int(b_indptr[cur + 1] - b_indptr[cur])
+                    k = _h13("rsf", seed, lab, step) % d
+                    step += 1
+                    nxt = int(b_indices[b_indptr[cur] + k])
+                    if nxt not in visited:
+                        visited.add(nxt)
+                        out_src.append(int(b_ids[cur]))
+                        out_dst.append(int(b_ids[nxt]))
+                    cur = nxt
+            yield pd.DataFrame(
+                {"src": np.asarray(out_src, dtype=np.int64),
+                 "dst": np.asarray(out_dst, dtype=np.int64)}
+            )
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    return comps.repartition(par, "label").mapInPandas(
+        run, "src long, dst long"
+    )
