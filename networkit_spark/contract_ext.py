@@ -9655,3 +9655,21 @@ SQL_PROJECT_BACK = f"""
 WITH {GRAPH_CTES}
 SELECT id, degree % 3 AS label FROM deg
 """
+
+
+def q_group_closeness_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupClosenessLocalSearch rows-only entry (like grow_shrink, the
+    swap loop's length is data-dependent — not SQL-unrollable); the
+    exact-replica equality lives in tests/test_growshrink.py."""
+    from networkit_spark.operators.growshrink import (
+        group_closeness_local_search,
+    )
+
+    g = load_dense_graph(spark, sf_dir)
+    group, iters, _ = group_closeness_local_search(
+        g, [0, 1, 2], run_grow_shrink=False, max_iterations=4
+    )
+    return spark.createDataFrame(
+        [(int(u), int(iters)) for u in sorted(group)],
+        "id long, iterations long",
+    )

@@ -210,3 +210,130 @@ def local_swaps(
     """GroupClosenessLocalSwaps — the insertions=1 grow/shrink loop
     (GroupClosenessLocalSwaps.cpp; exact-evaluation re-expression)."""
     return grow_shrink(g, group, insertions=1, max_iterations=max_swaps)
+
+
+def group_closeness_local_search(
+    g: Graph,
+    group,
+    run_grow_shrink: bool = True,
+    max_iterations: int = 100,
+) -> tuple[list[int], int, SuperstepResult]:
+    """GroupClosenessLocalSearch (/root/reference/networkit/cpp/
+    centrality/GroupClosenessLocalSearch.cpp): run() (:1026-1049)
+    optionally refines the start group with GrowShrink first, then
+    iterates findAndSwap (:903-1023) — members u in ascending
+    farness-increase order (:924-930); for each, remove u and look for a
+    non-member v whose EXACT farness decrease beats the increase
+    strictly (insuffcientDecrease, :980-984); swap and restart on
+    success, restore u and try the next member otherwise; stop when no
+    member admits an improving swap or after ``max_iterations``.
+
+    Documented deviations:
+    - The reference scans candidates in descending ESTIMATED-decrease
+      order and accepts the first sufficient one, racing OpenMP threads
+      (:947-996 — platform-dependent pick); here the pick is the BEST
+      exact decrease with ascending-id tie-break.  Any improving swap is
+      a valid local-search step; the stopping condition (no improving
+      swap exists) is identical.
+    - Nodes whose only group connection is the removed member count
+      INF = 2^31 toward both increase and decrease (the reference's
+      saturating uint16 distance 65535, :37-39, same comparisons).
+
+    Spark-first shape: per candidate-evaluation ONE strictly-improving
+    multi-source BFS over ALL candidates at once (_improvement_bfs —
+    O(improving rows) state, no windows); group state is a driver-side
+    id list exactly like the reference's.
+    """
+    if g.directed:
+        raise ValueError("group_closeness_local_search is undirected-only")
+    group = sorted(int(u) for u in group)
+    if not group:
+        raise ValueError("group must be non-empty")
+    INF = 2**31
+    spark = g.edges.sparkSession
+    ckpt = Checkpointer(spark)
+
+    if run_grow_shrink:
+        group, _, _ = grow_shrink(g, group)
+        group = sorted(group)
+
+    gg = g.remove_self_loops()
+    adj = materialize_partitioned(gg.adj().select("src", "dst"), "src")
+    nodes = gg.nodes().localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    tag = 500_000
+    iterations = 0
+    while iterations < max_iterations:
+        d12 = _group_d12(gg, group, ckpt).localCheckpoint(eager=True)
+        inc_rows = (
+            d12.groupBy("near")
+            .agg(
+                F.sum(
+                    F.when(F.col("d2").isNull(), F.lit(INF)).otherwise(
+                        F.col("d2") - F.col("d1")
+                    )
+                ).alias("c")
+            )
+            .collect()
+        )
+        increase = {int(u): 0 for u in group}
+        for r in inc_rows:
+            if r["near"] is not None and int(r["near"]) in increase:
+                increase[int(r["near"])] = int(r["c"])
+        swapped = False
+        for u in sorted(group, key=lambda x: (increase[x], x)):
+            rest = [x for x in group if x != u]
+            if not rest:
+                continue
+            # distance vector of S \ {u}: d1 where near != u, else d2
+            d_minus = d12.select(
+                "v",
+                F.when(F.col("near") != u, F.col("d1"))
+                .otherwise(F.col("d2"))
+                .alias("d"),
+            ).filter(F.col("d").isNotNull())
+            d_minus = d_minus.localCheckpoint(eager=True)
+            cand = nodes.select(F.col("id").alias("u")).join(
+                spark.createDataFrame([(int(x),) for x in rest], "u long"),
+                "u",
+                "left_anti",
+            )
+            tag += 2000
+            settled = _improvement_bfs(
+                adj, cand, d_minus, ckpt, missing_is_inf=True, tag=tag
+            )
+            gains = (
+                settled.join(
+                    d_minus.select(F.col("v").alias("w"), "d"), "w", "left"
+                )
+                .groupBy("u")
+                .agg(
+                    F.sum(
+                        F.coalesce("d", F.lit(INF)) - F.col("dist")
+                    ).alias("gain")
+                )
+                .orderBy(F.desc("gain"), F.asc("u"))
+                .limit(1)
+                .collect()
+            )
+            if not gains:
+                continue
+            v, dec = int(gains[0]["u"]), int(gains[0]["gain"])
+            if dec > increase[u] and v != u:
+                group = sorted(rest + [v])
+                metrics.append(
+                    {"iteration": iterations, "drop": u, "add": v,
+                     "increase": increase[u], "decrease": dec}
+                )
+                swapped = True
+                break
+        if not swapped:
+            break
+        iterations += 1
+    adj.unpersist()
+    return (
+        sorted(group),
+        iterations,
+        SuperstepResult(iterations=iterations, metrics=metrics),
+    )

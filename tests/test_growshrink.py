@@ -135,3 +135,144 @@ def test_grow_shrink_validates(spark):
     g = _mk(spark)
     with pytest.raises(ValueError):
         grow_shrink(g, [])
+
+
+# ---------------------------------------------------------------------------
+# GroupClosenessLocalSearch (GroupClosenessLocalSearch.cpp)
+# ---------------------------------------------------------------------------
+
+def _farness(edges, n, group):
+    """Driver-side exact group farness (BFS from the member set)."""
+    from collections import deque
+
+    adj = {i: [] for i in range(n)}
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    INF = 2**31
+    dist = {i: INF for i in range(n)}
+    dq = deque()
+    for u in group:
+        dist[u] = 0
+        dq.append(u)
+    while dq:
+        x = dq.popleft()
+        for y in adj[x]:
+            if dist[y] > dist[x] + 1:
+                dist[y] = dist[x] + 1
+                dq.append(y)
+    return sum(dist.values())
+
+
+def _local_search_replica(edges, n, group, max_iterations=100):
+    """Exact replica of the operator's documented semantics: u in
+    ascending (farness-increase, id) order; accept the best exact
+    decrease > increase with id tie-break; restart on swap."""
+    group = sorted(group)
+    it = 0
+    while it < max_iterations:
+        f_s = _farness(edges, n, group)
+        inc = {u: _farness(edges, n, [x for x in group if x != u]) - f_s
+               for u in group}
+        swapped = False
+        for u in sorted(group, key=lambda x: (inc[x], x)):
+            rest = [x for x in group if x != u]
+            if not rest:
+                continue
+            f_rest = _farness(edges, n, rest)
+            best = None
+            for v in range(n):
+                if v in rest or v == u:
+                    continue
+                dec = f_rest - _farness(edges, n, rest + [v])
+                if best is None or dec > best[1] or (dec == best[1] and v < best[0]):
+                    best = (v, dec)
+            if best and best[1] > inc[u]:
+                group = sorted(rest + [best[0]])
+                swapped = True
+                break
+        if not swapped:
+            break
+        it += 1
+    return group, it
+
+
+def _er_edges(n, p_mod, salt):
+    import hashlib
+
+    edges = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            h = int(hashlib.md5(f"{salt}|{a}|{b}".encode()).hexdigest()[:8], 16)
+            if h % p_mod == 0:
+                edges.append((a, b))
+    return edges
+
+
+def test_local_search_matches_replica(spark):
+    from networkit_spark.operators.growshrink import (
+        group_closeness_local_search,
+    )
+
+    n = 24
+    edges = _er_edges(n, 4, "gcls")
+    # ensure connectivity with a ring backbone
+    edges = sorted(set(edges) | {(i, (i + 1) % n) for i in range(n)}
+                   - {(n - 1, 0)} | {(0, n - 1)})
+    g = Graph.from_pandas(spark, edges, n=n)
+    start = [0, 1, 2]
+    got, it = group_closeness_local_search(
+        g, start, run_grow_shrink=False
+    )[:2]
+    want, it_want = _local_search_replica(edges, n, start)
+    assert got == want
+    assert it == it_want
+
+
+def test_local_search_reaches_local_optimum(spark):
+    from networkit_spark.operators.growshrink import (
+        group_closeness_local_search,
+    )
+
+    n = 18
+    edges = _er_edges(n, 3, "gcls2")
+    edges = sorted(set(edges) | {(i, i + 1) for i in range(n - 1)})
+    g = Graph.from_pandas(spark, edges, n=n)
+    got, _, _ = group_closeness_local_search(g, [0, 17],
+                                             run_grow_shrink=False)
+    f_got = _farness(edges, n, got)
+    # no single swap improves the final group
+    for u in got:
+        rest = [x for x in got if x != u]
+        for v in range(n):
+            if v in got:
+                continue
+            assert _farness(edges, n, rest + [v]) >= f_got
+
+
+def test_local_search_with_grow_shrink_composes(spark):
+    from networkit_spark.operators.growshrink import (
+        group_closeness_local_search,
+        grow_shrink,
+    )
+
+    n = 16
+    edges = sorted(set(_er_edges(n, 3, "gcls3")) | {(i, i + 1) for i in range(n - 1)})
+    g = Graph.from_pandas(spark, edges, n=n)
+    pre, _, _ = grow_shrink(g, [3, 4])
+    a, _, _ = group_closeness_local_search(g, [3, 4], run_grow_shrink=True)
+    b, _, _ = group_closeness_local_search(g, pre, run_grow_shrink=False)
+    assert a == b
+
+
+def test_local_search_rejects_bad_input(spark):
+    from networkit_spark.operators.growshrink import (
+        group_closeness_local_search,
+    )
+
+    gd = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
+    with pytest.raises(ValueError, match="undirected"):
+        group_closeness_local_search(gd, [0])
+    gu = Graph.from_pandas(spark, [(0, 1)], n=2)
+    with pytest.raises(ValueError, match="non-empty"):
+        group_closeness_local_search(gu, [])
