@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dinic": e.q_dinic,
         # --- round-5j: GraphDifference edit script (full SQL oracle)
         "graph_diff": e.q_graph_diff,
+        # --- round-5j: SuccessiveShortestPath min-cost flow
+        # (independent transportation-LP oracle over shortest-path costs)
+        "graph_min_cost_flow": e.q_min_cost_flow,
         # --- round-5j: ClusteringProjector + RandomSpanningForest
         "graph_project_back": e.q_project_back,
         "graph_random_forest": e.q_random_forest,
@@ -315,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_maxflow": e.SQL_MAXFLOW,
         "graph_dinic": e.SQL_DINIC,
         "graph_diff": e.SQL_GRAPH_DIFF,
+        "graph_min_cost_flow": e.SQL_MIN_COST_FLOW,
         "graph_project_back": e.SQL_PROJECT_BACK,
         "graph_random_forest": e.SQL_RANDOM_FOREST,
         "graph_edge_switching": e.SQL_EDGE_SWITCHING,

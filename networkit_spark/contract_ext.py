@@ -9673,3 +9673,110 @@ def q_group_closeness_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(u), int(iters)) for u in sorted(group)],
         "id long, iterations long",
     )
+
+
+# ---------------------------------------------------------------------------
+# SuccessiveShortestPathMinCostFlow (flow/SuccessiveShortestPath.cpp:160-240)
+# — directed arcs = the contract adjacency with cost 1+(src+dst)%3, caps 5.0
+# (never binding: total supply 3), terminals = the four highest-degree nodes
+# (giant component): +2/+1 supplies, -2/-1 demands.  The oracle does NOT
+# replay SSP: with non-binding caps the optimum decomposes into a 2x2
+# transportation LP over shortest-path costs, OPT = min(2*d11 + d22,
+# d11 + d12 + d21) — an INDEPENDENT check of the optimal value (the SSP
+# invariant guarantees the engine's final cost IS the optimum).
+# ---------------------------------------------------------------------------
+
+MCF_RELAX_ROUNDS = 36
+
+
+def q_min_cost_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.mincostflow import successive_shortest_path
+
+    g = load_graph(spark, sf_dir)
+    terms = [
+        int(r["id"])
+        for r in g.degrees()
+        .orderBy(F.desc("degree"), F.asc("id"))
+        .limit(4)
+        .collect()
+    ]
+    s1, s2, t1, t2 = terms
+    arcs = g.adj().select(
+        "src", "dst",
+        (1.0 + (F.col("src") + F.col("dst")) % 3).alias("weight"),
+    )
+    gd = Graph(arcs, vertices=g.nodes(), directed=True, weighted=True)
+    caps = arcs.select("src", "dst", F.lit(5.0).alias("cap"))
+    sups = spark.createDataFrame(
+        [(s1, 2.0), (s2, 1.0), (t1, -2.0), (t2, -1.0)],
+        "id long, supply double",
+    )
+    total, flow, info = successive_shortest_path(
+        gd, caps, sups, max_relax_rounds=MCF_RELAX_ROUNDS
+    )
+    shipped = float(
+        flow.filter(F.col("src").isin([s1, s2]))
+        .agg(F.sum("f").alias("s"))
+        .collect()[0]["s"]
+        or 0.0
+    )
+    return spark.createDataFrame(
+        [(float(total), float(shipped))], "total_cost double, shipped double"
+    ).select(
+        F.round("total_cost", 6).alias("total_cost"),
+        F.round("shipped", 6).alias("shipped"),
+    )
+
+
+def _mcf_sql(rounds: int = MCF_RELAX_ROUNDS) -> str:
+    parts = [
+        """terms AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY degree DESC, id ASC) AS rk
+  FROM deg ORDER BY degree DESC, id ASC LIMIT 4
+)""",
+        "carc AS MATERIALIZED (SELECT src, dst,"
+        " 1.0 + (src + dst) % 3 AS cost FROM adj)",
+        "d1_0 AS (SELECT (SELECT id FROM terms WHERE rk = 1) AS id,"
+        " 0.0 AS dist)",
+        "d2_0 AS (SELECT (SELECT id FROM terms WHERE rk = 2) AS id,"
+        " 0.0 AS dist)",
+    ]
+    for src in (1, 2):
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""d{src}_{r} AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{src}_{r - 1}
+    UNION ALL
+    SELECT c.dst AS id, p.dist + c.cost AS dist
+    FROM d{src}_{r - 1} p JOIN carc c ON c.src = p.id
+  ) GROUP BY id
+)"""
+            )
+    last = rounds
+    parts.append(
+        f"""dm AS (
+  SELECT
+    (SELECT dist FROM d1_{last} WHERE id =
+       (SELECT id FROM terms WHERE rk = 3)) AS d11,
+    (SELECT dist FROM d1_{last} WHERE id =
+       (SELECT id FROM terms WHERE rk = 4)) AS d12,
+    (SELECT dist FROM d2_{last} WHERE id =
+       (SELECT id FROM terms WHERE rk = 3)) AS d21,
+    (SELECT dist FROM d2_{last} WHERE id =
+       (SELECT id FROM terms WHERE rk = 4)) AS d22
+)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + """
+SELECT CAST(ROUND(LEAST(2 * d11 + d22, d11 + d12 + d21), 6) AS DOUBLE)
+         AS total_cost,
+       CAST(3.0 AS DOUBLE) AS shipped
+FROM dm"""
+    )
+
+
+SQL_MIN_COST_FLOW = _mcf_sql()
