@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_forest": e.q_random_forest,
         "graph_grow_shrink": e.q_grow_shrink,
         "graph_group_closeness_ls": e.q_group_closeness_ls,
+        "graph_planarity": e.q_planarity,
         "graph_approx_spanning_edge": e.q_approx_spanning_edge,
         "graph_forest_centrality": e.q_forest_centrality,
         "graph_electrical_closeness": e.q_electrical_closeness,

@@ -9780,3 +9780,19 @@ FROM dm"""
 
 
 SQL_MIN_COST_FLOW = _mcf_sql()
+
+
+def q_planarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftRightPlanarityCheck rows-only entry (planarity is not
+    SQL-decidable; the Kuratowski/triangulation goldens live in
+    tests/test_planarity.py)."""
+    from networkit_spark.operators.planarity import left_right_planarity
+
+    g = load_graph(spark, sf_dir)
+    planar = left_right_planarity(g)
+    n = g.nodes().count()
+    m = g.edges.count()
+    return spark.createDataFrame(
+        [(bool(planar), int(n), int(m))],
+        "planar boolean, n long, m long",
+    )
