@@ -238,6 +238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc_sampled": e.q_lcc_sampled,
         "graph_weighted_betweenness": e.q_weighted_betweenness,
         "graph_closeness_weighted": e.q_closeness_weighted,
+        # --- round-5k: distance-family closure (APSP batch, ReverseBFS
+        # on the directed graph, GraphDistance scalar wrapper).  Post-cap
+        # with full DuckDB oracles, rehearsal-verified at sf0.001 +
+        # sf0.01 every round.
+        "graph_apsp": e.q_apsp,
+        "graph_reverse_bfs": e.q_reverse_bfs,
+        "graph_distance_scalar": e.q_graph_distance,
     }
 
 
@@ -391,4 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_linkpred_katz": e.SQL_LINKPRED_KATZ,
         "graph_linkpred_algdist": e.SQL_LINKPRED_ALGDIST,
         "graph_linkpred_eval": e.SQL_LINKPRED_EVAL,
+        "graph_apsp": e.SQL_APSP,
+        "graph_reverse_bfs": e.SQL_REVERSE_BFS,
+        "graph_distance_scalar": e.SQL_GRAPH_DISTANCE,
     }

@@ -9796,3 +9796,185 @@ def q_planarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(planar), int(n), int(m))],
         "planar boolean, n long, m long",
     )
+
+
+# ---------------------------------------------------------------------------
+# APSP (APSP.cpp:19-39): one tagged BFS batch over a deterministic source
+# sample, (s, v, dist) — the oracle unrolls the same synchronized frontier
+# with the source tag carried through every step.
+# ---------------------------------------------------------------------------
+
+APSP_SEED_MOD = 53  # sources: ids divisible by 53 (~19 on 0..996)
+
+
+def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distancemisc import apsp
+
+    g = load_graph(spark, sf_dir)
+    srcs = g.nodes().filter(F.col("id") % APSP_SEED_MOD == 0)
+    return apsp(g, srcs).orderBy("s", "v")
+
+
+def _apsp_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        f"t0 AS MATERIALIZED (SELECT id AS s, id AS v, "
+        f"CAST(0 AS BIGINT) AS dist FROM nodes WHERE id % {APSP_SEED_MOD} = 0)"
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.v, m.v) AS v,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM t{i - 1} p FULL OUTER JOIN (
+    SELECT q.s, a.dst AS v, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN t{i - 1} q ON q.v = a.src GROUP BY q.s, a.dst
+  ) m ON m.s = p.s AND m.v = p.v
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT s, v, dist FROM t{hops} ORDER BY s, v"
+    )
+
+
+SQL_APSP = _apsp_sql()
+
+
+# ---------------------------------------------------------------------------
+# ReverseBFS (ReverseBFS.cpp:17-75): hop distances following IN-edges on
+# the DIRECTED contract graph — the oracle is the BFS unroll over the
+# transposed dedges relation.
+# ---------------------------------------------------------------------------
+
+def q_reverse_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distancemisc import reverse_bfs_distances
+
+    g = load_directed_graph(spark, sf_dir)
+    seeds = g.nodes().filter(F.col("id") % BFS_SEED_MOD == 0)
+    dist, _ = reverse_bfs_distances(g, seeds, max_hops=BFS_HOPS)
+    return dist.orderBy("id")
+
+
+def _reverse_bfs_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        """dbase AS (
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 31 + 7) % 997) AS v
+  FROM orders
+  UNION
+  SELECT DISTINCT (o_orderkey % 997) AS u,
+                  ((o_orderkey * 57 + 13) % 997) AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION
+  SELECT DISTINCT ((o_orderkey * 17 + 3) % 997) AS u,
+                  ((o_orderkey * 43 + 11) % 997) AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+)""",
+        "dedges AS MATERIALIZED (SELECT DISTINCT u AS src, v AS dst "
+        "FROM dbase WHERE u <> v)",
+        # transposed adjacency: follow in-edges
+        "radj AS MATERIALIZED (SELECT dst AS src, src AS dst FROM dedges)",
+        "dnodes AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges) t)",
+        f"r0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist "
+        f"FROM dnodes WHERE id % {BFS_SEED_MOD} = 0)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT COALESCE(p.id, m.id) AS id,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM r{i - 1} p FULL OUTER JOIN (
+    SELECT a.dst AS id, MIN(q.dist + 1) AS nd
+    FROM radj a JOIN r{i - 1} q ON q.id = a.src GROUP BY a.dst
+  ) m ON m.id = p.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT id, dist FROM r{hops} ORDER BY id"
+    )
+
+
+SQL_REVERSE_BFS = _reverse_bfs_sql()
+
+
+# ---------------------------------------------------------------------------
+# GraphDistance (GraphDistance.cpp:15-30): scalar min-id -> max-id distance,
+# unweighted (BFS) and weighted (w = (src+dst)%5+1, the SSSP gate's weights);
+# unreachable = -1.
+# ---------------------------------------------------------------------------
+
+def q_graph_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.distancemisc import graph_distance
+
+    g = load_graph(spark, sf_dir)
+    lo, hi = g.nodes().agg(F.min("id"), F.max("id")).collect()[0]
+    d_bfs = graph_distance(g, int(lo), int(hi))
+    wedges = g.edges.select(
+        "src", "dst",
+        ((F.col("src") + F.col("dst")) % 5 + 1).cast("double").alias("weight"),
+    )
+    gw = Graph(wedges, None, directed=False, weighted=True)
+    d_dij = graph_distance(gw, int(lo), int(hi))
+    fix = lambda d: -1.0 if d == float("inf") else float(d)  # noqa: E731
+    return spark.createDataFrame(
+        [("bfs", fix(d_bfs)), ("dijkstra", fix(d_dij))],
+        "kind string, dist double",
+    )
+
+
+def _graph_distance_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        "wadj AS MATERIALIZED (SELECT src, dst, "
+        "CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM adj)",
+        "st AS (SELECT MIN(id) AS s, MAX(id) AS t FROM nodes)",
+        "g0 AS (SELECT s AS id, CAST(0 AS DOUBLE) AS dist FROM st)",
+        "h0 AS (SELECT s AS id, CAST(0 AS DOUBLE) AS dist FROM st)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT COALESCE(p.id, m.id) AS id,
+         LEAST(COALESCE(p.dist, 1e18), COALESCE(m.nd, 1e18)) AS dist
+  FROM g{i - 1} p FULL OUTER JOIN (
+    SELECT a.dst AS id, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN g{i - 1} q ON q.id = a.src GROUP BY a.dst
+  ) m ON m.id = p.id
+)"""
+        )
+        steps.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT COALESCE(p.id, m.id) AS id,
+         LEAST(COALESCE(p.dist, 1e18), COALESCE(m.nd, 1e18)) AS dist
+  FROM h{i - 1} p FULL OUTER JOIN (
+    SELECT a.dst AS id, MIN(q.dist + a.w) AS nd
+    FROM wadj a JOIN h{i - 1} q ON q.id = a.src GROUP BY a.dst
+  ) m ON m.id = p.id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT 'bfs' AS kind,
+       COALESCE((SELECT g.dist FROM g{hops} g JOIN st ON g.id = st.t), -1.0)
+         AS dist
+UNION ALL
+SELECT 'dijkstra' AS kind,
+       COALESCE((SELECT h.dist FROM h{hops} h JOIN st ON h.id = st.t), -1.0)
+         AS dist
+ORDER BY kind"""
+    )
+
+
+# 32 rounds: the Spark side runs to full convergence (no cap, like the
+# reference), and a weighted shortest path can use more hops than the
+# unweighted diameter — 2x the BFS unroll gives Bellman-Ford headroom
+# (rehearsed at sf0.001 + sf0.01).
+SQL_GRAPH_DISTANCE = _graph_distance_sql(hops=2 * BFS_HOPS)

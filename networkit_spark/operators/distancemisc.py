@@ -350,3 +350,80 @@ def neighborhood_function_heuristic(
     return spark.createDataFrame(
         [(h + 1, int(v)) for h, v in enumerate(result)], "h long, nf long"
     )
+
+
+def apsp(
+    g: Graph,
+    sources=None,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """All-pairs shortest paths — (s, v, dist) for every reached pair.
+
+    Reference: /root/reference/networkit/cpp/distance/APSP.cpp:19-39 —
+    run() executes one BFS (unweighted) / Dijkstra (weighted) per node
+    and stores the n x n distance matrix; unreachable pairs hold
+    infinity (omitted rows here, the engine-native sparse form — the
+    same convention as every other distance relation in this repo).
+
+    Spark-first shape: ALL sources advance in ONE synchronized tagged
+    frontier (operators/closeness._tagged_bfs/_tagged_sssp) — one
+    join + dedup per hop over the whole batch instead of n driver-
+    sequenced sweeps.  The output is inherently O(n^2) rows on a
+    connected graph: full materialization is a fixture-scale ask
+    exactly like the reference's dense matrix (DynAPSP shares this
+    stance); at web scale pass ``sources`` to bound the batch.
+    """
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    if sources is None:
+        src_df = g.nodes()
+    elif isinstance(sources, DataFrame):
+        src_df = sources.select(F.col("id").cast("long").alias("id"))
+    else:
+        src_df = spark.createDataFrame(
+            [(int(s),) for s in sources], "id long"
+        )
+    sweep = _tagged_sssp if g.weighted else _tagged_bfs
+    settled, _ = sweep(g, src_df, None, ckpt)
+    return settled.select("s", "v", "dist")
+
+
+def reverse_bfs_distances(
+    g: Graph,
+    sources,
+    max_hops: int | None = None,
+    checkpointer: Checkpointer | None = None,
+):
+    """(id, dist) hop distances following IN-edges — ReverseBFS.
+
+    Reference: /root/reference/networkit/cpp/distance/ReverseBFS.cpp:
+    17-75 — identical to BFS.cpp but expanding forInNeighborsOf; on an
+    undirected graph the two coincide.  Only reached nodes appear.
+    """
+    from networkit_spark.operators.distance import bfs_distances
+    from networkit_spark.operators.graphtools import transpose
+
+    gt = transpose(g) if g.directed else g
+    return bfs_distances(gt, sources, max_hops, checkpointer)
+
+
+def graph_distance(g: Graph, u: int, v: int) -> float:
+    """Scalar u -> v distance; BFS when unweighted, shortest weighted
+    path otherwise; +inf when unreachable.
+
+    Reference: /root/reference/networkit/cpp/distance/GraphDistance.cpp:
+    15-30 — weightedDistance runs a full Dijkstra from u and indexes v,
+    unweightedDistance a full BFS (the deprecated convenience wrapper).
+    Same here via the existing sweeps (one source, full run like the
+    reference — no early stop), returning the reference's infinity
+    convention for missing rows.
+    """
+    from networkit_spark.operators.distance import (
+        bfs_distances,
+        sssp_distances,
+    )
+
+    sweep = sssp_distances if g.weighted else bfs_distances
+    dist, _ = sweep(g, [int(u)])
+    row = dist.filter(F.col("id") == int(v)).collect()
+    return float(row[0]["dist"]) if row else float("inf")
