@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_apsp": e.q_apsp,
         "graph_reverse_bfs": e.q_reverse_bfs,
         "graph_distance_scalar": e.q_graph_distance,
+        "graph_affected_nodes": e.q_affected_nodes,
     }
 
 
@@ -401,4 +402,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_apsp": e.SQL_APSP,
         "graph_reverse_bfs": e.SQL_REVERSE_BFS,
         "graph_distance_scalar": e.SQL_GRAPH_DISTANCE,
+        "graph_affected_nodes": e.SQL_AFFECTED_NODES,
     }

@@ -4609,7 +4609,7 @@ sc AS (
   FROM t{hops} GROUP BY s
 )
 SELECT id, ROUND(h, 6) AS score FROM sc
-ORDER BY h DESC, id ASC LIMIT {k}"""
+ORDER BY ROUND(h, 9) DESC, id ASC LIMIT {k}"""
     )
 
 
@@ -5439,7 +5439,7 @@ sc AS (
   FROM t{hops} GROUP BY s
 )
 SELECT id, ROUND(h, 6) AS score FROM sc
-ORDER BY h DESC, id ASC LIMIT {k}"""
+ORDER BY ROUND(h, 9) DESC, id ASC LIMIT {k}"""
     )
 
 
@@ -9978,3 +9978,316 @@ ORDER BY kind"""
 # unweighted diameter — 2x the BFS unroll gives Bellman-Ford headroom
 # (rehearsed at sf0.001 + sf0.01).
 SQL_GRAPH_DISTANCE = _graph_distance_sql(hops=2 * BFS_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# AffectedNodes (AffectedNodes.cpp:22-306): affected set + min-endpoint
+# distances + level-histogram improvements for an EDGE_ADDITION of the
+# lexicographically-first contract edge, and the affected set + distances
+# for its EDGE_REMOVAL.  The oracle unrolls the improving-BFS waves (the
+# first-expansion exclusion is equivalent to dropping the single directed
+# arc u->v from the expansion relation — the source is only ever expanded
+# once) and replays the histogram algebra in SQL.
+# ---------------------------------------------------------------------------
+
+def q_affected_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.affected import AffectedNodes
+
+    g = load_graph(spark, sf_dir)
+    r = g.edges.orderBy("src", "dst").limit(1).collect()[0]
+    fu, fv = int(r["src"]), int(r["dst"])
+
+    add = AffectedNodes(g, "EDGE_ADDITION", fu, fv).run()
+    g2 = Graph(
+        g.edges.filter(~((F.col("src") == fu) & (F.col("dst") == fv))),
+        None, directed=False, weighted=False,
+    )
+    rem = AffectedNodes(g2, "EDGE_REMOVAL", fu, fv).run()
+
+    def fix_dist(c):
+        return F.when(F.col(c) == float("inf"), F.lit(-1.0)).otherwise(
+            F.col(c)
+        )
+
+    add_rows = (
+        add.distances.join(add.improvements, "id")
+        .select(
+            F.lit("add").alias("scenario"), "id",
+            fix_dist("dist").alias("dist"),
+            F.round("improvement", 6).alias("improvement"),
+        )
+    )
+    # F.round (half-up, matching DuckDB ROUND), not python round
+    # (banker's)
+    clo = spark.createDataFrame(
+        [("add_closeness", -1)], "scenario string, id long"
+    ).select(
+        "scenario", "id",
+        F.round(F.lit(float(add.closeness_u)), 6).alias("dist"),
+        F.round(F.lit(float(add.closeness_v)), 6).alias("improvement"),
+    )
+    rem_rows = rem.distances.select(
+        F.lit("rem").alias("scenario"), "id",
+        fix_dist("dist").alias("dist"), F.lit(0.0).alias("improvement"),
+    )
+    return (
+        add_rows.unionByName(clo).unionByName(rem_rows)
+        .orderBy("scenario", "id")
+    )
+
+
+def _affected_sql(hops: int = BFS_HOPS) -> str:
+    steps = [
+        "fe AS (SELECT src AS fu, dst AS fv FROM edges "
+        "ORDER BY src, dst LIMIT 1)",
+    ]
+
+    def plain_bfs(name: str, adj_rel: str, seeds: str) -> None:
+        """LEAST-chain BFS: seeds = SQL producing (id, dist)."""
+        steps.append(f"{name}0 AS MATERIALIZED ({seeds})")
+        for i in range(1, hops + 1):
+            steps.append(
+                f"""{name}{i} AS MATERIALIZED (
+  SELECT COALESCE(p.id, m.id) AS id,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM {name}{i - 1} p FULL OUTER JOIN (
+    SELECT a.dst AS id, MIN(q.dist + 1) AS nd
+    FROM {adj_rel} a JOIN {name}{i - 1} q ON q.id = a.src GROUP BY a.dst
+  ) m ON m.id = p.id
+)"""
+            )
+
+    def improving_bfs(name: str, adj_rel: str, seeds: str, old: str) -> None:
+        """Wave chain with improving-only expansion; t = touched,
+        f = frontier; seeds always expand."""
+        steps.append(f"{name}t0 AS MATERIALIZED ({seeds})")
+        steps.append(f"{name}f0 AS MATERIALIZED (SELECT * FROM {name}t0)")
+        for i in range(1, hops + 1):
+            steps.append(
+                f"""{name}n{i} AS MATERIALIZED (
+  SELECT c.id, c.dist FROM (
+    SELECT a.dst AS id, MIN(f.dist + 1) AS dist
+    FROM {adj_rel} a JOIN {name}f{i - 1} f ON f.id = a.src GROUP BY a.dst
+  ) c LEFT JOIN {name}t{i - 1} t ON t.id = c.id WHERE t.id IS NULL
+)"""
+            )
+            steps.append(
+                f"{name}t{i} AS MATERIALIZED (SELECT * FROM {name}t{i - 1} "
+                f"UNION ALL SELECT * FROM {name}n{i})"
+            )
+            steps.append(
+                f"""{name}f{i} AS MATERIALIZED (
+  SELECT n.id, n.dist FROM {name}n{i} n LEFT JOIN {old} o ON o.id = n.id
+  WHERE o.dist IS NULL OR n.dist < o.dist
+)"""
+            )
+
+    # ---- addition scenario (graph already contains (fu, fv)) ----------
+    steps.append(
+        "adj_au AS MATERIALIZED (SELECT src, dst FROM adj WHERE NOT "
+        "(src = (SELECT fu FROM fe) AND dst = (SELECT fv FROM fe)))"
+    )
+    steps.append(
+        "adj_av AS MATERIALIZED (SELECT src, dst FROM adj WHERE NOT "
+        "(src = (SELECT fv FROM fe) AND dst = (SELECT fu FROM fe)))"
+    )
+    plain_bfs(
+        "aou", "adj_au",
+        "SELECT fu AS id, CAST(0 AS BIGINT) AS dist FROM fe",
+    )
+    plain_bfs(
+        "aov", "adj_av",
+        "SELECT fv AS id, CAST(0 AS BIGINT) AS dist FROM fe",
+    )
+    improving_bfs(
+        "anu", "adj",
+        "SELECT fu AS id, CAST(0 AS BIGINT) AS dist FROM fe",
+        f"aou{hops}",
+    )
+    improving_bfs(
+        "anv", "adj",
+        "SELECT fv AS id, CAST(0 AS BIGINT) AS dist FROM fe",
+        f"aov{hops}",
+    )
+    steps.append(
+        f"""aff_u AS MATERIALIZED (
+  SELECT t.id, t.dist FROM anut{hops} t LEFT JOIN aou{hops} o ON o.id = t.id
+  WHERE t.id <> (SELECT fu FROM fe)
+    AND (o.dist IS NULL OR t.dist < o.dist)
+)"""
+    )
+    steps.append(
+        f"""aff_v AS MATERIALIZED (
+  SELECT t.id, t.dist FROM anvt{hops} t LEFT JOIN aov{hops} o ON o.id = t.id
+  WHERE t.id <> (SELECT fv FROM fe)
+    AND (o.dist IS NULL OR t.dist < o.dist)
+)"""
+    )
+    for side, tch, old in (("u", "anut", "aou"), ("v", "anvt", "aov")):
+        steps.append(
+            f"""comp_{side} AS MATERIALIZED (
+  SELECT COALESCE(n.id, o.id) AS id,
+         LEAST(COALESCE(n.dist, 9223372036854775807),
+               COALESCE(o.dist, 9223372036854775807)) AS dist
+  FROM {tch}{hops} n FULL OUTER JOIN {old}{hops} o ON o.id = n.id
+)"""
+        )
+        steps.append(
+            f"hist_new_{side} AS (SELECT dist AS j, COUNT(*) AS c "
+            f"FROM comp_{side} WHERE dist >= 1 GROUP BY dist)"
+        )
+        steps.append(
+            f"hist_old_{side} AS (SELECT dist AS j, COUNT(*) AS c "
+            f"FROM {old}{hops} WHERE dist >= 1 GROUP BY dist)"
+        )
+        steps.append(
+            f"nl_{side} AS (SELECT MAX(dist) AS m FROM comp_{side} "
+            f"WHERE dist >= 1)"
+        )
+    # levelImprovementU[i] sums the V-side delta; i-domain = the ix
+    # values actually looked up (identical scores to the full series)
+    steps.append(
+        """hd_v AS (
+  SELECT COALESCE(n.j, o.j) AS j,
+         CAST(COALESCE(n.c, 0) - COALESCE(o.c, 0) AS DOUBLE) AS d
+  FROM hist_new_v n FULL OUTER JOIN hist_old_v o ON o.j = n.j
+  WHERE COALESCE(n.j, o.j) BETWEEN 1 AND (SELECT m FROM nl_v)
+)"""
+    )
+    steps.append(
+        """hd_u AS (
+  SELECT COALESCE(n.j, o.j) AS j,
+         CAST(COALESCE(n.c, 0) - COALESCE(o.c, 0) AS DOUBLE) AS d
+  FROM hist_new_u n FULL OUTER JOIN hist_old_u o ON o.j = n.j
+  WHERE COALESCE(n.j, o.j) BETWEEN 1 AND (SELECT m FROM nl_u)
+)"""
+    )
+    steps.append(
+        """imp_tab_u AS (
+  SELECT ix.i, SUM(hd_v.d / (ix.i + hd_v.j)) AS imp
+  FROM (SELECT DISTINCT c.dist AS i FROM aff_u a JOIN comp_v c ON c.id = a.id
+        WHERE c.dist BETWEEN 1 AND (SELECT m FROM nl_u)) ix
+  CROSS JOIN hd_v GROUP BY ix.i
+)"""
+    )
+    steps.append(
+        """imp_tab_v AS (
+  SELECT ix.i, SUM(hd_u.d / (ix.i + hd_u.j)) AS imp
+  FROM (SELECT DISTINCT c.dist AS i FROM aff_v a JOIN comp_u c ON c.id = a.id
+        WHERE c.dist BETWEEN 1 AND (SELECT m FROM nl_v)) ix
+  CROSS JOIN hd_u GROUP BY ix.i
+)"""
+    )
+    steps.append(
+        """score_u AS (
+  SELECT a.id, COALESCE(t.imp, 0.0) AS improvement
+  FROM aff_u a LEFT JOIN comp_v c ON c.id = a.id
+  LEFT JOIN imp_tab_u t ON t.i = c.dist
+)"""
+    )
+    steps.append(
+        """score_v AS (
+  SELECT a.id, COALESCE(t.imp, 0.0) AS improvement
+  FROM aff_v a LEFT JOIN comp_u c ON c.id = a.id
+  LEFT JOIN imp_tab_v t ON t.i = c.dist
+)"""
+    )
+    steps.append(
+        """add_imp AS (
+  SELECT id, improvement FROM score_u
+  WHERE id NOT IN (SELECT id FROM score_v)
+  UNION ALL SELECT id, improvement FROM score_v
+)"""
+    )
+    steps.append(
+        f"""add_rows AS (
+  SELECT 'add' AS scenario, n.id,
+         CASE WHEN ou.dist IS NULL AND ov.dist IS NULL THEN -1.0
+              ELSE CAST(LEAST(COALESCE(ou.dist, 9223372036854775807),
+                              COALESCE(ov.dist, 9223372036854775807))
+                        AS DOUBLE) END AS dist,
+         ROUND(i.improvement, 6) AS improvement
+  FROM (SELECT DISTINCT id FROM (SELECT id FROM aff_u
+        UNION ALL SELECT id FROM aff_v) t) n
+  JOIN add_imp i ON i.id = n.id
+  LEFT JOIN aou{hops} ou ON ou.id = n.id
+  LEFT JOIN aov{hops} ov ON ov.id = n.id
+)"""
+    )
+    steps.append(
+        """clo_row AS (
+  SELECT 'add_closeness' AS scenario, CAST(-1 AS BIGINT) AS id,
+         ROUND((SELECT SUM(1.0 / dist) FROM comp_u WHERE dist >= 1), 6)
+           AS dist,
+         ROUND((SELECT SUM(1.0 / dist) FROM comp_v WHERE dist >= 1), 6)
+           AS improvement
+)"""
+    )
+    # ---- removal scenario (drop both orientations) ---------------------
+    steps.append(
+        "adj_r AS MATERIALIZED (SELECT src, dst FROM adj WHERE NOT "
+        "((src = (SELECT fu FROM fe) AND dst = (SELECT fv FROM fe)) OR "
+        "(src = (SELECT fv FROM fe) AND dst = (SELECT fu FROM fe))))"
+    )
+    plain_bfs(
+        "rou", "adj_r",
+        "SELECT fu AS id, CAST(0 AS BIGINT) AS dist FROM fe",
+    )
+    plain_bfs(
+        "rov", "adj_r",
+        "SELECT fv AS id, CAST(0 AS BIGINT) AS dist FROM fe",
+    )
+    improving_bfs(
+        "rnu", "adj_r",
+        "SELECT fu AS id, CAST(0 AS BIGINT) AS dist FROM fe "
+        "UNION ALL SELECT fv, CAST(1 AS BIGINT) FROM fe",
+        f"rou{hops}",
+    )
+    improving_bfs(
+        "rnv", "adj_r",
+        "SELECT fv AS id, CAST(0 AS BIGINT) AS dist FROM fe "
+        "UNION ALL SELECT fu, CAST(1 AS BIGINT) FROM fe",
+        f"rov{hops}",
+    )
+    steps.append(
+        f"""raff AS (
+  SELECT DISTINCT id FROM (
+    SELECT t.id FROM rnut{hops} t LEFT JOIN rou{hops} o ON o.id = t.id
+    WHERE t.id <> (SELECT fu FROM fe) AND t.id <> (SELECT fv FROM fe)
+      AND (o.dist IS NULL OR t.dist < o.dist)
+    UNION ALL
+    SELECT t.id FROM rnvt{hops} t LEFT JOIN rov{hops} o ON o.id = t.id
+    WHERE t.id <> (SELECT fv FROM fe) AND t.id <> (SELECT fu FROM fe)
+      AND (o.dist IS NULL OR t.dist < o.dist)
+    UNION ALL SELECT fv FROM fe
+    UNION ALL SELECT fu FROM fe
+  ) t
+)"""
+    )
+    steps.append(
+        f"""rem_rows AS (
+  SELECT 'rem' AS scenario, n.id,
+         CASE WHEN ou.dist IS NULL AND ov.dist IS NULL THEN -1.0
+              ELSE CAST(LEAST(COALESCE(ou.dist, 9223372036854775807),
+                              COALESCE(ov.dist, 9223372036854775807))
+                        AS DOUBLE) END AS dist,
+         0.0 AS improvement
+  FROM raff n
+  LEFT JOIN rou{hops} ou ON ou.id = n.id
+  LEFT JOIN rov{hops} ov ON ov.id = n.id
+)"""
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + """
+SELECT scenario, id, dist, improvement FROM add_rows
+UNION ALL SELECT * FROM clo_row
+UNION ALL SELECT * FROM rem_rows
+ORDER BY scenario, id"""
+    )
+
+
+SQL_AFFECTED_NODES = _affected_sql()

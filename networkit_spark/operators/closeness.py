@@ -588,8 +588,13 @@ def top_harmonic_closeness(
             .collect()
         )
         swept += len(ids)
+        # rank on scores quantized to 1e-9: the raw float sums differ in
+        # the last bits by summation order alone (true scores are
+        # multiples of 1/lcm(1..diameter), orders of magnitude coarser),
+        # so a mathematical tie at the k-th boundary must not be broken
+        # by FP noise — quantize, then id asc
         for row in exact:
-            topk.append((float(row["score"]), int(row["id"])))
+            topk.append((round(float(row["score"]), 9), int(row["id"])))
         topk.sort(key=lambda t: (-t[0], t[1]))
         del topk[k:]
         remaining = remaining.join(

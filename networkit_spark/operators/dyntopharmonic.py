@@ -82,7 +82,11 @@ class DynTopHarmonicCloseness:
             .collect()
         )
         got = {int(r["id"]): float(r["score"]) for r in rows}
-        return [(got.get(i, 0.0), i) for i in ids]
+        # quantize to 1e-9 so k-th-boundary ties rank by id, not by the
+        # FP noise of the summation order (same rule as
+        # top_harmonic_closeness; true scores are multiples of
+        # 1/lcm(1..diameter), far coarser than the quantum)
+        return [(round(got.get(i, 0.0), 9), i) for i in ids]
 
     def _resolve(self, candidates: DataFrame) -> None:
         """Best-first wave loop over (id, ub) candidates, seeded with the
