@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reverse_bfs": e.q_reverse_bfs,
         "graph_distance_scalar": e.q_graph_distance,
         "graph_affected_nodes": e.q_affected_nodes,
+        # round-5l: Node2Vec LearnEmbedding (synchronous-SGNS contract,
+        # full unrolled oracle: walks + vocab CDF + md5 draws + 2 GD
+        # epochs replayed in SQL)
+        "graph_node2vec_emb": e.q_node2vec_emb,
     }
 
 
@@ -403,4 +407,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_reverse_bfs": e.SQL_REVERSE_BFS,
         "graph_distance_scalar": e.SQL_GRAPH_DISTANCE,
         "graph_affected_nodes": e.SQL_AFFECTED_NODES,
+        "graph_node2vec_emb": e.SQL_NODE2VEC_EMB,
     }

@@ -10291,3 +10291,224 @@ ORDER BY scenario, id"""
 
 
 SQL_AFFECTED_NODES = _affected_sql()
+
+
+# ---------------------------------------------------------------------------
+# Node2Vec LearnEmbedding (LearnEmbedding.cpp:216-267 semantics under the
+# deterministic synchronous-SGNS contract documented in
+# operators/embedding.learn_embeddings): walks -> vocab^0.75 cumulative ->
+# md5 window offsets + inverse-CDF negatives -> 2 unrolled full-batch GD
+# epochs.  The oracle replays every stage in SQL (the negative draw as a
+# direct interval join — the Spark side's bucketing is physical only).
+# ---------------------------------------------------------------------------
+
+N2VE_SEED_MOD = 211  # starts: 0, 211, 422, 633, 844
+N2VE_LEN = 5
+N2VE_DIM = 4
+N2VE_WIN = 2
+N2VE_NEG = 2
+N2VE_EPOCHS = 2
+N2VE_ALPHA = 0.025
+
+
+def q_node2vec_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.embedding import (
+        biased_random_walks,
+        learn_embeddings,
+    )
+
+    g = load_graph(spark, sf_dir)
+    starts = g.nodes().filter(F.col("id") % N2VE_SEED_MOD == 0)
+    walks, _ = biased_random_walks(
+        g, walk_length=N2VE_LEN, walks_per_node=1, p=N2V_P, q=N2V_Q,
+        seed=N2V_SEED, starts=starts,
+    )
+    emb = learn_embeddings(
+        walks, dimensions=N2VE_DIM, win_size=N2VE_WIN,
+        iterations=N2VE_EPOCHS, neg_samples=N2VE_NEG, alpha=N2VE_ALPHA,
+        seed=N2V_SEED,
+    )
+    return (
+        emb.select("id", F.posexplode("emb").alias("d", "val"))
+        .select("id", "d", F.round("val", 6).alias("val"))
+        .orderBy("id", "d")
+    )
+
+
+def _node2vec_emb_sql() -> str:
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"(CAST(({nib}) AS BIGINT) / POWER(16.0, 13))"
+
+    def h13(*parts: str) -> str:
+        # parts carry their own separators; plain concat
+        joined = " || ".join(parts)
+        return horner(f"md5({joined})")
+
+    parts = [
+        f"starts AS (SELECT id AS s FROM nodes WHERE id % {N2VE_SEED_MOD} = 0)",
+        "st0 AS MATERIALIZED (SELECT s, CAST(0 AS BIGINT) AS rep, "
+        "CAST(NULL AS BIGINT) AS prev, s AS cur FROM starts)",
+        "w0 AS (SELECT s, rep, CAST(0 AS BIGINT) AS step, cur AS node FROM st0)",
+    ]
+    for k in range(1, N2VE_LEN):
+        u01 = h13(
+            f"'{N2V_SEED}|w|'",
+            "CAST(s AS VARCHAR)", "'|'", "CAST(rep AS VARCHAR)", f"'|{k}'",
+        )
+        if k == 1:
+            wgt = "1.0"
+        else:
+            wgt = f"""CASE WHEN a.dst = w.prev THEN 1.0 / {N2V_P}
+             WHEN EXISTS (SELECT 1 FROM adj b
+                          WHERE b.src = w.prev AND b.dst = a.dst) THEN 1.0
+             ELSE 1.0 / {N2V_Q} END"""
+        parts.append(
+            f"""cand{k} AS MATERIALIZED (
+  SELECT w.s, w.rep, w.cur, w.prev, a.dst AS x, {wgt} AS wgt
+  FROM st{k - 1} w JOIN adj a ON a.src = w.cur
+),
+pick{k} AS MATERIALIZED (
+  SELECT s, rep, cur, x FROM (
+    SELECT s, rep, cur, x,
+           SUM(wgt) OVER (PARTITION BY s, rep ORDER BY x) AS cum,
+           {u01} * SUM(wgt) OVER (PARTITION BY s, rep) AS thr
+    FROM cand{k}
+  ) z WHERE cum > thr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s, rep ORDER BY x) = 1
+),
+st{k} AS MATERIALIZED (
+  SELECT s, rep, cur AS prev, x AS cur FROM pick{k}
+),
+w{k} AS (SELECT s, rep, CAST({k} AS BIGINT) AS step, cur AS node FROM st{k})"""
+        )
+    union = "\n  UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(N2VE_LEN))
+    parts.append(f"walks AS MATERIALIZED (\n  {union}\n)")
+
+    # vocabulary + cumulative intervals in id order
+    parts.append(
+        "vocab AS (SELECT node AS id, COUNT(*) AS cnt FROM walks GROUP BY node)"
+    )
+    parts.append(
+        """cumv AS MATERIALIZED (
+  SELECT id,
+         SUM(POWER(CAST(cnt AS DOUBLE), 0.75)) OVER (ORDER BY id)
+           - POWER(CAST(cnt AS DOUBLE), 0.75) AS lo,
+         SUM(POWER(CAST(cnt AS DOUBLE), 0.75)) OVER (ORDER BY id) AS hi
+  FROM vocab
+)"""
+    )
+    parts.append("tot AS (SELECT MAX(hi) AS t FROM cumv)")
+
+    off = h13(
+        f"'{N2V_SEED}|off|'", "CAST(t.s AS VARCHAR)", "'|'",
+        "CAST(t.rep AS VARCHAR)", "'|'", "CAST(t.step AS VARCHAR)",
+    )
+    parts.append(
+        f"""pairs AS MATERIALIZED (
+  SELECT t.s, t.rep, t.wi, c.ci - t.wi + {N2VE_WIN} AS a, t.tgt, c.ctx
+  FROM (SELECT s, rep, step AS wi, node AS tgt,
+               CAST(FLOOR({off} * {N2VE_WIN}) AS BIGINT) AS woff
+        FROM walks t) t
+  JOIN (SELECT s, rep, step AS ci, node AS ctx FROM walks) c
+    ON c.s = t.s AND c.rep = t.rep
+  WHERE c.ci - t.wi + {N2VE_WIN} >= t.woff
+    AND c.ci - t.wi + {N2VE_WIN} < 2 * {N2VE_WIN} + 1 - t.woff
+    AND c.ci - t.wi + {N2VE_WIN} <> {N2VE_WIN}
+)"""
+    )
+    neg_sel = []
+    for j in range(1, N2VE_NEG + 1):
+        thr = h13(
+            f"'{N2V_SEED}|neg|'", "CAST(p.s AS VARCHAR)", "'|'",
+            "CAST(p.rep AS VARCHAR)", "'|'", "CAST(p.wi AS VARCHAR)",
+            "'|'", "CAST(p.a AS VARCHAR)", f"'|{j}'",
+        )
+        neg_sel.append(
+            f"""SELECT p.ctx, c.id AS tgt, 0.0 AS label,
+       p.s, p.rep, p.wi, p.a, CAST({j} AS BIGINT) AS j
+FROM pairs p JOIN cumv c
+  ON c.lo <= {thr} * (SELECT t FROM tot)
+ AND {thr} * (SELECT t FROM tot) < c.hi
+WHERE c.id <> p.tgt"""
+        )
+    parts.append(
+        "trip AS MATERIALIZED (\n"
+        "SELECT ctx, tgt, 1.0 AS label, s, rep, wi, a, "
+        "CAST(0 AS BIGINT) AS j FROM pairs\n  UNION ALL "
+        + "\n  UNION ALL ".join(neg_sel)
+        + "\n)"
+    )
+    init = h13(
+        f"'{N2V_SEED}|init|'", "CAST(v.id AS VARCHAR)", "'|'",
+        "CAST(dd.d AS VARCHAR)",
+    )
+    parts.append(
+        f"""pos0 AS MATERIALIZED (
+  SELECT v.id, dd.d, ({init} - 0.5) / {N2VE_DIM} AS val
+  FROM vocab v, (SELECT CAST(range AS BIGINT) AS d
+                 FROM range({N2VE_DIM})) dd
+)"""
+    )
+    parts.append(
+        f"""neg0 AS MATERIALIZED (
+  SELECT v.id, dd.d, 0.0 AS val
+  FROM vocab v, (SELECT CAST(range AS BIGINT) AS d
+                 FROM range({N2VE_DIM})) dd
+)"""
+    )
+    for e in range(N2VE_EPOCHS):
+        parts.append(
+            f"""grad{e} AS MATERIALIZED (
+  SELECT t.s, t.rep, t.wi, t.a, t.j, t.ctx, t.tgt,
+         {N2VE_ALPHA} * (CASE WHEN pr.prod > 6.0 THEN t.label - 1.0
+                              WHEN pr.prod < -6.0 THEN t.label
+                              ELSE t.label - 1.0 + 1.0 / (1.0 + EXP(pr.prod))
+                         END) AS grad
+  FROM trip t JOIN (
+    SELECT t2.s, t2.rep, t2.wi, t2.a, t2.j, SUM(p.val * n.val) AS prod
+    FROM trip t2
+    JOIN pos{e} p ON p.id = t2.ctx
+    JOIN neg{e} n ON n.id = t2.tgt AND n.d = p.d
+    GROUP BY t2.s, t2.rep, t2.wi, t2.a, t2.j
+  ) pr ON pr.s = t.s AND pr.rep = t.rep AND pr.wi = t.wi
+      AND pr.a = t.a AND pr.j = t.j
+)"""
+        )
+        parts.append(
+            f"""dpos{e} AS (
+  SELECT g.ctx AS id, n.d, SUM(g.grad * n.val) AS dv
+  FROM grad{e} g JOIN neg{e} n ON n.id = g.tgt GROUP BY g.ctx, n.d
+)"""
+        )
+        parts.append(
+            f"""dneg{e} AS (
+  SELECT g.tgt AS id, p.d, SUM(g.grad * p.val) AS dv
+  FROM grad{e} g JOIN pos{e} p ON p.id = g.ctx GROUP BY g.tgt, p.d
+)"""
+        )
+        parts.append(
+            f"""pos{e + 1} AS MATERIALIZED (
+  SELECT p.id, p.d, p.val + COALESCE(x.dv, 0.0) AS val
+  FROM pos{e} p LEFT JOIN dpos{e} x ON x.id = p.id AND x.d = p.d
+)"""
+        )
+        parts.append(
+            f"""neg{e + 1} AS MATERIALIZED (
+  SELECT n.id, n.d, n.val + COALESCE(x.dv, 0.0) AS val
+  FROM neg{e} n LEFT JOIN dneg{e} x ON x.id = n.id AND x.d = n.d
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, d, ROUND(val, 6) + 0.0 AS val FROM pos{N2VE_EPOCHS} "
+        "ORDER BY id, d"
+    )
+
+
+SQL_NODE2VEC_EMB = _node2vec_emb_sql()

@@ -186,3 +186,282 @@ def biased_random_walks(
         metrics.append(ckpt.log(k, hop=k, wall_sec=time.time() - t0))
     adjw.unpersist()
     return out, SuperstepResult(iterations=len(metrics), metrics=metrics)
+
+
+def _h13(*parts):
+    """13-hex-nibble md5 uniform in [0, 1) over the concatenated parts
+    (cast to string, '|'-joined) — the repo-wide derandomized draw."""
+    cols = []
+    for p in parts:
+        if cols:
+            cols.append(F.lit("|"))
+        if isinstance(p, (str, int, float)):
+            cols.append(F.lit(str(p)))
+        else:
+            cols.append(p.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(F.concat(*cols)), 1, 13), 16, 10)
+        .cast("double") / F.lit(float(16**13))
+    )
+
+
+def learn_embeddings(
+    walks: DataFrame,
+    dimensions: int = 8,
+    win_size: int = 3,
+    iterations: int = 1,
+    neg_samples: int = 2,
+    alpha: float = 0.025,
+    ns_power: float = 0.75,
+    seed: int = 42,
+    neg_buckets: int = 256,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """Skip-gram-with-negative-sampling embeddings over a walk corpus —
+    (id, emb array<double>) for every node that appears in ``walks``
+    ((s, rep, step, node) rows, :func:`biased_random_walks`' output).
+
+    Reference: /root/reference/networkit/cpp/embedding/LearnEmbedding.cpp
+    — learnEmbeddings (:216-267) counts the vocabulary over all walks,
+    builds a count^0.75 unigram alias sampler (:70-86), initializes the
+    positive embeddings uniform in [-0.5, 0.5)/dim and the negative ones
+    to zero (:88-105), then trainModel (:107-213): per word at walk
+    position wordI, a random window offset shrinks the context span
+    (:139-141), and for the positive target plus negSamN unigram
+    negatives (skipping draws that hit the target, :153-165) the SGD
+    step is grad = (label - sigmoid(pos_ctx . neg_tgt)) * alpha with the
+    +-6 exponent clamp (:171-179), updating neg_tgt immediately and
+    accumulating the pos_ctx delta per window slot (:181-207).
+
+    Documented deviations (the reference's kernel is EXPLICITLY
+    nondeterministic — its own comment :27-34 calls the hogwild races
+    "a further (indefinite) source of randomness", so exact parity is
+    undefined):
+    - training is SYNCHRONOUS full-batch gradient descent: one step per
+      ``iterations`` over every (context, target, label) triple at the
+      epoch-start embeddings, aggregated per node — the
+      distributed-correct form of the same objective;
+    - the learning rate is the reference's startAlpha, constant (the
+      wordCntAll decay schedule is a property of its sequential word
+      stream);
+    - window offsets, negative draws, and the init are md5-derandomized
+      (offset = h13(seed,'off',s,rep,wordI) % win_size; negatives by
+      inverse-CDF over the count^ns_power distribution; init
+      (h13(seed,'init',id,d) - 0.5)/dimensions), replayable bit-for-bit
+      on any executor count and in the DuckDB gate oracle.
+
+    Scale shape: the pair corpus is a self-join of walks bounded by
+    win_size; the negative draw is an equi-join on a RANGE-bucketed
+    cumulative table (``neg_buckets`` buckets — never a global sort,
+    never a per-draw scan of the vocabulary); embeddings live as one
+    array<double> row per node, epoch updates are per-dim map-side
+    partial sums.  Python never touches per-row data.
+    """
+    spark = walks.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    dim = int(dimensions)
+
+    w = walks.select("s", "rep", "step", "node")
+    # vocabulary + unigram^ns_power cumulative intervals in id order
+    vocab = w.groupBy(F.col("node").alias("id")).agg(
+        F.count("*").alias("cnt")
+    )
+    vocab = vocab.withColumn(
+        "wgt", F.pow(F.col("cnt").cast("double"), F.lit(float(ns_power)))
+    )
+    # two-phase cumulative: per-bucket partials, running offsets over the
+    # (bounded) bucket relation, per-row cumsum inside each bucket
+    max_id = int(vocab.agg(F.max("id")).collect()[0][0] or 0)
+    bw = max(1, (max_id + 1 + neg_buckets - 1) // neg_buckets)
+    vb = vocab.withColumn("bkt", (F.col("id") / bw).cast("long"))
+    bsums = vb.groupBy("bkt").agg(F.sum("wgt").alias("bsum"))
+    # running offsets over the BOUNDED bucket relation (<= neg_buckets
+    # rows by construction) — a driver fold, not a global window
+    brows = sorted(
+        (int(r["bkt"]), float(r["bsum"])) for r in bsums.collect()
+    )
+    offs, acc = [], 0.0
+    for bkt, s in brows:
+        offs.append((bkt, acc))
+        acc += s
+    boff = spark.createDataFrame(offs, "bkt long, off double")
+    wrow = Window.partitionBy("bkt").orderBy("id")
+    cumv = (
+        vb.join(boff.hint("broadcast"), "bkt")
+        .withColumn("hi", F.col("off") + F.sum("wgt").over(wrow))
+        .withColumn("lo", F.col("hi") - F.col("wgt"))
+        .select("id", "lo", "hi")
+    )
+    cumv = ckpt.cut(cumv, 1)
+    total = acc
+
+    # pair corpus: md5 window offset per (walk, wordI), symmetric span
+    tgt = w.select(
+        "s", "rep", F.col("step").alias("wi"), F.col("node").alias("tgt")
+    ).withColumn(
+        "off",
+        (_h13(seed, "off", F.col("s"), F.col("rep"), F.col("wi"))
+         * win_size).cast("long"),
+    )
+    ctx = w.select(
+        "s", "rep", F.col("step").alias("ci"), F.col("node").alias("ctx")
+    )
+    pairs = (
+        tgt.join(ctx, ["s", "rep"])
+        .withColumn("a", F.col("ci") - F.col("wi") + win_size)
+        .filter(
+            (F.col("a") >= F.col("off"))
+            & (F.col("a") < 2 * win_size + 1 - F.col("off"))
+            & (F.col("a") != win_size)
+        )
+        .select("s", "rep", "wi", "a", "tgt", "ctx")
+    )
+    pairs = ckpt.cut(pairs, 2)
+
+    pos_rows = pairs.select(
+        "ctx", "tgt", F.lit(1.0).alias("label")
+    )
+    # negatives: inverse-CDF lookups over the bucketed interval table
+    iw = max(1e-300, total) / float(neg_buckets)
+    ivals = cumv.withColumn(
+        "nb",
+        F.sequence(
+            (F.col("lo") / iw).cast("long"),
+            (F.col("hi") / iw).cast("long"),
+        ),
+    ).select(F.explode("nb").alias("nb"), "id", "lo", "hi")
+    negs = None
+    for j in range(1, neg_samples + 1):
+        thr = (
+            pairs.withColumn(
+                "thr",
+                _h13(seed, "neg", F.col("s"), F.col("rep"), F.col("wi"),
+                     F.col("a"), j) * total,
+            )
+            .withColumn("nb", (F.col("thr") / iw).cast("long"))
+        )
+        drawn = (
+            thr.join(ivals.hint("broadcast"), "nb")
+            .filter((F.col("lo") <= F.col("thr")) & (F.col("thr") < F.col("hi")))
+            .filter(F.col("id") != F.col("tgt"))  # skip target draws
+            .select(
+                "ctx", F.col("tgt").alias("orig_tgt"),
+                F.col("id").alias("tgt"), F.lit(0.0).alias("label"),
+            )
+            .select("ctx", "tgt", "label")
+        )
+        negs = drawn if negs is None else negs.unionByName(drawn)
+    triples = pos_rows if negs is None else pos_rows.unionByName(negs)
+    triples = ckpt.cut(triples, 3)
+
+    # init: pos uniform-ish in [-0.5, 0.5)/dim, neg zeros
+    ids = vocab.select("id")
+    pos = ids.select(
+        "id",
+        F.array(*[
+            ((_h13(seed, "init", F.col("id"), d) - 0.5) / dim).alias(f"v{d}")
+            for d in range(dim)
+        ]).alias("emb"),
+    )
+    neg = ids.select(
+        "id", F.array(*[F.lit(0.0) for _ in range(dim)]).alias("emb")
+    )
+    pos = ckpt.cut(pos, 4)
+    neg = ckpt.cut(neg, 5)
+
+    dot = F.aggregate(
+        F.zip_with("cp", "cn", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    for e in range(int(iterations)):
+        t = (
+            triples
+            .join(pos.select(F.col("id").alias("ctx"), F.col("emb").alias("cp")), "ctx")
+            .join(neg.select(F.col("id").alias("tgt"), F.col("emb").alias("cn")), "tgt")
+            .withColumn("prod", dot)
+            .withColumn(
+                "grad",
+                F.lit(float(alpha)) * F.when(
+                    F.col("prod") > 6.0, F.col("label") - 1.0
+                ).when(
+                    F.col("prod") < -6.0, F.col("label")
+                ).otherwise(
+                    F.col("label") - 1.0 + 1.0 / (1.0 + F.exp(F.col("prod")))
+                ),
+            )
+        )
+        dpos = (
+            t.select(
+                "ctx",
+                F.zip_with(
+                    "cn", "cn", lambda x, _: F.col("grad") * x
+                ).alias("c"),
+            )
+            .groupBy(F.col("ctx").alias("id"))
+            .agg(F.array(*[F.sum(F.col("c")[d]) for d in range(dim)]).alias("d"))
+        )
+        dneg = (
+            t.select(
+                "tgt",
+                F.zip_with(
+                    "cp", "cp", lambda x, _: F.col("grad") * x
+                ).alias("c"),
+            )
+            .groupBy(F.col("tgt").alias("id"))
+            .agg(F.array(*[F.sum(F.col("c")[d]) for d in range(dim)]).alias("d"))
+        )
+        pos = ckpt.cut(
+            pos.join(dpos, "id", "left").select(
+                "id",
+                F.when(F.col("d").isNull(), F.col("emb")).otherwise(
+                    F.zip_with("emb", "d", lambda a, b: a + b)
+                ).alias("emb"),
+            ),
+            10 + 2 * e,
+        )
+        neg = ckpt.cut(
+            neg.join(dneg, "id", "left").select(
+                "id",
+                F.when(F.col("d").isNull(), F.col("emb")).otherwise(
+                    F.zip_with("emb", "d", lambda a, b: a + b)
+                ).alias("emb"),
+            ),
+            11 + 2 * e,
+        )
+    return pos
+
+
+def node2vec(
+    g: Graph,
+    p: float = 1.0,
+    q: float = 1.0,
+    walk_length: int = 80,
+    walks_per_node: int = 1,
+    dimensions: int = 128,
+    win_size: int = 10,
+    iterations: int = 1,
+    seed: int = 42,
+    **learn_kwargs,
+) -> DataFrame:
+    """End-to-end Node2Vec: biased walks -> skip-gram embeddings —
+    (id, emb array<double>).
+
+    Reference: /root/reference/networkit/cpp/embedding/Node2Vec.cpp:
+    31-67 — the constructor rejects isolated nodes (:36-44; same check
+    here, distributed); run() chains preprocess + doWalks(L, N) +
+    learnEmbeddings(walks, n, D, winSize=10, iterations=1).  The
+    continuous-id requirement (:32-34) is an artifact of its dense
+    arrays — explicit-id DataFrames don't need it.
+    """
+    deg = g.degrees().filter(F.col("degree") > 0).select("id")
+    isolated = g.nodes().join(deg, "id", "left_anti").limit(1).collect()
+    if isolated:
+        raise ValueError("Isolated nodes are not allowed.")
+    walks, _ = biased_random_walks(
+        g, walk_length=walk_length, walks_per_node=walks_per_node,
+        p=p, q=q, seed=seed,
+    )
+    return learn_embeddings(
+        walks, dimensions=dimensions, win_size=win_size,
+        iterations=iterations, seed=seed, **learn_kwargs,
+    )
