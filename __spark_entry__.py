@@ -250,6 +250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full unrolled oracle: walks + vocab CDF + md5 draws + 2 GD
         # epochs replayed in SQL)
         "graph_node2vec_emb": e.q_node2vec_emb,
+        # round-5l: PubWebGenerator — fixed-n synthetic gate
+        # (sf-independent like graph_hyperbolic / graph_pivot_mds)
+        "graph_pubweb": e.q_pubweb,
+        "graph_dyn_pubweb": e.q_dyn_pubweb,
     }
 
 
@@ -408,4 +412,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_distance_scalar": e.SQL_GRAPH_DISTANCE,
         "graph_affected_nodes": e.SQL_AFFECTED_NODES,
         "graph_node2vec_emb": e.SQL_NODE2VEC_EMB,
+        "graph_pubweb": e.SQL_PUBWEB,
+        "graph_dyn_pubweb": e.SQL_DYN_PUBWEB,
     }

@@ -10512,3 +10512,417 @@ WHERE c.id <> p.tgt"""
 
 
 SQL_NODE2VEC_EMB = _node2vec_emb_sql()
+
+
+# ---------------------------------------------------------------------------
+# PubWebGenerator (generators/PubWebGenerator.cpp:47-160) — fixed-n
+# synthetic gate (sf-independent like graph_hyperbolic): md5 area radii /
+# centers / polar points, mutual-kNN in-range edges, 0.01/d^2 weights.
+# Oracle: the same md5 draws + brute-force all-pairs (the Spark side's
+# grid-cell join is physical only), with the documented 1e-9 threshold
+# dead-band + rank quantization against 1-ulp JVM/libm trig differences.
+# ---------------------------------------------------------------------------
+
+PW_N, PW_A, PW_RAD, PW_MAXN, PW_SEED = 500, 4, 0.1, 6, 42
+
+
+def q_pubweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.generators import pubweb_graph
+
+    _, edges = pubweb_graph(
+        spark, PW_N, num_dense_areas=PW_A, neigh_rad=PW_RAD,
+        max_neigh=PW_MAXN, seed=PW_SEED,
+        threshold_margin=1e-9, rank_round=9,
+    )
+    return (
+        edges.select(
+            "src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight")
+        )
+        .orderBy("src", "dst")
+    )
+
+
+def _pubweb_sql() -> str:
+    import math
+
+    from networkit_spark.sources.generators import _py_md5_frac
+
+    MAX_R, FACTOR = 0.2, 5.0
+    radii = [
+        MAX_R * (_py_md5_frac(f"pwf|{PW_SEED}", a) * FACTOR + 1.0) ** 2
+        / 25.0
+        for a in range(PW_A)
+    ]
+    centers = [
+        (_py_md5_frac(f"pwcx|{PW_SEED}", a), _py_md5_frac(f"pwcy|{PW_SEED}", a))
+        for a in range(PW_A)
+    ]
+    fsum = sum(r ** 1.5 for r in radii)
+    ffac = (PW_N * (PW_A / (PW_A + 2.0))) / fsum
+    num = [int(math.floor(ffac * r ** 1.5 + 0.5)) for r in radii]
+    offs = [0]
+    for c in num:
+        offs.append(offs[-1] + c)
+    n_rest = max(0, PW_N - offs[-1])
+
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"(CAST(({nib}) AS BIGINT) / POWER(16.0, 13))"
+
+    two_pi = repr(2 * math.pi)
+    blocks = []
+    for a in range(PW_A):
+        if num[a] == 0:
+            continue
+        ang = (
+            f"({two_pi} * "
+            + horner(f"md5('pwang|{PW_SEED}|{a}|' || CAST(j AS VARCHAR))")
+            + ")"
+        )
+        dst = (
+            f"({radii[a]!r} * "
+            + horner(f"md5('pwdist|{PW_SEED}|{a}|' || CAST(j AS VARCHAR))")
+            + ")"
+        )
+        blocks.append(
+            f"""SELECT CAST(range + {offs[a]} AS BIGINT) AS id,
+       CASE WHEN {centers[a][0]!r} + COS({ang}) * {dst} > 1.0
+            THEN {centers[a][0]!r} + COS({ang}) * {dst} - 1.0
+            WHEN {centers[a][0]!r} + COS({ang}) * {dst} < 0.0
+            THEN {centers[a][0]!r} + COS({ang}) * {dst} + 1.0
+            ELSE {centers[a][0]!r} + COS({ang}) * {dst} END AS x,
+       CASE WHEN {centers[a][1]!r} + SIN({ang}) * {dst} > 1.0
+            THEN {centers[a][1]!r} + SIN({ang}) * {dst} - 1.0
+            WHEN {centers[a][1]!r} + SIN({ang}) * {dst} < 0.0
+            THEN {centers[a][1]!r} + SIN({ang}) * {dst} + 1.0
+            ELSE {centers[a][1]!r} + SIN({ang}) * {dst} END AS y
+FROM (SELECT range, range AS j FROM range({num[a]}))"""
+        )
+    if n_rest > 0:
+        rx = horner(f"md5('pwrx|{PW_SEED}|' || CAST(j AS VARCHAR))")
+        ry = horner(f"md5('pwry|{PW_SEED}|' || CAST(j AS VARCHAR))")
+        blocks.append(
+            f"""SELECT CAST(range + {offs[-1]} AS BIGINT) AS id,
+       {rx} AS x, {ry} AS y
+FROM (SELECT range, range AS j FROM range({n_rest}))"""
+        )
+    rad2 = repr(PW_RAD * PW_RAD)
+    return (
+        "WITH pts AS MATERIALIZED (\n"
+        + "\nUNION ALL\n".join(blocks)
+        + f"""
+),
+cand AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v,
+         (CASE WHEN a.x - b.x > 0.5 THEN 1.0 - (a.x - b.x)
+               WHEN a.x - b.x < -0.5 THEN (a.x - b.x) + 1.0
+               ELSE a.x - b.x END) AS dx,
+         (CASE WHEN a.y - b.y > 0.5 THEN 1.0 - (a.y - b.y)
+               WHEN a.y - b.y < -0.5 THEN (a.y - b.y) + 1.0
+               ELSE a.y - b.y END) AS dy
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+inr AS MATERIALIZED (
+  SELECT u, v, dx * dx + dy * dy AS d2 FROM cand
+  WHERE dx * dx + dy * dy <= {rad2}
+    AND ABS(dx * dx + dy * dy - {rad2}) >= 1e-9
+),
+kept AS MATERIALIZED (
+  SELECT u, v, d2 FROM (
+    SELECT u, v, d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY u
+             ORDER BY ROUND(d2, 9), LEAST(u, v), GREATEST(u, v)
+           ) AS rk
+    FROM inr
+  ) t WHERE rk <= {PW_MAXN - 1}
+)
+SELECT LEAST(k.u, k.v) AS src, GREATEST(k.u, k.v) AS dst,
+       ROUND(MIN(0.01 / k.d2), 6) + 0.0 AS weight
+FROM kept k JOIN kept r ON r.u = k.v AND r.v = k.u
+GROUP BY LEAST(k.u, k.v), GREATEST(k.u, k.v)
+ORDER BY src, dst"""
+    )
+
+
+SQL_PUBWEB = _pubweb_sql()
+
+
+# ---------------------------------------------------------------------------
+# DynamicPubWebGenerator (generators/DynamicPubWebGenerator.cpp:25-182) —
+# fixed-n synthetic gate: 2 unrolled steps of delete-5% / insert-5% /
+# mutual-kNN recompute / event diff, every md5 draw and the full
+# brute-force structure replayed in SQL.
+# ---------------------------------------------------------------------------
+
+PWD_N, PWD_A, PWD_RAD, PWD_MAXN, PWD_STEPS = 250, 3, 0.12, 5, 2
+
+
+def q_dyn_pubweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.generators import dynamic_pubweb_events
+
+    ev = dynamic_pubweb_events(
+        spark, PWD_N, num_dense_areas=PWD_A, neigh_rad=PWD_RAD,
+        max_neigh=PWD_MAXN, steps=PWD_STEPS, seed=PW_SEED,
+        threshold_margin=1e-9, rank_round=9,
+    )
+    return (
+        ev.select(
+            "step", "cls", "type", "u", "v",
+            (F.round("w", 6) + F.lit(0.0)).alias("w"),
+        )
+        .orderBy("step", "cls", "u", "v")
+    )
+
+
+def _dyn_pubweb_sql() -> str:
+    import math
+
+    from networkit_spark.sources.generators import _py_md5_frac
+
+    n, A, rad, maxn, steps, seed = (
+        PWD_N, PWD_A, PWD_RAD, PWD_MAXN, PWD_STEPS, PW_SEED,
+    )
+    MAX_R, FACTOR = 0.2, 5.0
+    radii = [
+        MAX_R * (_py_md5_frac(f"pwf|{seed}", a) * FACTOR + 1.0) ** 2 / 25.0
+        for a in range(A)
+    ]
+    centers = [
+        (_py_md5_frac(f"pwcx|{seed}", a), _py_md5_frac(f"pwcy|{seed}", a))
+        for a in range(A)
+    ]
+    fsum = sum(r ** 1.5 for r in radii)
+    ffac = (n * (A / (A + 2.0))) / fsum
+    num = [int(math.floor(ffac * r ** 1.5 + 0.5)) for r in radii]
+    offs = [0]
+    for c in num:
+        offs.append(offs[-1] + c)
+    n_rest = max(0, n - offs[-1])
+    total = offs[-1] + n_rest
+    nmut = int(total * 0.05)
+
+    def horner(expr: str) -> str:
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+            f" * POWER(16.0, {12 - p})"
+            for p in range(13)
+        )
+        return f"(CAST(({nib}) AS BIGINT) / POWER(16.0, 13))"
+
+    two_pi = repr(2 * math.pi)
+
+    def wrap_case(e: str) -> str:
+        return (
+            f"CASE WHEN {e} > 1.0 THEN {e} - 1.0 "
+            f"WHEN {e} < 0.0 THEN {e} + 1.0 ELSE {e} END"
+        )
+
+    blocks = []
+    for a in range(A):
+        if num[a] == 0:
+            continue
+        ang = (
+            f"({two_pi} * "
+            + horner(f"md5('pwang|{seed}|{a}|' || CAST(j AS VARCHAR))")
+            + ")"
+        )
+        dst = (
+            f"({radii[a]!r} * "
+            + horner(f"md5('pwdist|{seed}|{a}|' || CAST(j AS VARCHAR))")
+            + ")"
+        )
+        xb = f"{centers[a][0]!r} + COS({ang}) * {dst}"
+        yb = f"{centers[a][1]!r} + SIN({ang}) * {dst}"
+        blocks.append(
+            f"SELECT CAST(range + {offs[a]} AS BIGINT) AS id, "
+            f"{wrap_case(xb)} AS x, {wrap_case(yb)} AS y "
+            f"FROM (SELECT range, range AS j FROM range({num[a]}))"
+        )
+    if n_rest > 0:
+        rx = horner(f"md5('pwrx|{seed}|' || CAST(j AS VARCHAR))")
+        ry = horner(f"md5('pwry|{seed}|' || CAST(j AS VARCHAR))")
+        blocks.append(
+            f"SELECT CAST(range + {offs[-1]} AS BIGINT) AS id, {rx} AS x, "
+            f"{ry} AS y FROM (SELECT range, range AS j FROM range({n_rest}))"
+        )
+    rad2 = repr(rad * rad)
+    steps_sql = [
+        "pts0 AS MATERIALIZED (\n" + "\nUNION ALL\n".join(blocks) + "\n)"
+    ]
+
+    def edge_ctes(sfx: str) -> None:
+        steps_sql.append(
+            f"""cand{sfx} AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v,
+         (CASE WHEN a.x - b.x > 0.5 THEN 1.0 - (a.x - b.x)
+               WHEN a.x - b.x < -0.5 THEN (a.x - b.x) + 1.0
+               ELSE a.x - b.x END) AS dx,
+         (CASE WHEN a.y - b.y > 0.5 THEN 1.0 - (a.y - b.y)
+               WHEN a.y - b.y < -0.5 THEN (a.y - b.y) + 1.0
+               ELSE a.y - b.y END) AS dy
+  FROM pts{sfx} a JOIN pts{sfx} b ON a.id <> b.id
+),
+inr{sfx} AS MATERIALIZED (
+  SELECT u, v, dx * dx + dy * dy AS d2 FROM cand{sfx}
+  WHERE dx * dx + dy * dy <= {rad2}
+    AND ABS(dx * dx + dy * dy - {rad2}) >= 1e-9
+),
+kept{sfx} AS MATERIALIZED (
+  SELECT u, v, d2 FROM (
+    SELECT u, v, d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY u
+             ORDER BY ROUND(d2, 9), LEAST(u, v), GREATEST(u, v)
+           ) AS rk
+    FROM inr{sfx}
+  ) t WHERE rk <= {maxn - 1}
+),
+edges{sfx} AS MATERIALIZED (
+  SELECT LEAST(k.u, k.v) AS src, GREATEST(k.u, k.v) AS dst,
+         MIN(0.01 / k.d2) AS w
+  FROM kept{sfx} k JOIN kept{sfx} r ON r.u = k.v AND r.v = k.u
+  GROUP BY LEAST(k.u, k.v), GREATEST(k.u, k.v)
+)"""
+        )
+
+    edge_ctes("0")
+    ev_names = []
+    nid = total
+    for st in range(steps):
+        h = horner(f"md5('pwdel|{seed}|{st}|' || CAST(id AS VARCHAR))")
+        steps_sql.append(
+            f"""dels{st} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY {h}, id) AS rk FROM pts{st}
+  ) t WHERE rk <= {nmut}
+)"""
+        )
+        steps_sql.append(
+            f"""ev0_{st} AS (
+  SELECT CAST({st} AS BIGINT) AS step, CAST(0 AS BIGINT) AS cls,
+         'EDGE_REMOVAL' AS type,
+         CASE WHEN e.src IN (SELECT id FROM dels{st}) THEN e.src
+              ELSE e.dst END AS u,
+         CASE WHEN e.src IN (SELECT id FROM dels{st}) THEN e.dst
+              ELSE e.src END AS v,
+         0.0 AS w
+  FROM edges{st} e
+  WHERE e.src IN (SELECT id FROM dels{st})
+     OR e.dst IN (SELECT id FROM dels{st})
+)"""
+        )
+        steps_sql.append(
+            f"""ev1_{st} AS (
+  SELECT CAST({st} AS BIGINT) AS step, CAST(1 AS BIGINT) AS cls,
+         'NODE_REMOVAL' AS type, id AS u, CAST(-1 AS BIGINT) AS v, 0.0 AS w
+  FROM dels{st}
+)"""
+        )
+        gid = f"CAST(range + {nid} AS BIGINT)"
+        cdraw = (
+            f"CAST(FLOOR("
+            + horner(f"md5('pwinsc|{seed}|' || CAST(range + {nid} AS VARCHAR))")
+            + f" * {A + 2}) AS BIGINT)"
+        )
+        angx = (
+            f"({two_pi} * "
+            + horner(f"md5('pwinsa|{seed}|' || CAST(range + {nid} AS VARCHAR))")
+            + ")"
+        )
+        dfr = horner(f"md5('pwinsd|{seed}|' || CAST(range + {nid} AS VARCHAR))")
+        radc = "CASE " + " ".join(
+            f"WHEN {cdraw} = {a} THEN {radii[a]!r}" for a in range(A)
+        ) + " ELSE 0.0 END"
+        cxc = "CASE " + " ".join(
+            f"WHEN {cdraw} = {a} THEN {centers[a][0]!r}" for a in range(A)
+        ) + " ELSE 0.0 END"
+        cyc = "CASE " + " ".join(
+            f"WHEN {cdraw} = {a} THEN {centers[a][1]!r}" for a in range(A)
+        ) + " ELSE 0.0 END"
+        nsx = horner(f"md5('pwinsx|{seed}|' || CAST(range + {nid} AS VARCHAR))")
+        nsy = horner(f"md5('pwinsy|{seed}|' || CAST(range + {nid} AS VARCHAR))")
+        clx = wrap_case(f"({cxc}) + COS({angx}) * ({dfr} * ({radc}))")
+        cly = wrap_case(f"({cyc}) + SIN({angx}) * ({dfr} * ({radc}))")
+        steps_sql.append(
+            f"""ins{st} AS MATERIALIZED (
+  SELECT {gid} AS id,
+         CASE WHEN {cdraw} < {A} THEN {clx} ELSE {nsx} END AS x,
+         CASE WHEN {cdraw} < {A} THEN {cly} ELSE {nsy} END AS y
+  FROM range({nmut})
+)"""
+        )
+        steps_sql.append(
+            f"""ev2_{st} AS (
+  SELECT CAST({st} AS BIGINT) AS step, CAST(2 AS BIGINT) AS cls,
+         'NODE_ADDITION' AS type, id AS u, CAST(-1 AS BIGINT) AS v, 0.0 AS w
+  FROM ins{st}
+)"""
+        )
+        steps_sql.append(
+            f"""pts{st + 1} AS MATERIALIZED (
+  SELECT p.id, p.x, p.y FROM pts{st} p
+  WHERE p.id NOT IN (SELECT id FROM dels{st})
+  UNION ALL SELECT id, x, y FROM ins{st}
+)"""
+        )
+        edge_ctes(str(st + 1))
+        steps_sql.append(
+            f"""surv{st} AS MATERIALIZED (
+  SELECT src, dst, w FROM edges{st}
+  WHERE src NOT IN (SELECT id FROM dels{st})
+    AND dst NOT IN (SELECT id FROM dels{st})
+)"""
+        )
+        steps_sql.append(
+            f"""ev3_{st} AS (
+  SELECT CAST({st} AS BIGINT) AS step, CAST(3 AS BIGINT) AS cls,
+         'EDGE_WEIGHT_UPDATE' AS type, e.src AS u, e.dst AS v, e.w
+  FROM edges{st + 1} e JOIN surv{st} s ON s.src = e.src AND s.dst = e.dst
+)"""
+        )
+        steps_sql.append(
+            f"""ev4_{st} AS (
+  SELECT CAST({st} AS BIGINT) AS step, CAST(4 AS BIGINT) AS cls,
+         'EDGE_REMOVAL' AS type, s.src AS u, s.dst AS v, 0.0 AS w
+  FROM surv{st} s LEFT JOIN edges{st + 1} e
+    ON e.src = s.src AND e.dst = s.dst
+  WHERE e.src IS NULL
+)"""
+        )
+        steps_sql.append(
+            f"""ev5_{st} AS (
+  SELECT CAST({st} AS BIGINT) AS step, CAST(5 AS BIGINT) AS cls,
+         'EDGE_ADDITION' AS type, e.src AS u, e.dst AS v, e.w
+  FROM edges{st + 1} e LEFT JOIN surv{st} s
+    ON s.src = e.src AND s.dst = e.dst
+  WHERE s.src IS NULL
+)"""
+        )
+        steps_sql.append(
+            f"""ev6_{st} AS (
+  SELECT CAST({st} AS BIGINT) AS step, CAST(6 AS BIGINT) AS cls,
+         'TIME_STEP' AS type, CAST(-1 AS BIGINT) AS u,
+         CAST(-1 AS BIGINT) AS v, 0.0 AS w
+)"""
+        )
+        ev_names.extend(f"ev{c}_{st}" for c in range(7))
+        nid += nmut
+    union = "\nUNION ALL ".join(f"SELECT * FROM {e}" for e in ev_names)
+    return (
+        "WITH "
+        + ",\n".join(steps_sql)
+        + f""",
+allev AS (
+  {union}
+)
+SELECT step, cls, type, u, v, ROUND(w, 6) + 0.0 AS w FROM allev
+ORDER BY step, cls, u, v"""
+    )
+
+
+SQL_DYN_PUBWEB = _dyn_pubweb_sql()

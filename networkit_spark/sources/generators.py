@@ -13,7 +13,7 @@ codegen, no Python, no driver materialization).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 def rmat_edges(
@@ -1019,3 +1019,448 @@ def mocnik_graph(
     for p in pieces[1:]:
         edges = edges.unionByName(p)
     return edges, pts, dist_min
+
+
+# ---------------------------------------------------------------------------
+# PubWebGenerator (peer-to-peer overlay / "pub web" spatial model)
+# ---------------------------------------------------------------------------
+
+
+def pubweb_graph(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 10,
+    neigh_rad: float = 0.1,
+    max_neigh: int = 10,
+    seed: int = 42,
+    threshold_margin: float = 0.0,
+    rank_round: int | None = None,
+):
+    """PubWeb spatial graph — (points(id, x, y), edges(src, dst, weight)).
+
+    Reference: /root/reference/networkit/cpp/generators/
+    PubWebGenerator.cpp:
+    - chooseDenseAreaSizes (:105-114): rad_a = MAX_R * f^2 / FACTOR^2
+      with f = u*FACTOR + 1 (anti-quadratic), MAX_R = 0.2, FACTOR = 5;
+    - chooseClusterSizes (:117-128): num_a = round(F * rad_a^1.5), F =
+      n * (A / (A + 2)) / sum(rad^1.5) — equal density per cluster;
+    - fillDenseAreas/addNodesToArea (:88-134): center uniform; node =
+      center + (cos, sin)(u*2pi) * (u*rad), folded into the unit square
+      by ONE +-1 shift (:21-31) — the cluster density is deliberately
+      center-heavy (dist uniform, not area-uniform);
+    - spreadRemainingNodes (:137-143): uniform until n nodes (when the
+      rounded cluster sizes exceed n the reference keeps the excess —
+      replicated);
+    - determineNeighbors (:47-86): per node, the maxNeigh nearest
+      IN-RANGE nodes (torus distance <= neighRad; the self-pair always
+      occupies the first slot) are marked; an edge enters the graph the
+      SECOND time it is marked — i.e. exactly the MUTUAL-kNN pairs,
+      independent of the reference's node processing order — with
+      weight BASE_WEIGHT / dist^2 (BASE_WEIGHT = 0.01).
+
+    Documented deviations: every draw is md5-derandomized in (seed,
+    role, area/node index) — replayable on any executor count and in
+    the DuckDB oracle; distance ties in the top-k rank break by
+    (least, greatest) id pair (the reference pops the larger pair
+    first, but its RNG never produces exact ties).  ``threshold_margin``
+    and ``rank_round`` are the gate-only robustifications against 1-ulp
+    JVM/libm trig differences (same stance as hyperbolic_graph): a
+    margin drops candidates within it of the radius, rank_round ranks
+    on ROUND(d2, rank_round).
+
+    Spark-first shape: candidate pairs come from a 3x3 torus-wrapped
+    grid-cell join (cell side >= neighRad, the same relational NN
+    pattern as mocnik_graph), never all pairs; the top-k is a window
+    over each node's IN-RANGE candidates (bounded by the model's
+    density), the mutual filter one self-semi-join.
+    """
+    import math
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if not (0.0 < neigh_rad <= 0.5):
+        raise ValueError("neighRad must be in (0, 0.5]")
+    A = int(num_dense_areas)
+    MAX_R, FACTOR, BASE_W = 0.2, 5.0, 0.01
+
+    radii = [
+        MAX_R * (_py_md5_frac(f"pwf|{seed}", a) * FACTOR + 1.0) ** 2
+        / (FACTOR * FACTOR)
+        for a in range(A)
+    ]
+    centers = [
+        (_py_md5_frac(f"pwcx|{seed}", a), _py_md5_frac(f"pwcy|{seed}", a))
+        for a in range(A)
+    ]
+    if A > 0:
+        fsum = sum(r ** 1.5 for r in radii)
+        ffac = (n * (A / (A + 2.0))) / fsum
+        # std::round = half away from zero (positive args: floor(x+.5))
+        num = [int(math.floor(ffac * r ** 1.5 + 0.5)) for r in radii]
+    else:
+        num = []
+    offs = [0]
+    for c in num:
+        offs.append(offs[-1] + c)
+    total_area = offs[-1]
+    n_rest = max(0, n - total_area)
+
+    parts = []
+    for a in range(A):
+        if num[a] == 0:
+            continue
+        j = F.col("id")
+        ang = F.lit(2 * _PI) * _md5_frac(F.lit(f"pwang|{seed}|{a}"), j)
+        dst = F.lit(radii[a]) * _md5_frac(F.lit(f"pwdist|{seed}|{a}"), j)
+        x = F.lit(centers[a][0]) + F.cos(ang) * dst
+        y = F.lit(centers[a][1]) + F.sin(ang) * dst
+        wrap = lambda z: (
+            F.when(z > 1.0, z - 1.0).when(z < 0.0, z + 1.0).otherwise(z)
+        )
+        parts.append(
+            spark.range(num[a]).select(
+                (j + offs[a]).alias("id"),
+                wrap(x).alias("x"), wrap(y).alias("y"),
+            )
+        )
+    if n_rest > 0:
+        i = F.col("id")
+        parts.append(
+            spark.range(n_rest).select(
+                (i + total_area).alias("id"),
+                _md5_frac(F.lit(f"pwrx|{seed}"), i).alias("x"),
+                _md5_frac(F.lit(f"pwry|{seed}"), i).alias("y"),
+            )
+        )
+    pts = parts[0]
+    for p in parts[1:]:
+        pts = pts.unionByName(p)
+    pts = pts.localCheckpoint(eager=True)
+
+    edges = _pubweb_edges(
+        pts, neigh_rad, max_neigh, threshold_margin, rank_round
+    )
+    return pts, edges
+
+
+def _pubweb_edges(
+    pts,
+    neigh_rad: float,
+    max_neigh: int,
+    threshold_margin: float = 0.0,
+    rank_round: int | None = None,
+):
+    """Mutual-kNN in-range edges (src, dst, weight) over a (id, x, y)
+    torus point relation — PubWebGenerator.determineNeighbors (:47-86)
+    re-expressed relationally; shared by the static and dynamic
+    generators (the dynamic one recomputes it per step, :110-135 of
+    DynamicPubWebGenerator.cpp)."""
+    import math
+
+    spark = pts.sparkSession
+    BASE_W = 0.01  # PubWebGenerator.hpp:67
+    C = max(1, int(math.floor(1.0 / neigh_rad)))
+    cell = lambda z: F.floor(z * C).cast("long") % C
+    p1 = pts.select(
+        F.col("id").alias("u"), F.col("x").alias("x1"),
+        F.col("y").alias("y1"), cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    p2 = pts.select(
+        F.col("id").alias("v"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"), cell(F.col("x")).alias("cx2"),
+        cell(F.col("y")).alias("cy2"),
+    )
+    od = sorted({(dx % C, dy % C) for dx in (-1, 0, 1) for dy in (-1, 0, 1)})
+    off_df = spark.createDataFrame(od, "dx long, dy long")
+    cand = (
+        p1.crossJoin(F.broadcast(off_df))
+        .withColumn("cx2", (F.col("cx") + F.col("dx")) % C)
+        .withColumn("cy2", (F.col("cy") + F.col("dy")) % C)
+        .join(p2, ["cx2", "cy2"])
+        .filter(F.col("u") != F.col("v"))
+    )
+    wrapd = lambda z: (
+        F.when(z > 0.5, 1.0 - z).when(z < -0.5, z + 1.0).otherwise(z)
+    )
+    ddx = wrapd(F.col("x1") - F.col("x2"))
+    ddy = wrapd(F.col("y1") - F.col("y2"))
+    cand = cand.withColumn("d2", ddx * ddx + ddy * ddy)
+    rad2 = neigh_rad * neigh_rad
+    cond = F.col("d2") <= F.lit(rad2)
+    if threshold_margin > 0.0:
+        cond = cond & (
+            F.abs(F.col("d2") - F.lit(rad2)) >= F.lit(threshold_margin)
+        )
+    inr = cand.filter(cond).select("u", "v", "d2")
+    d2q = (
+        F.round(F.col("d2"), rank_round) if rank_round is not None
+        else F.col("d2")
+    )
+    wn = Window.partitionBy("u").orderBy(
+        d2q.asc(), F.least("u", "v").asc(), F.greatest("u", "v").asc()
+    )
+    kept = (
+        inr.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= max_neigh - 1)
+        .select("u", "v", "d2")
+    )
+    mutual = kept.join(
+        kept.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"], "left_semi",
+    )
+    edges = (
+        mutual.select(
+            F.least("u", "v").alias("src"),
+            F.greatest("u", "v").alias("dst"),
+            (F.lit(BASE_W) / F.col("d2")).alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
+    return edges
+
+
+def dynamic_pubweb_events(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 10,
+    neigh_rad: float = 0.1,
+    max_neigh: int = 10,
+    steps: int = 2,
+    seed: int = 42,
+    write_initial: bool = False,
+    threshold_margin: float = 0.0,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """DynamicPubWebGenerator event stream — (step, cls, type, u, v, w).
+
+    Reference: /root/reference/networkit/cpp/generators/
+    DynamicPubWebGenerator.cpp:25-182 — generate(nSteps): numToDel =
+    numToIns = floor(|V| * 0.05) fixed at call time (:26-27); per step,
+    delete numToDel random live nodes (incident EDGE_REMOVALs then the
+    NODE_REMOVAL, :49-73), insert numToIns nodes with fresh ids and
+    cluster-or-noise coordinates — cluster c with probability 1/(A+2)
+    each, noise 2/(A+2) (:77-105, Aux::Random::integer(A+1) inclusive);
+    then recompute the mutual-kNN structure over the live points and
+    diff it against the surviving edges: every surviving-and-still-
+    eligible edge re-emits EDGE_WEIGHT_UPDATE (coordinates never move,
+    so the weight is unchanged — replicated), no-longer-eligible edges
+    emit EDGE_REMOVAL, newly eligible pairs EDGE_ADDITION, then one
+    TIME_STEP (:108-180).  ``write_initial`` prepends the initial graph
+    as NODE_ADDITION / EDGE_ADDITION events + TIME_STEP (:33-44).
+
+    cls encodes the reference's within-step emission phases: 0 =
+    deletion-incident edge removals, 1 = node removals, 2 = node
+    additions, 3 = weight updates, 4 = structural edge removals, 5 =
+    edge additions, 6 = TIME_STEP; within a class the deterministic
+    order is (u, v).  Documented deviations: the numToDel victims are
+    the smallest-h13(seed, 'del', step, id) live nodes processed in
+    ascending id (the reference rejection-samples ids sequentially —
+    any uniform pick is a valid draw); an edge between two victims is
+    removed with its smaller endpoint.
+
+    The per-step structure recompute is the shared :func:`_pubweb_edges`
+    grid-cell plan (the reference recomputes quadratically, :113 FIXME).
+    """
+    import math
+
+    A = int(num_dense_areas)
+    MAX_R, FACTOR = 0.2, 5.0
+    radii = [
+        MAX_R * (_py_md5_frac(f"pwf|{seed}", a) * FACTOR + 1.0) ** 2 / 25.0
+        for a in range(A)
+    ]
+    centers = [
+        (_py_md5_frac(f"pwcx|{seed}", a), _py_md5_frac(f"pwcy|{seed}", a))
+        for a in range(A)
+    ]
+
+    pts, edges = pubweb_graph(
+        spark, n, num_dense_areas=A, neigh_rad=neigh_rad,
+        max_neigh=max_neigh, seed=seed,
+        threshold_margin=threshold_margin, rank_round=rank_round,
+    )
+    pts = pts.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    total = pts.count()
+    nmut = int(total * 0.05)
+    next_id = int(total)
+
+    ev_schema = (
+        "step long, cls long, type string, u long, v long, w double"
+    )
+    out_parts = []
+    if write_initial:
+        out_parts.append(
+            pts.select(
+                F.lit(0).cast("long").alias("step"),
+                F.lit(0).cast("long").alias("cls"),
+                F.lit("NODE_ADDITION").alias("type"),
+                F.col("id").alias("u"), F.lit(-1).cast("long").alias("v"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        out_parts.append(
+            edges.select(
+                F.lit(0).cast("long").alias("step"),
+                F.lit(1).cast("long").alias("cls"),
+                F.lit("EDGE_ADDITION").alias("type"),
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.col("weight").alias("w"),
+            )
+        )
+        out_parts.append(
+            spark.createDataFrame(
+                [(0, 6, "TIME_STEP", -1, -1, 0.0)], ev_schema
+            )
+        )
+    first_step = 1 if write_initial else 0
+
+    wrap = lambda z: (
+        F.when(z > 1.0, z - 1.0).when(z < 0.0, z + 1.0).otherwise(z)
+    )
+    for st in range(first_step, first_step + steps):
+        # --- deletions: nmut smallest-h13 live nodes ------------------
+        dels = (
+            pts.select(
+                "id",
+                _md5_frac(F.lit(f"pwdel|{seed}|{st}"), F.col("id")).alias("h"),
+            )
+            .orderBy("h", "id")
+            .limit(nmut)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        del_edges = (
+            edges.join(dels.select(F.col("id").alias("src")), "src", "left_semi")
+            .unionByName(
+                edges.join(
+                    dels.select(F.col("id").alias("dst")), "dst", "left_semi"
+                )
+            )
+            .distinct()
+        )
+        # emitted with the deleted endpoint as u (smaller endpoint when
+        # both are victims)
+        dl = dels.select(F.col("id").alias("d"))
+        tagged = (
+            del_edges.join(
+                dl.select(F.col("d").alias("src"), F.lit(1).alias("sdel")),
+                "src", "left",
+            )
+            .join(
+                dl.select(F.col("d").alias("dst"), F.lit(1).alias("ddel")),
+                "dst", "left",
+            )
+        )
+        out_parts.append(
+            tagged.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(0).cast("long").alias("cls"),
+                F.lit("EDGE_REMOVAL").alias("type"),
+                F.when(F.col("sdel").isNotNull(), F.col("src"))
+                .otherwise(F.col("dst")).alias("u"),
+                F.when(F.col("sdel").isNotNull(), F.col("dst"))
+                .otherwise(F.col("src")).alias("v"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        out_parts.append(
+            dels.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(1).cast("long").alias("cls"),
+                F.lit("NODE_REMOVAL").alias("type"),
+                F.col("id").alias("u"), F.lit(-1).cast("long").alias("v"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        surviving = (
+            edges.join(dl.select(F.col("d").alias("src")), "src", "left_anti")
+            .join(dl.select(F.col("d").alias("dst")), "dst", "left_anti")
+        )
+        pts = pts.join(dels, "id", "left_anti")
+
+        # --- insertions: fresh ids, cluster-or-noise coordinates ------
+        gi = F.col("id") + next_id
+        cdraw = F.floor(
+            _md5_frac(F.lit(f"pwinsc|{seed}"), gi) * (A + 2)
+        ).cast("long")
+        ang = F.lit(2 * _PI) * _md5_frac(F.lit(f"pwinsa|{seed}"), gi)
+        dfr = _md5_frac(F.lit(f"pwinsd|{seed}"), gi)
+        radc = F.lit(0.0)
+        cxc = F.lit(0.0)
+        cyc = F.lit(0.0)
+        for a in range(A - 1, -1, -1):
+            radc = F.when(cdraw == a, F.lit(radii[a])).otherwise(radc)
+            cxc = F.when(cdraw == a, F.lit(centers[a][0])).otherwise(cxc)
+            cyc = F.when(cdraw == a, F.lit(centers[a][1])).otherwise(cyc)
+        clx = wrap(cxc + F.cos(ang) * (dfr * radc))
+        cly = wrap(cyc + F.sin(ang) * (dfr * radc))
+        nsx = _md5_frac(F.lit(f"pwinsx|{seed}"), gi)
+        nsy = _md5_frac(F.lit(f"pwinsy|{seed}"), gi)
+        ins = spark.range(nmut).select(
+            gi.alias("id"),
+            F.when(cdraw < A, clx).otherwise(nsx).alias("x"),
+            F.when(cdraw < A, cly).otherwise(nsy).alias("y"),
+        )
+        next_id += nmut
+        out_parts.append(
+            ins.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(2).cast("long").alias("cls"),
+                F.lit("NODE_ADDITION").alias("type"),
+                F.col("id").alias("u"), F.lit(-1).cast("long").alias("v"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        pts = pts.unionByName(ins).localCheckpoint(eager=True)
+
+        # --- structure recompute + diff --------------------------------
+        new_edges = _pubweb_edges(
+            pts, neigh_rad, max_neigh, threshold_margin, rank_round
+        ).localCheckpoint(eager=True)
+        surv = surviving.select("src", "dst")
+        upd = new_edges.join(surv, ["src", "dst"], "left_semi")
+        rem = surviving.join(
+            new_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        add = new_edges.join(surv, ["src", "dst"], "left_anti")
+        out_parts.append(
+            upd.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(3).cast("long").alias("cls"),
+                F.lit("EDGE_WEIGHT_UPDATE").alias("type"),
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.col("weight").alias("w"),
+            )
+        )
+        out_parts.append(
+            rem.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(4).cast("long").alias("cls"),
+                F.lit("EDGE_REMOVAL").alias("type"),
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        out_parts.append(
+            add.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(5).cast("long").alias("cls"),
+                F.lit("EDGE_ADDITION").alias("type"),
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.col("weight").alias("w"),
+            )
+        )
+        out_parts.append(
+            spark.createDataFrame(
+                [(st, 6, "TIME_STEP", -1, -1, 0.0)], ev_schema
+            )
+        )
+        edges = new_edges
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
