@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sf-independent like graph_hyperbolic / graph_pivot_mds)
         "graph_pubweb": e.q_pubweb,
         "graph_dyn_pubweb": e.q_dyn_pubweb,
+        "graph_dyn_path": e.q_dyn_path,
+        # rows-only: sequential growth recurrences (see contract_ext
+        # comment) — invariant-proven in tests/test_dyngen.py
+        "graph_dyn_generators": e.q_dyn_generators,
     }
 
 
@@ -414,4 +418,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_node2vec_emb": e.SQL_NODE2VEC_EMB,
         "graph_pubweb": e.SQL_PUBWEB,
         "graph_dyn_pubweb": e.SQL_DYN_PUBWEB,
+        "graph_dyn_path": e.SQL_DYN_PATH,
     }

@@ -10926,3 +10926,65 @@ ORDER BY step, cls, u, v"""
 
 
 SQL_DYN_PUBWEB = _dyn_pubweb_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dynamic generator family (generators/DynamicPathGenerator.cpp etc.).
+# graph_dyn_path gets a full SQL oracle (the stream is a pure projection
+# of the step index); the sequential trio (DorogovtsevMendes / Barabasi-
+# Albert / ForestFire) is a rows-only entry — their growth recurrences
+# are inherently sequential (each draw domain depends on every prior
+# step), so a SQL replay would just re-embed the same driver-computed
+# stream; their strongest checks are the reference-invariant pytest
+# suite (tests/test_dyngen.py).
+# ---------------------------------------------------------------------------
+
+DYNGEN_STEPS = 40
+
+
+def q_dyn_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.dyngen import dynamic_path_events
+
+    return dynamic_path_events(spark, DYNGEN_STEPS).orderBy(
+        "step", "cls", "u", "v"
+    )
+
+
+SQL_DYN_PATH = f"""
+WITH s AS (SELECT CAST(range + 1 AS BIGINT) AS s FROM range({DYNGEN_STEPS}))
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step, CAST(0 AS BIGINT) AS cls,
+         'NODE_ADDITION' AS type, CAST(0 AS BIGINT) AS u,
+         CAST(-1 AS BIGINT) AS v, CAST(0.0 AS DOUBLE) AS w
+  UNION ALL
+  SELECT s, CAST(0 AS BIGINT), 'NODE_ADDITION', s, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+  FROM s
+  UNION ALL
+  SELECT s, CAST(1 AS BIGINT), 'EDGE_ADDITION', s - 1, s, CAST(1.0 AS DOUBLE) FROM s
+  UNION ALL
+  SELECT s, CAST(2 AS BIGINT), 'TIME_STEP', CAST(-1 AS BIGINT),
+         CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE) FROM s
+) t ORDER BY step, cls, u, v
+"""
+
+
+def q_dyn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.dyngen import (
+        dynamic_barabasi_albert_events,
+        dynamic_dorogovtsev_mendes_events,
+        dynamic_forest_fire_events,
+    )
+
+    dm = dynamic_dorogovtsev_mendes_events(spark, 25, seed=42).select(
+        F.lit("dm").alias("gen"), "step", "cls", "type", "u", "v", "w"
+    )
+    ba = dynamic_barabasi_albert_events(spark, 25, 3, seed=42).select(
+        F.lit("ba").alias("gen"), "step", "cls", "type", "u", "v", "w"
+    )
+    ff = dynamic_forest_fire_events(
+        spark, 25, p=0.4, directed=True, r=0.5, seed=42
+    ).select(F.lit("ff").alias("gen"), "step", "cls", "type", "u", "v", "w")
+    return (
+        dm.unionByName(ba).unionByName(ff)
+        .orderBy("gen", "step", "cls", "u", "v")
+    )
