@@ -10988,3 +10988,167 @@ def q_dyn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         dm.unionByName(ba).unionByName(ff)
         .orderBy("gen", "step", "cls", "u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# DynamicHyperbolicGenerator T = 0 (generators/DynamicHyperbolicGenerator
+# .cpp:216-366) — fixed-n synthetic gate: 2 unrolled movement steps
+# (cosh-cdf radial advance with boundary bounce + center crossing,
+# persistent radial-sign state) and per-step threshold-edge-set diffs,
+# brute-force in the oracle (the band/sector join is physical only).
+# ---------------------------------------------------------------------------
+
+DHYP_N, DHYP_MES, DHYP_MD, DHYP_STEPS = 120, 0.4, 0.1, 2
+DHYP_AVG, DHYP_PLEXP, DHYP_SEED, DHYP_MARGIN = 6.0, 3.0, 42, 1e-9
+
+
+def q_dyn_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.generators import dynamic_hyperbolic_events
+
+    ev, _, _ = dynamic_hyperbolic_events(
+        spark, DHYP_N, avg_degree=DHYP_AVG, plexp=DHYP_PLEXP,
+        move_each_step=DHYP_MES, move_distance=DHYP_MD, steps=DHYP_STEPS,
+        seed=DHYP_SEED, threshold_margin=DHYP_MARGIN,
+    )
+    return ev.orderBy("step", "cls", "u", "v")
+
+
+def _dyn_hyperbolic_sql() -> str:
+    import math
+
+    from networkit_spark.sources.generators import hyperbolic_target_radius
+
+    n, mes, md, steps, seed = (
+        DHYP_N, DHYP_MES, DHYP_MD, DHYP_STEPS, DHYP_SEED,
+    )
+    alpha = 0.5 * (DHYP_PLEXP - 1)
+    R = hyperbolic_target_radius(float(n), n * DHYP_AVG / 2.0, alpha)
+    cha_r = (math.exp(alpha * R) + math.exp(-alpha * R)) / 2.0
+    cosh_r = (math.exp(R) + math.exp(-R)) / 2.0
+    maxcdf = cha_r
+    den = float(16 ** 13)
+    pi = repr(math.pi)
+    two_pi = repr(2 * math.pi)
+    frac_a = _md5_long13_sql(f"md5('hga|{seed}|' || CAST(i AS VARCHAR))")
+    frac_r = _md5_long13_sql(f"md5('hgr|{seed}|' || CAST(i AS VARCHAR))")
+    frac_am = _md5_long13_sql(f"md5('dha|{seed}|' || CAST(i AS VARCHAR))")
+    frac_rm = _md5_long13_sql(f"md5('dhr|{seed}|' || CAST(i AS VARCHAR))")
+
+    parts = [
+        f"""st0 AS MATERIALIZED (
+  SELECT i AS id,
+         2 * PI() * (({frac_a}) / {den!r}) AS theta,
+         LN(u + SQRT(u * u - 1.0)) / {alpha!r} AS r,
+         (2.0 * (({frac_am}) / {den!r}) - 1.0) * {md!r} AS amov,
+         (2.0 * (({frac_rm}) / {den!r}) - 1.0) * {10.0 * md!r} AS rmov
+  FROM (
+    SELECT i, 1.0 + ({cha_r!r} - 1.0) * (({frac_r}) / {den!r}) AS u
+    FROM range({n}) t(i)
+  )
+)"""
+    ]
+
+    def edge_ctes(s: int) -> None:
+        parts.append(
+            f"""trig{s} AS MATERIALIZED (
+  SELECT id, COS(theta) AS c, SIN(theta) AS sn,
+         (EXP(r) + EXP(-r)) / 2 AS ch, (EXP(r) - EXP(-r)) / 2 AS sh
+  FROM st{s}
+),
+e{s} AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst
+  FROM trig{s} a JOIN trig{s} b ON a.id < b.id
+  WHERE (a.ch * b.ch - a.sh * b.sh * (a.c * b.c + a.sn * b.sn))
+          <= {cosh_r!r}
+    AND ABS((a.ch * b.ch - a.sh * b.sh * (a.c * b.c + a.sn * b.sn))
+            - {cosh_r!r}) >= {DHYP_MARGIN!r}
+)"""
+        )
+
+    edge_ctes(0)
+    ev_names = []
+    for s in range(steps):
+        wig = (
+            "("
+            + _md5_long13_sql(
+                f"md5('dhw|{seed}|{s}|' || CAST(id AS VARCHAR))"
+            )
+            + f") / {den!r} < {mes!r}"
+        )
+        parts.append(
+            f"""mva{s} AS (
+  SELECT *,
+         (EXP({alpha!r} * r) + EXP(-{alpha!r} * r)) / 2
+           + {alpha!r} * rmov AS nc0
+  FROM (SELECT *, ({wig}) AS wig FROM st{s})
+),
+mvb{s} AS (
+  SELECT *,
+         CASE WHEN nc0 > {maxcdf!r} THEN 2 * {maxcdf!r} - nc0
+              ELSE nc0 END AS nc1,
+         CASE WHEN nc0 > {maxcdf!r} THEN -1.0 ELSE 1.0 END AS s1
+  FROM mva{s}
+),
+mvc{s} AS (
+  SELECT *,
+         CASE WHEN nc1 < 1.0 THEN 2.0 - nc1 ELSE nc1 END AS nc2,
+         CASE WHEN nc1 < 1.0 THEN -s1 ELSE s1 END AS s2,
+         CASE WHEN nc1 < 1.0 THEN (
+             CASE WHEN theta > {pi} THEN theta - {pi}
+                  ELSE theta + {pi} END)
+              ELSE theta END AS phi1
+  FROM mvb{s}
+),
+mvd{s} AS (
+  SELECT *,
+         LEAST(LN(nc2 + SQRT(nc2 * nc2 - 1.0)) / {alpha!r},
+               {R - 1e-12!r}) AS newr
+  FROM mvc{s}
+),
+mve{s} AS (SELECT *, phi1 + amov / newr AS raw FROM mvd{s}),
+st{s + 1} AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN wig THEN (
+             CASE WHEN raw < 0
+                  THEN raw + (FLOOR(-raw / {two_pi}) + 1) * {two_pi}
+                  WHEN raw > {two_pi}
+                  THEN raw - FLOOR(raw / {two_pi}) * {two_pi}
+                  ELSE raw END)
+              ELSE theta END AS theta,
+         CASE WHEN wig THEN newr ELSE r END AS r,
+         amov,
+         CASE WHEN wig THEN rmov * s2 ELSE rmov END AS rmov
+  FROM mve{s}
+)"""
+        )
+        edge_ctes(s + 1)
+        parts.append(
+            f"""ev0_{s} AS (
+  SELECT CAST({s} AS BIGINT) AS step, CAST(0 AS BIGINT) AS cls,
+         'EDGE_ADDITION' AS type, n.src AS u, n.dst AS v
+  FROM e{s + 1} n LEFT JOIN e{s} o ON o.src = n.src AND o.dst = n.dst
+  WHERE o.src IS NULL
+),
+ev1_{s} AS (
+  SELECT CAST({s} AS BIGINT) AS step, CAST(1 AS BIGINT) AS cls,
+         'EDGE_REMOVAL' AS type, o.src AS u, o.dst AS v
+  FROM e{s} o LEFT JOIN e{s + 1} n ON n.src = o.src AND n.dst = o.dst
+  WHERE n.src IS NULL
+),
+ev2_{s} AS (
+  SELECT CAST({s} AS BIGINT) AS step, CAST(2 AS BIGINT) AS cls,
+         'TIME_STEP' AS type, CAST(-1 AS BIGINT) AS u,
+         CAST(-1 AS BIGINT) AS v
+)"""
+        )
+        ev_names.extend(f"ev{c}_{s}" for c in range(3))
+    union = "\nUNION ALL ".join(f"SELECT * FROM {e}" for e in ev_names)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT step, cls, type, u, v FROM ({union}) t "
+        "ORDER BY step, cls, u, v"
+    )
+
+
+SQL_DYN_HYPERBOLIC = _dyn_hyperbolic_sql()

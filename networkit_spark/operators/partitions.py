@@ -288,3 +288,22 @@ def sampled_graph_structural_rand(
     if s == 0:
         return 0.0, 0
     return 1.0 - float(row["agree"] or 0) / s, s
+
+
+def dynamic_nmi_distance(
+    old_labels: DataFrame, new_labels: DataFrame
+) -> float:
+    """NMI dissimilarity between a partition of the OLD graph and one
+    of the NEW graph, over the nodes present in both.
+
+    Reference: /root/reference/networkit/cpp/community/
+    DynamicNMIDistance.cpp:27-128 — getDissimilarity restricts every
+    count (cluster sizes, confusion matrix, totalOverlap) to nodes
+    isInBoth (:17-22), then applies the same MI / entropy / NMID
+    combination as the static NMIDistance.  :func:`partition_measures`
+    computes its marginals FROM the inner-join contingency cells, so
+    its ``nmid`` over two label relations with different node sets IS
+    this restricted form — this wrapper only documents and projects it.
+    """
+    row = partition_measures(old_labels, new_labels).collect()[0]
+    return float(row["nmid"])

@@ -687,6 +687,14 @@ def hyperbolic_points(
     # acosh(u) = ln(u + sqrt(u*u - 1))
     r = F.log(u + F.sqrt(u * u - F.lit(1.0))) / F.lit(alpha)
     pts = idx.select("id", theta.alias("theta"), r.alias("r"))
+    return _hyperbolic_derive(pts, R, bands, sectors)
+
+
+def _hyperbolic_derive(pts, R: float, bands: int, sectors: int):
+    """(id, theta, r) -> the full point relation (trig columns spelled
+    via exp so Spark and the DuckDB oracle agree bit-for-bit, band /
+    sector bucket columns).  Shared by the static generator and the
+    dynamic generator's per-step re-derivation."""
     er = F.exp(F.col("r"))
     eri = F.exp(-F.col("r"))
     return pts.select(
@@ -761,6 +769,34 @@ def hyperbolic_graph(
     def _sinh(x):
         return (math.exp(x) - math.exp(-x)) / 2.0
 
+    edges = _hyperbolic_edges(
+        spark, pts, R, coshR, bands, sectors, threshold_margin
+    )
+    return edges, pts, R
+
+
+
+def _hyperbolic_edges(
+    spark,
+    pts,
+    R: float,
+    coshR: float,
+    bands: int,
+    sectors: int,
+    threshold_margin: float = 0.0,
+):
+    """Threshold (T = 0) hyperbolic edge set over a derived point
+    relation — the band/sector candidate join + exact-distance filter
+    factored out of :func:`hyperbolic_graph` so the dynamic generator
+    can recompute it per step."""
+    import math
+
+    def _cosh(x):
+        return (math.exp(x) + math.exp(-x)) / 2.0
+
+    def _sinh(x):
+        return (math.exp(x) - math.exp(-x)) / 2.0
+
     # per ordered band pair: widest angular window at the inner radii
     sector_w = 2 * _PI / sectors
     offs = []
@@ -812,7 +848,8 @@ def hyperbolic_graph(
                 F.greatest("u", "v").alias("dst"))
         .distinct()
     )
-    return edges, pts, R
+    return edges
+
 
 
 # ---------------------------------------------------------------------------
@@ -1464,3 +1501,149 @@ def dynamic_pubweb_events(
     for p in out_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def dynamic_hyperbolic_events(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    plexp: float = 3.0,
+    move_each_step: float = 0.3,
+    move_distance: float = 0.1,
+    steps: int = 2,
+    seed: int = 42,
+    bands: int = 16,
+    sectors: int = 256,
+    threshold_margin: float = 0.0,
+):
+    """DynamicHyperbolicGenerator (T = 0) event stream —
+    (step, cls, type, u, v) with cls 0 = EDGE_ADDITION, 1 =
+    EDGE_REMOVAL, 2 = TIME_STEP; returns (events, final_points, R).
+
+    Reference: /root/reference/networkit/cpp/generators/
+    DynamicHyperbolicGenerator.cpp — per-node movement vectors drawn
+    once (angular uniform(-d, d), radial uniform(-10d, 10d), :77-85);
+    per step every node wiggles with probability moveEachStep
+    (:281-284); moveNode (:216-260) advances the radial coordinate in
+    cosh-cdf space (newcosh = cosh(alpha*r) + alpha*radialMovement)
+    bouncing off the boundary (sign of the radial movement flips,
+    persistent state) and crossing the center (phi += -+pi), then
+    wraps phi after adding angularMovement/newradius; events are the
+    symmetric difference of the threshold edge sets before and after
+    the move, canonicalized u < v and deduplicated (:319-366) — a pair
+    can only change if an endpoint moved, so the full-recompute diff
+    equals the reference's per-wiggled-node diff exactly.
+
+    Documented deviations: draws are md5-derandomized ((seed, 'dhw',
+    step, id) wiggle, (seed, 'dha'/'dhr', id) movement); the r >= R
+    clamp uses R - 1e-12 instead of std::nextafter (:248-250);
+    acosh/cosh are spelled via exp/ln exactly like hyperbolic_points so
+    both engines agree; ``threshold_margin`` is the gate-only dead-band
+    of :func:`hyperbolic_graph`.
+    """
+    import math
+
+    if plexp <= 2:
+        raise ValueError("power-law exponent must be > 2")
+    alpha = 0.5 * (plexp - 1)
+    R = hyperbolic_target_radius(float(n), n * avg_degree / 2.0, alpha)
+    coshR = (math.exp(R) + math.exp(-R)) / 2.0
+    maxcdf = (math.exp(alpha * R) + math.exp(-alpha * R)) / 2.0
+
+    pts = hyperbolic_points(
+        spark, n, alpha, R, seed=seed, bands=bands, sectors=sectors
+    ).select("id", "theta", "r")
+    mov = pts.select(
+        "id",
+        (
+            (2.0 * _md5_frac(F.lit(f"dha|{seed}"), F.col("id")) - 1.0)
+            * move_distance
+        ).alias("amov"),
+        (
+            (2.0 * _md5_frac(F.lit(f"dhr|{seed}"), F.col("id")) - 1.0)
+            * 10.0 * move_distance
+        ).alias("rmov"),
+    )
+    state = pts.join(mov, "id").localCheckpoint(eager=True)
+    edges = _hyperbolic_edges(
+        spark, _hyperbolic_derive(state, R, bands, sectors), R, coshR,
+        bands, sectors, threshold_margin,
+    ).localCheckpoint(eager=True)
+
+    two_pi = 2 * _PI
+    ev_parts = []
+    for st in range(int(steps)):
+        wig = _md5_frac(
+            F.lit(f"dhw|{seed}|{st}"), F.col("id")
+        ) < move_each_step
+        ear = F.exp(alpha * F.col("r"))
+        calpha = (ear + 1.0 / ear) / 2.0
+        nc0 = calpha + alpha * F.col("rmov")
+        up = nc0 > maxcdf
+        nc1 = F.when(up, 2.0 * maxcdf - nc0).otherwise(nc0)
+        lo = nc1 < 1.0
+        nc2 = F.when(lo, 2.0 - nc1).otherwise(nc1)
+        phi1 = F.when(
+            lo,
+            F.when(F.col("theta") > _PI, F.col("theta") - _PI).otherwise(
+                F.col("theta") + _PI
+            ),
+        ).otherwise(F.col("theta"))
+        sgn = (
+            F.when(up, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.when(lo, F.lit(-1.0)).otherwise(F.lit(1.0))
+        )
+        newr = F.least(
+            F.log(nc2 + F.sqrt(nc2 * nc2 - 1.0)) / alpha,
+            F.lit(R - 1e-12),
+        )
+        raw = phi1 + F.col("amov") / newr
+        wrapped = (
+            F.when(
+                raw < 0.0,
+                raw + (F.floor(-raw / two_pi) + 1) * two_pi,
+            )
+            .when(raw > two_pi, raw - F.floor(raw / two_pi) * two_pi)
+            .otherwise(raw)
+        )
+        state = state.select(
+            "id",
+            F.when(wig, wrapped).otherwise(F.col("theta")).alias("theta"),
+            F.when(wig, newr).otherwise(F.col("r")).alias("r"),
+            "amov",
+            F.when(wig, F.col("rmov") * sgn).otherwise(F.col("rmov"))
+            .alias("rmov"),
+        ).localCheckpoint(eager=True)
+        new_edges = _hyperbolic_edges(
+            spark, _hyperbolic_derive(state, R, bands, sectors), R, coshR,
+            bands, sectors, threshold_margin,
+        ).localCheckpoint(eager=True)
+        adds = new_edges.join(edges, ["src", "dst"], "left_anti")
+        rems = edges.join(new_edges, ["src", "dst"], "left_anti")
+        ev_parts.append(
+            adds.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(0).cast("long").alias("cls"),
+                F.lit("EDGE_ADDITION").alias("type"),
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+            )
+        )
+        ev_parts.append(
+            rems.select(
+                F.lit(st).cast("long").alias("step"),
+                F.lit(1).cast("long").alias("cls"),
+                F.lit("EDGE_REMOVAL").alias("type"),
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+            )
+        )
+        ev_parts.append(
+            spark.createDataFrame(
+                [(st, 2, "TIME_STEP", -1, -1)],
+                "step long, cls long, type string, u long, v long",
+            )
+        )
+        edges = new_edges
+    ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev = ev.unionByName(p)
+    return ev, state, R

@@ -101,3 +101,31 @@ def test_plm_vs_leiden_measures(spark):
     m = partition_measures(zeta, eta).collect()[0]
     assert m["rand_d"] == pytest.approx(0.0)
     assert m["ari_d"] == pytest.approx(0.0)
+
+
+def test_dynamic_nmi_distance_restricts_to_common_nodes(spark):
+    from networkit_spark.operators.partitions import (
+        dynamic_nmi_distance,
+        partition_measures,
+    )
+
+    # old graph had nodes 0..5; new graph dropped 4,5 and added 6,7
+    old = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2), (5, 2)], "id long, label long"
+    )
+    new = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 7), (3, 7), (6, 9), (7, 9)], "id long, label long"
+    )
+    # on the common universe {0,1,2,3} the clusterings agree exactly
+    assert dynamic_nmi_distance(old, new) == pytest.approx(0.0, abs=1e-12)
+
+    # and a genuine disagreement on the common universe is > 0
+    new2 = spark.createDataFrame(
+        [(0, 5), (1, 7), (2, 5), (3, 7), (6, 9)], "id long, label long"
+    )
+    d = dynamic_nmi_distance(old, new2)
+    assert 0.0 < d <= 1.0
+    # wrapper == the nmid column of partition_measures on the same input
+    assert d == pytest.approx(
+        float(partition_measures(old, new2).collect()[0]["nmid"])
+    )
