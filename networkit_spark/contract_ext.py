@@ -11152,3 +11152,155 @@ ev2_{s} AS (
 
 
 SQL_DYN_HYPERBOLIC = _dyn_hyperbolic_sql()
+
+
+# ---------------------------------------------------------------------------
+# MaxentStress (viz/MaxentStress.cpp:78-204) — one alpha level of 5
+# majorization solves on the contract graph under the deterministic
+# contract (md5 init, exact repulsion, 10 damped-Jacobi sweeps per
+# solve), every stage unrolled in SQL.
+# ---------------------------------------------------------------------------
+
+MXS_DIM, MXS_MSA, MXS_JITERS, MXS_SEED = 2, 5, 10, 42
+MXS_ALPHA, MXS_OMEGA = 1.0, 0.5
+
+
+def q_maxent_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.maxentstress import maxent_stress
+
+    g = load_graph(spark, sf_dir)
+    coords, info = maxent_stress(
+        g, dim=MXS_DIM, alpha=MXS_ALPHA, alpha_reduction=0.3,
+        final_alpha=0.5, max_solves_per_alpha=MXS_MSA,
+        jacobi_iters=MXS_JITERS, jacobi_omega=MXS_OMEGA, seed=MXS_SEED,
+    )
+    if info.iterations != MXS_MSA:
+        raise AssertionError(
+            f"expected exactly {MXS_MSA} solves, ran {info.iterations}"
+        )
+    return coords.select(
+        "id", "d", (F.round("x", 6) + F.lit(0.0)).alias("x")
+    ).orderBy("id", "d")
+
+
+def _maxent_stress_sql() -> str:
+    seed, dim, msa, jit = MXS_SEED, MXS_DIM, MXS_MSA, MXS_JITERS
+    om = repr(MXS_OMEGA)
+    h = _md5_long13_sql(
+        f"md5('{seed}|mxs|' || CAST(n.id AS VARCHAR) || '|' || "
+        "CAST(dd.d AS VARCHAR))"
+    )
+    den = float(16 ** 13)
+    parts = [
+        f"dims AS (SELECT CAST(range AS BIGINT) AS d FROM range({dim}))",
+        "nn AS MATERIALIZED (SELECT a.id AS src, b.id AS dst "
+        "FROM nodes a, nodes b WHERE a.id <> b.id AND NOT EXISTS "
+        "(SELECT 1 FROM adj e WHERE e.src = a.id AND e.dst = b.id))",
+        "degs AS MATERIALIZED (SELECT src AS id, "
+        "CAST(COUNT(*) AS DOUBLE) AS deg FROM adj GROUP BY src)",
+        "nctn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        f"""x0 AS MATERIALIZED (
+  SELECT n.id, dd.d,
+         2.0 * (({h}) / {den!r}) - 1.0 AS x
+  FROM nodes n, dims dd
+)""",
+    ]
+    for s in range(msa):
+        parts.append(
+            f"""pd{s} AS MATERIALIZED (
+  SELECT p.src, p.dst, xs.d, xs.x AS xs, xd.x AS xd
+  FROM nn p JOIN x{s} xs ON xs.id = p.src
+  JOIN x{s} xd ON xd.id = p.dst AND xd.d = xs.d
+),
+d2_{s} AS MATERIALIZED (
+  SELECT src, dst, GREATEST(SUM((xs - xd) * (xs - xd)), 1e-3) AS d2c
+  FROM pd{s} GROUP BY src, dst
+),
+rep{s} AS MATERIALIZED (
+  SELECT p.d, p.src AS id, SUM((p.xs - p.xd) / q.d2c) AS b
+  FROM pd{s} p JOIN d2_{s} q ON q.src = p.src AND q.dst = p.dst
+  GROUP BY p.d, p.src
+),
+repn{s} AS MATERIALIZED (
+  SELECT r.d, r.id, r.b / t.nrm AS b
+  FROM rep{s} r JOIN (
+    SELECT d, SQRT(SUM(b * b)) AS nrm FROM rep{s} GROUP BY d
+  ) t ON t.d = r.d
+),
+ed{s} AS MATERIALIZED (
+  SELECT e.src, e.dst, xs.d, xs.x AS xs, xd.x AS xd
+  FROM adj e JOIN x{s} xs ON xs.id = e.src
+  JOIN x{s} xd ON xd.id = e.dst AND xd.d = xs.d
+),
+edist{s} AS MATERIALIZED (
+  SELECT src, dst,
+         GREATEST(SQRT(SUM((xs - xd) * (xs - xd))), 1e-5) AS dist
+  FROM ed{s} GROUP BY src, dst
+),
+braw{s} AS MATERIALIZED (
+  SELECT p.d, p.src AS id, SUM((p.xs - p.xd) / q.dist) AS b
+  FROM ed{s} p JOIN edist{s} q ON q.src = p.src AND q.dst = p.dst
+  GROUP BY p.d, p.src
+)"""
+        )
+        if s < msa // 5:
+            parts.append(
+                f"""bn{s} AS (
+  SELECT r.d, r.id, r.b / t.nrm AS b
+  FROM braw{s} r JOIN (
+    SELECT d, SQRT(SUM(b * b)) AS nrm FROM braw{s} GROUP BY d
+  ) t ON t.d = r.d
+)"""
+            )
+            bsrc = f"bn{s}"
+        else:
+            bsrc = f"braw{s}"
+        parts.append(
+            f"""bz{s} AS MATERIALIZED (
+  SELECT d, id, b - AVG(b) OVER (PARTITION BY d) AS b FROM (
+    SELECT COALESCE(a.d, r.d) AS d, COALESCE(a.id, r.id) AS id,
+           COALESCE(a.b, 0.0) + {MXS_ALPHA!r} * COALESCE(r.b, 0.0) AS b
+    FROM {bsrc} a FULL OUTER JOIN repn{s} r
+      ON r.d = a.d AND r.id = a.id
+  ) t
+)"""
+        )
+        # note: the zero-sum step divides by n over ALL nodes — every
+        # node has a rep term (rep covers all ids on a connected graph
+        # with n > deg+1), so AVG == sum/n
+        parts.append(
+            f"""y{s}_0 AS MATERIALIZED (
+  SELECT n.id, dd.d, 0.0 AS x, COALESCE(g.deg, 0.0) AS deg,
+         COALESCE(b.b, 0.0) AS b
+  FROM nodes n CROSS JOIN dims dd
+  LEFT JOIN degs g ON g.id = n.id
+  LEFT JOIN bz{s} b ON b.id = n.id AND b.d = dd.d
+)"""
+        )
+        for t in range(1, jit + 1):
+            parts.append(
+                f"""y{s}_{t} AS MATERIALIZED (
+  SELECT y.id, y.d,
+         CASE WHEN y.deg > 0
+              THEN (1.0 - {om}) * y.x
+                   + {om} * (y.b + COALESCE(a.ax, 0.0)) / y.deg
+              ELSE y.x END AS x,
+         y.deg, y.b
+  FROM y{s}_{t - 1} y LEFT JOIN (
+    SELECT e.src AS id, p.d, SUM(p.x) AS ax
+    FROM adj e JOIN y{s}_{t - 1} p ON p.id = e.dst GROUP BY e.src, p.d
+  ) a ON a.id = y.id AND a.d = y.d
+)"""
+            )
+        parts.append(
+            f"x{s + 1} AS MATERIALIZED (SELECT id, d, x FROM y{s}_{jit})"
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, d, ROUND(x, 6) + 0.0 AS x FROM x{msa} "
+        "ORDER BY id, d"
+    )
+
+
+SQL_MAXENT_STRESS = _maxent_stress_sql()
