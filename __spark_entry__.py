@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_path": e.q_dyn_path,
         "graph_dyn_hyperbolic": e.q_dyn_hyperbolic,
         "graph_maxent_stress": e.q_maxent_stress,
+        "graph_maxent_metrics": e.q_maxent_metrics,
         # rows-only: sequential growth recurrences (see contract_ext
         # comment) — invariant-proven in tests/test_dyngen.py
         "graph_dyn_generators": e.q_dyn_generators,
@@ -423,4 +424,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_path": e.SQL_DYN_PATH,
         "graph_dyn_hyperbolic": e.SQL_DYN_HYPERBOLIC,
         "graph_maxent_stress": e.SQL_MAXENT_STRESS,
+        "graph_maxent_metrics": e.SQL_MAXENT_METRICS,
     }

@@ -11304,3 +11304,120 @@ braw{s} AS MATERIALIZED (
 
 
 SQL_MAXENT_STRESS = _maxent_stress_sql()
+
+# ---------------------------------------------------------------------------
+# MaxentStress quality metrics (viz/MaxentStress.cpp:207-362) — the
+# five layout measures over an md5-derandomized synthetic layout on
+# the contract graph (the metrics are pure functions of
+# (graph, coordinates); a fixed layout keeps the oracle to one
+# all-pairs BFS instead of replaying the whole majorization).  q = 2
+# exercises the pow branch via its exact-arithmetic spelling; every
+# per-pair term is snapped to a 1e-6 grid and summed as BIGINT in both
+# engines (operators/maxentstress._qsum), so the global sums are
+# FP-order independent.
+# ---------------------------------------------------------------------------
+
+MXM_SEED = 7
+MXM_Q = 2.0
+MXM_QUANTUM = 1e-6
+MXM_FINAL_ALPHA = 0.008
+
+
+def q_maxent_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.maxentstress import _h13, maxent_metrics
+
+    g = load_graph(spark, sf_dir)
+    coords = None
+    for d in range(2):
+        part = g.nodes().select(
+            "id", F.lit(d).cast("long").alias("d"),
+            (2.0 * _h13(MXM_SEED, "mxm", F.col("id"), d) - 1.0).alias("x"),
+        )
+        coords = part if coords is None else coords.unionByName(part)
+    m = maxent_metrics(
+        g, coords, q=MXM_Q, final_alpha=MXM_FINAL_ALPHA,
+        quantum=MXM_QUANTUM,
+    )
+    return m.select(
+        (F.round("scaling_factor", 6) + F.lit(0.0)).alias("scaling_factor"),
+        (F.round("full_stress", 6) + F.lit(0.0)).alias("full_stress"),
+        (F.round("maxent", 6) + F.lit(0.0)).alias("maxent"),
+        (F.round("mean_distance_error", 6) + F.lit(0.0))
+        .alias("mean_distance_error"),
+        (F.round("ldme", 6) + F.lit(0.0)).alias("ldme"),
+    )
+
+
+def _maxent_metrics_sql() -> str:
+    den = float(16 ** 13)
+    h0 = _md5_long13_sql(
+        f"md5('{MXM_SEED}|mxm|' || CAST(id AS VARCHAR) || '|0')"
+    )
+    h1 = _md5_long13_sql(
+        f"md5('{MXM_SEED}|mxm|' || CAST(id AS VARCHAR) || '|1')"
+    )
+    qz = f"CAST(FLOOR({{t}} / {MXM_QUANTUM!r} + 0.5) AS BIGINT)"
+
+    def qsum(t: str) -> str:
+        return f"SUM({qz.format(t=t)}) * {MXM_QUANTUM!r}"
+
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + f"""crd AS MATERIALIZED (
+  SELECT id,
+         2.0 * (({h0}) / {den!r}) - 1.0 AS x0,
+         2.0 * (({h1}) / {den!r}) - 1.0 AS x1
+  FROM nodes
+),
+geo AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst,
+         SQRT((a.x0 - b.x0) * (a.x0 - b.x0)
+              + (a.x1 - b.x1) * (a.x1 - b.x1)) AS geo
+  FROM crd a JOIN crd b ON a.id <> b.id
+),\n"""
+        + _bfs_unroll(
+            "adj",
+            "SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM nodes",
+            DIAM_HOPS,
+        )
+        + f""",
+sg AS (
+  SELECT g.geo, CAST(t.dist AS DOUBLE) AS gd
+  FROM t{DIAM_HOPS} t JOIN geo g ON g.src = t.s AND g.dst = t.v
+  WHERE CAST(t.dist AS DOUBLE) >= 1e-5
+),
+a1 AS (
+  SELECT {qsum("geo / gd")} AS topf,
+         {qsum("(geo * geo) / (gd * gd)")} AS botf,
+         {qsum("((geo - gd) * (geo - gd)) / (gd * gd)")} AS fs
+  FROM sg
+),
+ea AS (
+  SELECT {qsum("1.0 / (GREATEST(geo, 1e-5) * GREATEST(geo, 1e-5))")}
+           AS ent
+  FROM geo
+),
+ke AS (
+  SELECT g.geo, 1.0 AS dk, GREATEST(g.geo, 1e-5) AS distc
+  FROM adj e JOIN geo g ON g.src = e.src AND g.dst = e.dst
+),
+a2 AS (
+  SELECT {qsum("((distc - dk) * (distc - dk)) / (dk * dk)")} AS energy,
+         {qsum("1.0 / (distc * distc)")} AS ent_edges,
+         {qsum("ABS(geo - dk) / dk")} AS mde_sum,
+         {qsum("(dk - geo) * (dk - geo)")} AS ldme_sum,
+         COUNT(*) AS card
+  FROM ke
+)
+SELECT ROUND(topf / botf, 6) + 0.0 AS scaling_factor,
+       ROUND(fs / 2.0, 6) + 0.0 AS full_stress,
+       ROUND((energy - {MXM_FINAL_ALPHA!r}
+              * ((ent - ent_edges) * -1.0)) / 2.0, 6) + 0.0 AS maxent,
+       ROUND(mde_sum / CAST(card AS DOUBLE), 6) + 0.0
+         AS mean_distance_error,
+       ROUND(SQRT(ldme_sum / CAST(card AS DOUBLE)), 6) + 0.0 AS ldme
+FROM a1, ea, a2"""
+    )
+
+
+SQL_MAXENT_METRICS = _maxent_metrics_sql()

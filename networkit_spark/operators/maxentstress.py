@@ -266,3 +266,205 @@ def maxent_stress(
     ).select("id", "d", "x"), SuperstepResult(
         iterations=solves, metrics=metrics
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout quality metrics + scaleLayout
+# ---------------------------------------------------------------------------
+
+
+def _pair_geo(coords: DataFrame, base: DataFrame) -> DataFrame:
+    """base (src, dst) -> (src, dst, geo): Euclidean distance between
+    the endpoints' layout positions (coords rows (id, d, x)).
+
+    The per-pair sum runs over ``dim`` terms (2 or 3) so the grouped
+    aggregation is FP-order safe for the gate (2-term addition is
+    commutative-exact; 3-term sums are quantized downstream anyway).
+    """
+    cs = coords.select(
+        F.col("d").alias("_d"), F.col("id").alias("src"),
+        F.col("x").alias("xs"),
+    )
+    cd = coords.select(
+        F.col("d").alias("_d"), F.col("id").alias("dst"),
+        F.col("x").alias("xd"),
+    )
+    return (
+        base.join(cs, "src")
+        .join(cd, ["_d", "dst"])
+        .groupBy("src", "dst")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("xs") - F.col("xd")) * (F.col("xs") - F.col("xd")))
+            ).alias("geo")
+        )
+    )
+
+
+def _entropy_term(distc, q: float):
+    """max(dist, 1e-5)^-q per MaxentStress.cpp:306-316 (log when
+    |q| < 0.001; the q == 2 case is spelled as exact arithmetic so the
+    DuckDB gate oracle never goes through libm pow)."""
+    if abs(q) < 0.001:
+        return F.log(distc)
+    if q == 2.0:
+        return F.lit(1.0) / (distc * distc)
+    return F.pow(distc, F.lit(-float(q)))
+
+
+def _qsum(term, quantum: float | None):
+    """Order-independent SUM for cross-engine gates: with ``quantum``
+    set, each (bit-identical) per-row term is snapped to an integer
+    grid and summed as BIGINT — associativity-exact in any engine and
+    any partitioning — then scaled back.  quantum=None is the plain
+    float sum (single-engine use)."""
+    if quantum is None:
+        return F.sum(term)
+    return (
+        F.sum(F.floor(term / F.lit(float(quantum)) + F.lit(0.5)).cast("long"))
+        * F.lit(float(quantum))
+    )
+
+
+def _known_distances(g: Graph) -> DataFrame:
+    """(src, dst, dk) — the reference's knownDistances relation
+    (computeKnownDistances EDGE_WEIGHT, MaxentStress.cpp:502-530:
+    forNeighborsOf per node, i.e. the directed/symmetrized adjacency;
+    cardinality = row count).  k > 1 neighborhoods: pass a
+    pre-augmented graph, as for the layout itself."""
+    wcol = F.col("weight") if g.weighted else F.lit(1.0)
+    return (
+        g.adj()
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", wcol.cast("double").alias("dk"))
+    )
+
+
+def maxent_metrics(
+    g: Graph,
+    coords: DataFrame,
+    q: float = 0.0,
+    final_alpha: float = 0.008,
+    quantum: float | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """One-row layout quality report over a (id, d, x) layout:
+    (scaling_factor, full_stress, maxent, mean_distance_error, ldme).
+
+    Reference: /root/reference/networkit/cpp/viz/MaxentStress.cpp —
+    computeScalingFactor (:207-251: sum geo/d over all ordered reached
+    pairs with d >= 1e-5, divided by sum geo^2/d^2), fullStressMeasure
+    (:264-294: sum (geo-d)^2/d^2 over the same pairs, halved),
+    maxentMeasure (:296-338: all-ordered-pairs entropy of
+    max(geo, 1e-5) minus the known-edge entropy, sign-folded for
+    q != 0, energy sum (distc-w)^2/w^2 over known edges, combined as
+    (energy - finalAlpha * entropy) / 2), meanDistanceError
+    (:340-349: mean |geo-w|/w over known edges) and ldme (:351-362:
+    sqrt of the mean squared error).
+
+    Documented deviations: unreachable pairs are omitted (the
+    reference divides by DBL_MAX — an O(1e-308) contribution; exact
+    on the connected graphs the layout itself requires); distances
+    come from the batched tagged APSP relation (one synchronized
+    frontier, not n driver-sequenced sweeps).  Both the distance
+    relation and the all-pairs entropy are inherently O(n^2) —
+    exactly the reference's own cost; at web scale feed a sampled
+    source batch and scale the sums (the estimator is linear in the
+    pair relation).  ``quantum`` snaps per-pair terms to an integer
+    grid for the cross-engine gate (see _qsum).
+    """
+    from networkit_spark.operators.distancemisc import apsp
+
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    nodes = g.nodes()
+    allp = (
+        nodes.select(F.col("id").alias("src"))
+        .crossJoin(nodes.select(F.col("id").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    geo_all = ckpt.cut(_pair_geo(coords, allp), 0)
+    dist = (
+        apsp(g, checkpointer=ckpt)
+        .select(
+            F.col("s").alias("src"), F.col("v").alias("dst"),
+            F.col("dist").cast("double").alias("gd"),
+        )
+        .filter(F.col("gd") >= 1e-5)
+    )
+    geo, gd = F.col("geo"), F.col("gd")
+    sg = dist.join(geo_all, ["src", "dst"])
+    agg1 = sg.agg(
+        _qsum(geo / gd, quantum).alias("topf"),
+        _qsum((geo * geo) / (gd * gd), quantum).alias("botf"),
+        _qsum(((geo - gd) * (geo - gd)) / (gd * gd), quantum).alias("fs"),
+    )
+    distc = F.greatest(geo, F.lit(1e-5))
+    ent_all = geo_all.agg(
+        _qsum(_entropy_term(distc, q), quantum).alias("ent")
+    )
+    dk = F.col("dk")
+    ke = _known_distances(g).join(geo_all, ["src", "dst"])
+    agg2 = ke.agg(
+        _qsum(((distc - dk) * (distc - dk)) / (dk * dk), quantum)
+        .alias("energy"),
+        _qsum(_entropy_term(distc, q), quantum).alias("ent_edges"),
+        _qsum(F.abs(geo - dk) / dk, quantum).alias("mde_sum"),
+        _qsum((dk - geo) * (dk - geo), quantum).alias("ldme_sum"),
+        F.count(F.lit(1)).alias("card"),
+    )
+    ent_total = F.col("ent") - F.col("ent_edges")
+    if abs(q) > 0.001:
+        ent_total = ent_total * F.lit(-(1.0 if q >= 0.0 else -1.0))
+    card = F.col("card").cast("double")
+    return (
+        agg1.crossJoin(ent_all)
+        .crossJoin(agg2)
+        .select(
+            (F.col("topf") / F.col("botf")).alias("scaling_factor"),
+            (F.col("fs") / F.lit(2.0)).alias("full_stress"),
+            ((F.col("energy") - F.lit(float(final_alpha)) * ent_total)
+             / F.lit(2.0)).alias("maxent"),
+            (F.col("mde_sum") / card).alias("mean_distance_error"),
+            F.sqrt(F.col("ldme_sum") / card).alias("ldme"),
+        )
+    )
+
+
+def scale_layout(
+    g: Graph,
+    coords: DataFrame,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """coords scaled by computeScalingFactor (MaxentStress.cpp:253-262)
+    — the factor stays a 1-row relation broadcast onto the layout, no
+    driver collect."""
+    from networkit_spark.operators.distancemisc import apsp
+
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    nodes = g.nodes()
+    allp = (
+        nodes.select(F.col("id").alias("src"))
+        .crossJoin(nodes.select(F.col("id").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    geo_all = _pair_geo(coords, allp)
+    dist = (
+        apsp(g, checkpointer=ckpt)
+        .select(
+            F.col("s").alias("src"), F.col("v").alias("dst"),
+            F.col("dist").cast("double").alias("gd"),
+        )
+        .filter(F.col("gd") >= 1e-5)
+    )
+    geo, gd = F.col("geo"), F.col("gd")
+    factor = (
+        dist.join(geo_all, ["src", "dst"])
+        .agg(
+            (F.sum(geo / gd) / F.sum((geo * geo) / (gd * gd))).alias("_s")
+        )
+    )
+    return coords.crossJoin(F.broadcast(factor)).select(
+        "id", "d", (F.col("x") * F.col("_s")).alias("x")
+    )
