@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dyn_hyperbolic": e.q_dyn_hyperbolic,
         "graph_maxent_stress": e.q_maxent_stress,
         "graph_maxent_metrics": e.q_maxent_metrics,
+        "graph_chung_lu_alam": e.q_chung_lu_alam,
         # rows-only: sequential growth recurrences (see contract_ext
         # comment) — invariant-proven in tests/test_dyngen.py
         "graph_dyn_generators": e.q_dyn_generators,
@@ -425,4 +426,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_dyn_hyperbolic": e.SQL_DYN_HYPERBOLIC,
         "graph_maxent_stress": e.SQL_MAXENT_STRESS,
         "graph_maxent_metrics": e.SQL_MAXENT_METRICS,
+        "graph_chung_lu_alam": e.SQL_CHUNG_LU_ALAM,
     }

@@ -11421,3 +11421,53 @@ FROM a1, ea, a2"""
 
 
 SQL_MAXENT_METRICS = _maxent_metrics_sql()
+
+# ---------------------------------------------------------------------------
+# ChungLuGeneratorAlamEtAl (generators/ChungLuGeneratorAlamEtAl.cpp) —
+# counting-sort relabeled, capped-degree, UNclamped pair probabilities;
+# the md5 Bernoulli field replaces the reference's sequential geometric
+# edge-skipping (equal in distribution — documented in the operator).
+# Fixed synthetic degree sequence; brute-force oracle replays every
+# draw.  Tie order inside equal-degree ranks is irrelevant: the edge
+# set depends only on the rank -> capped-degree map, which is unique.
+# ---------------------------------------------------------------------------
+
+CLA_N = 200
+CLA_SEED = 5
+
+
+def _cla_degrees() -> list:
+    return [(i * 7) % 29 + 1 for i in range(CLA_N)]
+
+
+def q_chung_lu_alam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.generators import chung_lu_alam_etal
+
+    g = chung_lu_alam_etal(spark, _cla_degrees(), seed=CLA_SEED)
+    return g.edges.select("src", "dst").orderBy("src", "dst")
+
+
+def _chung_lu_alam_sql() -> str:
+    den = float(1 << 52)
+    h = _md5_long13_sql(
+        f"md5('cla|{CLA_SEED}|' || CAST(a.id AS VARCHAR) || '|' "
+        "|| CAST(b.id AS VARCHAR))"
+    )
+    return f"""
+WITH degs AS (
+  SELECT i, LEAST((i * 7) % 29 + 1, {CLA_N} - 1) AS dc
+  FROM range({CLA_N}) t(i)
+),
+rk AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY dc) - 1 AS BIGINT) AS id, dc
+  FROM degs
+),
+tot AS (SELECT CAST(SUM(dc) AS DOUBLE) AS s FROM degs)
+SELECT a.id AS src, b.id AS dst
+FROM rk a JOIN rk b ON a.id < b.id, tot
+WHERE (({h}) / {den!r}) < (a.dc * b.dc) / tot.s
+ORDER BY src, dst
+"""
+
+
+SQL_CHUNG_LU_ALAM = _chung_lu_alam_sql()

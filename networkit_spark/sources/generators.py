@@ -429,6 +429,55 @@ def chung_lu(spark: SparkSession, degrees: list[int], seed: int = 42):
     )
 
 
+def chung_lu_alam_etal(
+    spark: SparkSession, degrees: list[int], seed: int = 42
+):
+    """Chung-Lu, Alam-et-al variant
+    (generators/ChungLuGeneratorAlamEtAl.cpp).
+
+    Semantics replicated: degrees are capped at n-1 and nodes are
+    RELABELED in counting-sort (ascending capped-degree) order — the
+    constructor's bucket/group startIndex assignment (:24-67) loses the
+    original indices; each unordered pair (u < v) then carries
+    probability dc_u * dc_v / sum(dc), UNclamped (generateSequential
+    :115-131 — the group probability d_i * d_j / sum_deg applied
+    per member pair; within-group pairs use d_i^2 / sum_deg).
+
+    Documented deviation: the reference samples the Bernoulli field
+    with sequential geometric edge-skipping (:75-105) — an RNG-stream
+    trick for shared memory; the distributed contract draws each pair
+    independently with the md5 fraction (equal in distribution,
+    deterministic and shard-parallel here — the pair grid shards like
+    chung_lu, no driver sequencing).
+    """
+    from networkit_spark.graph import Graph
+
+    n = len(degrees)
+    dc = sorted(min(int(d), n - 1) for d in degrees)
+    # sum_deg = 0 is undefined in the reference (0/0 probabilities);
+    # the only consistent reading is "no edges"
+    s = float(sum(dc)) or 1.0
+    w = spark.createDataFrame(list(enumerate(dc)), "id long, dc long")
+    a = w.select(F.col("id").alias("src"), F.col("dc").alias("wi"))
+    b = w.select(F.col("id").alias("dst"), F.col("dc").alias("wj"))
+    e = (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .filter(
+            _md5_frac(F.lit(f"cla|{seed}"), F.col("src"), F.col("dst"))
+            < (F.col("wi") * F.col("wj")) / F.lit(s)
+        )
+        .select("src", "dst")
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph(
+        edges=e,
+        vertices=spark.range(n),
+        directed=False,
+        weighted=False,
+    )
+
+
 def stochastic_blockmodel(
     spark: SparkSession,
     membership: list[int],

@@ -133,3 +133,44 @@ def test_configuration_model_preserves_degrees(spark):
     g = configuration_model(spark, seq, seed=13, rounds=2)
     dm = _degmap(g)
     assert sorted(dm.get(i, 0) for i in range(len(seq))) == sorted(seq)
+
+
+def test_chung_lu_alam_etal_matches_python_replica(spark):
+    """Exact edge-set equality vs a pure-python replay of the md5
+    Bernoulli field (the draw is derandomized, so the match is exact,
+    not statistical)."""
+    from networkit_spark.sources.generators import (
+        _py_md5_frac,
+        chung_lu_alam_etal,
+    )
+
+    degrees = [5, 1, 9, 3, 3, 7, 2, 60, 4, 4, 1, 6]  # 60 caps to n-1
+    n = len(degrees)
+    g = chung_lu_alam_etal(spark, degrees, seed=13)
+    got = sorted(
+        (int(r["src"]), int(r["dst"]))
+        for r in g.edges.select("src", "dst").collect()
+    )
+    dc = sorted(min(d, n - 1) for d in degrees)
+    s = float(sum(dc))
+    want = sorted(
+        (u, v)
+        for u in range(n)
+        for v in range(u + 1, n)
+        if _py_md5_frac("cla|13", u, v) < dc[u] * dc[v] / s
+    )
+    assert got == want
+    assert want  # non-degenerate fixture
+    assert g.nodes().count() == n
+
+
+def test_chung_lu_alam_etal_caps_and_relabels(spark):
+    """Node n-1 carries the LARGEST capped degree after the counting
+    sort; a degenerate all-equal sequence keeps every pair at the same
+    probability."""
+    from networkit_spark.sources.generators import chung_lu_alam_etal
+
+    # all-zero degrees -> empty edge set, nodes still present
+    g = chung_lu_alam_etal(spark, [0, 0, 0, 0], seed=1)
+    assert g.edges.count() == 0
+    assert g.nodes().count() == 4
