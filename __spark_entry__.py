@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_maxent_stress": e.q_maxent_stress,
         "graph_maxent_metrics": e.q_maxent_metrics,
         "graph_chung_lu_alam": e.q_chung_lu_alam,
+        "graph_umsf": e.q_umsf,
         # rows-only: sequential growth recurrences (see contract_ext
         # comment) — invariant-proven in tests/test_dyngen.py
         "graph_dyn_generators": e.q_dyn_generators,
@@ -427,4 +428,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_maxent_stress": e.SQL_MAXENT_STRESS,
         "graph_maxent_metrics": e.SQL_MAXENT_METRICS,
         "graph_chung_lu_alam": e.SQL_CHUNG_LU_ALAM,
+        "graph_umsf": e.SQL_UMSF,
     }

@@ -11471,3 +11471,65 @@ ORDER BY src, dst
 
 
 SQL_CHUNG_LU_ALAM = _chung_lu_alam_sql()
+
+# ---------------------------------------------------------------------------
+# UnionMaximumSpanningForest (graph/UnionMaximumSpanningForest.cpp:20-92)
+# — edge (u,v,w) is in the UMSF iff its endpoints are disconnected in
+# the strictly-heavier subgraph (the deferred-merge Kruskal the
+# reference runs).  Synthetic 4-level weights on the contract graph;
+# the oracle computes one recursive min-label reach per strictly-
+# heavier subgraph (levels 3..1; level 4 tests against singletons).
+# ---------------------------------------------------------------------------
+
+
+def q_umsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.spanning import (
+        union_maximum_spanning_forest,
+    )
+
+    g = load_graph(spark, sf_dir)
+    we = g.edges.select(
+        "src", "dst",
+        ((F.col("src") * 3 + F.col("dst")) % 4 + 1)
+        .cast("double").alias("weight"),
+    )
+    gw = Graph(we, vertices=g.nodes(), directed=False, weighted=True)
+    f, _ = union_maximum_spanning_forest(gw)
+    return f.edges.select("src", "dst", "weight").orderBy("src", "dst")
+
+
+def _umsf_sql() -> str:
+    parts = [
+        "we AS (SELECT src, dst, CAST((src * 3 + dst) % 4 + 1 AS DOUBLE)"
+        " AS w FROM edges)",
+        "wa AS (SELECT src, dst, w FROM we "
+        "UNION ALL SELECT dst, src, w FROM we)",
+    ]
+    sel = ["SELECT src, dst, w AS weight FROM we WHERE w = 4"]
+    for lv in (3, 2, 1):
+        parts.append(
+            f"""r{lv}(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM r{lv} r JOIN wa a ON a.src = r.id AND a.w > {lv}
+  WHERE r.lbl < a.dst
+),
+l{lv} AS (SELECT id, MIN(lbl) AS lbl FROM r{lv} GROUP BY id)"""
+        )
+        sel.append(
+            f"SELECT e.src, e.dst, e.w AS weight FROM we e "
+            f"JOIN l{lv} a ON a.id = e.src JOIN l{lv} b ON b.id = e.dst "
+            f"WHERE e.w = {lv} AND a.lbl <> b.lbl"
+        )
+    return (
+        f"WITH RECURSIVE {GRAPH_CTES},\n"
+        + ",\n".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(sel)
+        + "\n) t ORDER BY src, dst"
+    )
+
+
+SQL_UMSF = _umsf_sql()

@@ -248,3 +248,110 @@ def random_spanning_forest(g: Graph, seed: int = 1) -> DataFrame:
     return comps.repartition(par, "label").mapInPandas(
         run, "src long, dst long"
     )
+
+
+def union_maximum_spanning_forest(
+    g: Graph, checkpointer: Checkpointer | None = None
+) -> tuple[Graph, SuperstepResult]:
+    """Union of ALL maximum spanning forests.
+
+    Reference: /root/reference/networkit/cpp/graph/
+    UnionMaximumSpanningForest.cpp:20-92 — Kruskal over edges sorted by
+    weight descending, but union-find merges are DEFERRED until the
+    weight level changes, so every edge of a tie group is tested
+    against the pre-group components.  Equivalent per-edge criterion
+    (what the deferred merge implements): an edge (u, v, w) is in the
+    UMSF iff u and v lie in different components of the subgraph of
+    edges with weight STRICTLY greater than w.
+
+    Spark plan: one pass over the distinct weight LEVELS descending
+    (the reference is sequential per EDGE; levels are the coarsest
+    batching that preserves the semantics).  Per level: map the level's
+    edges through the running component labels (one join), keep the
+    cross-component ones, then merge by running the min-label fixpoint
+    on the QUOTIENT graph of kept edges (component-count-sized, tiny)
+    and composing the relabeling.  Driver state is the distinct weight
+    list only — at web scale weights are quantized/bucketed, so the
+    level count is a domain constant, not O(m).
+    """
+    if g.directed:
+        raise ValueError(
+            "union maximum spanning forest is defined on undirected graphs"
+        )
+    from networkit_spark.operators.components import connected_components
+
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    wcol = (F.col("weight") if g.weighted else F.lit(1.0)).cast("double")
+    edges = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            wcol.alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [
+        float(r["weight"])
+        for r in edges.select("weight").distinct().orderBy(
+            F.desc("weight")
+        ).collect()
+    ]
+    labels = g.nodes().select("id", F.col("id").alias("label"))
+    out = None
+    for i, w in enumerate(levels):
+        lvl = edges.filter(F.col("weight") == w)
+        mapped = (
+            lvl.join(
+                labels.select(F.col("id").alias("src"),
+                              F.col("label").alias("lu")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("id").alias("dst"),
+                              F.col("label").alias("lv")),
+                "dst",
+            )
+        )
+        keep = mapped.filter(F.col("lu") != F.col("lv")).select(
+            "src", "dst", "weight"
+        )
+        out = keep if out is None else out.unionByName(keep)
+        out = ckpt.cut(out, 2 * i)
+        if i + 1 < len(levels):
+            q_edges = (
+                mapped.filter(F.col("lu") != F.col("lv"))
+                .select(
+                    F.least("lu", "lv").alias("src"),
+                    F.greatest("lu", "lv").alias("dst"),
+                )
+                .distinct()
+                .withColumn("weight", F.lit(1.0))
+            )
+            q_nodes = labels.select(
+                F.col("label").alias("id")
+            ).distinct()
+            qg = Graph(
+                q_edges, vertices=q_nodes, directed=False, weighted=False
+            )
+            comp, _ = connected_components(qg)
+            labels = ckpt.cut(
+                labels.join(
+                    comp.select(F.col("id").alias("label"),
+                                F.col("label").alias("newlabel"))
+                    .withColumnRenamed("newlabel", "_nl"),
+                    "label",
+                ).select("id", F.col("_nl").alias("label")),
+                2 * i + 1,
+            )
+    if out is None:
+        out = spark.createDataFrame(
+            [], "src long, dst long, weight double"
+        )
+    return (
+        Graph(out, g.vertices, directed=False, weighted=g.weighted),
+        SuperstepResult(iterations=len(levels)),
+    )

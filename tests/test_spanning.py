@@ -76,3 +76,62 @@ def test_directed_raises(spark):
     g = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
     with pytest.raises(ValueError, match="undirected"):
         spanning_forest(g)
+
+
+def _brute_umsf(n, edges):
+    """Edge in UMSF iff endpoints disconnected in the strictly-heavier
+    subgraph (UnionMaximumSpanningForest.cpp deferred-merge Kruskal)."""
+    out = []
+    for (u, v, w) in edges:
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, w2 in edges:
+            if w2 > w:
+                parent[find(a)] = find(b)
+        if find(u) != find(v):
+            out.append((u, v, w))
+    return sorted(out)
+
+
+def test_union_maximum_spanning_forest_matches_brute_force(spark):
+    from networkit_spark.operators.spanning import (
+        union_maximum_spanning_forest,
+    )
+
+    n = 14
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2), (3, 4), (4, 5),
+             (5, 6), (4, 6), (6, 7), (7, 8), (8, 9), (6, 9), (2, 10),
+             (10, 11), (11, 12), (10, 12), (12, 13), (2, 13), (5, 9)]
+    eds = [(a, b, float((a * 3 + b * 5) % 4 + 1)) for a, b in pairs]
+    edf = spark.createDataFrame(eds, "src long, dst long, weight double")
+    g = Graph(edf, vertices=spark.range(n), directed=False, weighted=True)
+    got, info = union_maximum_spanning_forest(g)
+    gote = sorted(
+        (int(r["src"]), int(r["dst"]), float(r["weight"]))
+        for r in got.edges.collect()
+    )
+    assert gote == _brute_umsf(n, eds)
+    assert info.iterations == len({w for _, _, w in eds})
+    # ties everywhere: the all-equal-weight UMSF is the whole graph
+    edf1 = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    g1 = Graph(edf1, vertices=spark.range(n), directed=False, weighted=True)
+    all_edges, _ = union_maximum_spanning_forest(g1)
+    assert all_edges.edges.count() == len(pairs)
+
+
+def test_union_maximum_spanning_forest_directed_raises(spark):
+    from networkit_spark.operators.spanning import (
+        union_maximum_spanning_forest,
+    )
+
+    g = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
+    with pytest.raises(ValueError, match="undirected"):
+        union_maximum_spanning_forest(g)
