@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_maxent_metrics": e.q_maxent_metrics,
         "graph_chung_lu_alam": e.q_chung_lu_alam,
         "graph_umsf": e.q_umsf,
+        "graph_matching_coarsen": e.q_matching_coarsen,
         # rows-only: sequential growth recurrences (see contract_ext
         # comment) — invariant-proven in tests/test_dyngen.py
         "graph_dyn_generators": e.q_dyn_generators,
@@ -429,4 +430,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_maxent_metrics": e.SQL_MAXENT_METRICS,
         "graph_chung_lu_alam": e.SQL_CHUNG_LU_ALAM,
         "graph_umsf": e.SQL_UMSF,
+        "graph_matching_coarsen": e.SQL_MATCHING_COARSEN,
     }

@@ -2719,7 +2719,7 @@ def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("src", "dst", "weight").orderBy("src")
 
 
-def _matching_sql(rounds: int = MATCH_ROUNDS) -> str:
+def _matching_prefix_sql(rounds: int = MATCH_ROUNDS) -> str:
     parts = [
         """wadj AS MATERIALIZED (
   SELECT src, dst,
@@ -2759,6 +2759,12 @@ dead{r} AS MATERIALIZED (
     return (
         f"WITH {GRAPH_CTES},\n" + ",\n".join(parts)
         + f",\nmatching AS (\n  {union}\n)\n"
+    )
+
+
+def _matching_sql(rounds: int = MATCH_ROUNDS) -> str:
+    return (
+        _matching_prefix_sql(rounds)
         + "SELECT src, dst, weight FROM matching ORDER BY src"
     )
 
@@ -11533,3 +11539,68 @@ l{lv} AS (SELECT id, MIN(lbl) AS lbl FROM r{lv} GROUP BY id)"""
 
 
 SQL_UMSF = _umsf_sql()
+
+# ---------------------------------------------------------------------------
+# MatchingCoarsening (coarsening/MatchingCoarsening.cpp:17-56) —
+# contract the Suitor matching of the synthetic-weight contract graph:
+# consecutive coarse ids in fine-node order (unmatched nodes and lower
+# matched endpoints), one weight contribution per fine edge, parallel
+# coarse edges summed, intra-pair self-loops kept.  Oracle: the
+# unrolled Suitor rounds (shared with graph_matching) + the contraction
+# in plain SQL.  Fine weights are integers < 2^31 so the double sums
+# are exact in any order.
+# ---------------------------------------------------------------------------
+
+
+def q_matching_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.coarsening import matching_coarsening
+    from networkit_spark.operators.matching import suitor_matching
+
+    g = load_graph(spark, sf_dir)
+    we = g.edges.select(
+        "src", "dst",
+        (((F.col("src") * 1009 + F.col("dst")) * 2654435761) % 2147483648)
+        .cast("double").alias("weight"),
+    )
+    gw = Graph(we, vertices=g.nodes(), directed=False, weighted=True)
+    m, info = suitor_matching(gw, max_rounds=MATCH_ROUNDS)
+    if not info.converged:
+        raise AssertionError(
+            f"suitor_matching did not converge in {MATCH_ROUNDS} rounds"
+        )
+    coarse, _mapping = matching_coarsening(gw, m)
+    return coarse.edges.select("src", "dst", "weight").orderBy(
+        "src", "dst"
+    )
+
+
+SQL_MATCHING_COARSEN = (
+    _matching_prefix_sql()
+    + """, reps AS (
+  SELECT id FROM nodes
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matching m WHERE GREATEST(m.src, m.dst) = id
+  )
+),
+rk AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS cid
+  FROM reps
+),
+mapping AS (
+  SELECT id, cid FROM rk
+  UNION ALL
+  SELECT GREATEST(m.src, m.dst) AS id, r.cid
+  FROM matching m JOIN rk r ON r.id = LEAST(m.src, m.dst)
+),
+fe AS (
+  SELECT src, dst,
+         CAST(((src * 1009 + dst) * 2654435761) % 2147483648 AS DOUBLE)
+           AS w
+  FROM edges
+)
+SELECT LEAST(a.cid, b.cid) AS src, GREATEST(a.cid, b.cid) AS dst,
+       SUM(e.w) AS weight
+FROM fe e JOIN mapping a ON a.id = e.src JOIN mapping b ON b.id = e.dst
+GROUP BY 1, 2 ORDER BY src, dst"""
+)
