@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_chung_lu_alam": e.q_chung_lu_alam,
         "graph_umsf": e.q_umsf,
         "graph_matching_coarsen": e.q_matching_coarsen,
+        "graph_curveball_trade_gen": e.q_curveball_trade_gen,
+        "graph_curveball_run": e.q_curveball_run,
         # rows-only: sequential growth recurrences (see contract_ext
         # comment) — invariant-proven in tests/test_dyngen.py
         "graph_dyn_generators": e.q_dyn_generators,
@@ -431,4 +433,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_chung_lu_alam": e.SQL_CHUNG_LU_ALAM,
         "graph_umsf": e.SQL_UMSF,
         "graph_matching_coarsen": e.SQL_MATCHING_COARSEN,
+        "graph_curveball_trade_gen": e.SQL_CURVEBALL_TRADE_GEN,
+        "graph_curveball_run": e.SQL_CURVEBALL_RUN,
     }

@@ -11604,3 +11604,95 @@ SELECT LEAST(a.cid, b.cid) AS src, GREATEST(a.cid, b.cid) AS dst,
 FROM fe e JOIN mapping a ON a.id = e.src JOIN mapping b ON b.id = e.dst
 GROUP BY 1, 2 ORDER BY src, dst"""
 )
+
+# ---------------------------------------------------------------------------
+# Curveball trade generators + trade-sequence Curveball
+# (randomization/Curveball.cpp, CurveballUniformTradeGenerator.cpp,
+# CurveballGlobalTradeGenerator.cpp).  Gate 1 replays BOTH generators'
+# md5 draws exactly in SQL.  Gate 2 runs curveball(g, uniform trades)
+# and checks the reference's own gtest invariant cross-engine: the
+# degree sequence is exactly preserved (the edge-set algebra itself is
+# proven by the exact python-replica pytest, test_randomization_trades).
+# ---------------------------------------------------------------------------
+
+CBT_N = 40
+CBT_UNIFORM = 30
+CBT_GLOBAL_ROUNDS = 2
+CBT_SEED = 9
+
+
+def q_curveball_trade_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.randomization import (
+        curveball_global_trades,
+        curveball_uniform_trades,
+    )
+
+    uni = curveball_uniform_trades(
+        spark, CBT_N, CBT_UNIFORM, seed=CBT_SEED
+    ).select(F.lit("u").alias("kind"), "t", "u", "v")
+    glo = curveball_global_trades(
+        spark, CBT_N, CBT_GLOBAL_ROUNDS, seed=CBT_SEED
+    ).select(F.lit("g").alias("kind"), "t", "u", "v")
+    return uni.unionByName(glo).orderBy("kind", "t")
+
+
+def _curveball_trade_gen_sql() -> str:
+    hf = _md5_long13_sql(
+        f"md5('cutg|{CBT_SEED}|f|' || CAST(t AS VARCHAR))"
+    )
+    hs = _md5_long13_sql(
+        f"md5('cutg|{CBT_SEED}|s|' || CAST(t AS VARCHAR))"
+    )
+    half = CBT_N // 2
+    runs = []
+    for run in range(CBT_GLOBAL_ROUNDS):
+        runs.append(
+            f"""SELECT 'g' AS kind, CAST((rn // 2) + {run * half} AS BIGINT) AS t,
+       MAX(CASE WHEN rn % 2 = 0 THEN id END) AS u,
+       MAX(CASE WHEN rn % 2 = 1 THEN id END) AS v
+FROM (
+  SELECT id, ROW_NUMBER() OVER (
+    ORDER BY md5('cgtg|{CBT_SEED}|{run}|' || CAST(id AS VARCHAR)), id
+  ) - 1 AS rn
+  FROM range({CBT_N}) g(id)
+) WHERE rn < {2 * half}
+GROUP BY rn // 2"""
+        )
+    return (
+        f"""WITH uni AS (
+  SELECT 'u' AS kind, t,
+         ({hf}) % {CBT_N} AS u0,
+         ({hs}) % {CBT_N - 1} AS s0
+  FROM range({CBT_UNIFORM}) r(t)
+)
+SELECT kind, t, u, v FROM (
+  SELECT kind, t, u0 AS u,
+         s0 + CASE WHEN s0 >= u0 THEN 1 ELSE 0 END AS v
+  FROM uni
+  UNION ALL
+"""
+        + "\nUNION ALL\n".join(runs)
+        + "\n) z ORDER BY kind, t"
+    )
+
+
+SQL_CURVEBALL_TRADE_GEN = _curveball_trade_gen_sql()
+
+
+def q_curveball_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.randomization import (
+        curveball,
+        curveball_uniform_trades,
+    )
+
+    g = load_graph(spark, sf_dir)
+    n = g.number_of_nodes()
+    trades = curveball_uniform_trades(spark, n, 50, seed=CBT_SEED)
+    out = curveball(g, trades, seed=CBT_SEED)
+    return out.degrees().select("id", "degree").orderBy("id")
+
+
+SQL_CURVEBALL_RUN = f"""
+WITH {GRAPH_CTES}
+SELECT id, degree FROM deg ORDER BY id
+"""

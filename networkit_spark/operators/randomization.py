@@ -428,3 +428,257 @@ def global_curveball(
         directed=False,
         weighted=False,
     )
+
+
+def curveball_uniform_trades(
+    spark, n: int, num_trades: int, seed: int = 42
+) -> DataFrame:
+    """(t, u, v) — CurveballUniformTradeGenerator
+    (randomization/CurveballUniformTradeGenerator.cpp:12-29): numTrades
+    independent uniform pairs of DISTINCT nodes.  The reference draws
+    snd by rejection until != fst; the derandomized contract draws from
+    the (n-1)-point complement directly (s = h % (n-1); snd = s +
+    (s >= fst)) — the same uniform-over-distinct-pairs law without the
+    data-dependent RNG stream."""
+    if n < 2:
+        raise ValueError("need at least two nodes to trade")
+    t = spark.range(num_trades).select(F.col("id").alias("t"))
+    fst = _klong(F.lit(f"cutg|{seed}|f"), F.col("t")) % n
+    s = _klong(F.lit(f"cutg|{seed}|s"), F.col("t")) % (n - 1)
+    return t.select(
+        "t",
+        fst.alias("u"),
+        (s + (s >= fst).cast("long")).alias("v"),
+    )
+
+
+def curveball_global_trades(
+    spark, n: int, global_rounds: int, seed: int = 42
+) -> DataFrame:
+    """(t, u, v) — CurveballGlobalTradeGenerator
+    (randomization/CurveballGlobalTradeGenerator.cpp:13-45): per global
+    round a uniform permutation of the node ids paired consecutively
+    (the odd node out sits the round out), n/2 trades per round.  The
+    md5 rank IS the shuffle (rank-by-random-key is the classic
+    distributed Fisher-Yates); pairing is the same consecutive walk."""
+    from networkit_spark.plans.ids import dense_ids
+
+    out = None
+    half = n // 2
+    for run in range(global_rounds):
+        nk = spark.range(n).select(F.col("id")).withColumn(
+            "rnd",
+            F.md5(F.concat_ws("|", F.lit(f"cgtg|{seed}|{run}"),
+                              F.col("id"))),
+        )
+        perm = dense_ids(nk, ["rnd", "id"], "rn")
+        pairs = (
+            perm.filter(F.col("rn") < 2 * half)
+            .groupBy((F.col("rn") / 2).cast("long").alias("p"))
+            .agg(
+                F.max(F.when(F.col("rn") % 2 == 0, F.col("id"))).alias("u"),
+                F.max(F.when(F.col("rn") % 2 == 1, F.col("id"))).alias("v"),
+            )
+            .select(
+                (F.col("p") + F.lit(run * half)).alias("t"), "u", "v"
+            )
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    if out is None:
+        return spark.createDataFrame([], "t long, u long, v long")
+    return out
+
+
+def curveball(
+    g: Graph,
+    trades,
+    seed: int = 42,
+    checkpointer: Checkpointer | None = None,
+) -> Graph:
+    """Curveball with a caller-supplied trade sequence.
+
+    Reference: /root/reference/networkit/cpp/randomization/Curveball.cpp
+    (+ CurveballIM) — run(trades) processes each trade (u, v)
+    sequentially: the u-v edge and common neighbors stay, the disjoint
+    neighbors are pooled and uniformly redistributed so u and v keep
+    their degrees.
+
+    Batched deterministic variant (the global_curveball stance,
+    documented): the sequence is split into maximal node-disjoint
+    prefixes (exact sequence order preserved ACROSS batches; trades in
+    one batch see the same pre-batch adjacency).  Within a batch the
+    trade machinery is the ownership scheme of :func:`global_curveball`
+    adapted to partial pairings: an edge with exactly one traded
+    endpoint is owned by that endpoint's trade, one with two traded
+    endpoints by an md5 coin, one with none is fixed; an owned neighbor
+    is tradeable iff the partner has no edge to it; tradeable items are
+    md5-ranked per trade, the first c_u stay with u; two trades
+    creating the same edge revert (order-independent).  Degrees are
+    preserved exactly; every draw is md5-derived.
+
+    ``trades``: list of (u, v) or a (t, u, v) DataFrame (consumed in
+    t order; trade lists are parameter-scale driver state, exactly the
+    reference's std::vector of trades)."""
+    if g.directed:
+        raise ValueError("curveball supports undirected graphs only")
+    from networkit_spark.plans.ids import dense_ids
+
+    spark = g.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark)
+    if isinstance(trades, DataFrame):
+        trades = [
+            (int(r["u"]), int(r["v"]))
+            for r in trades.orderBy("t").collect()
+        ]
+    batches: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    used: set[int] = set()
+    for (u, v) in trades:
+        if u == v:
+            raise ValueError(f"self-trade ({u}, {v})")
+        if u in used or v in used:
+            batches.append(cur)
+            cur, used = [], set()
+        cur.append((int(u), int(v)))
+        used.update((u, v))
+    if cur:
+        batches.append(cur)
+    edges = (
+        g.remove_self_loops()
+        .edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for r, batch in enumerate(batches, start=1):
+        pairs = spark.createDataFrame(
+            [(i, u, v) for i, (u, v) in enumerate(batch)],
+            "pid long, u long, v long",
+        )
+        perm = pairs.select(
+            F.col("u").alias("id"), "pid", F.lit(0).alias("side")
+        ).unionByName(
+            pairs.select(
+                F.col("v").alias("id"), "pid", F.lit(1).alias("side")
+            )
+        )
+        ps = perm.select(
+            F.col("id").alias("src"), F.col("pid").alias("psrc"),
+            F.col("side").alias("ssrc"),
+        )
+        pd_ = perm.select(
+            F.col("id").alias("dst"), F.col("pid").alias("pdst"),
+            F.col("side").alias("sdst"),
+        )
+        ee = edges.join(ps, "src", "left").join(pd_, "dst", "left")
+        fixed = ee.filter(
+            (F.col("psrc").isNull() & F.col("pdst").isNull())
+            | (F.col("psrc") == F.col("pdst"))
+        ).select("src", "dst")
+        coin = _klong(
+            F.lit(f"{seed}|ob|{r}"), F.col("src"), F.col("dst")
+        ) % 2
+        both = (
+            F.col("psrc").isNotNull() & F.col("pdst").isNotNull()
+            & (F.col("psrc") != F.col("pdst"))
+        )
+        use_src = (F.col("psrc").isNotNull() & F.col("pdst").isNull()) | (
+            both & (coin == 0)
+        )
+        use_dst = (F.col("psrc").isNull() & F.col("pdst").isNotNull()) | (
+            both & (coin == 1)
+        )
+        items = (
+            ee.filter(use_src | use_dst)
+            .select(
+                "src", "dst",
+                F.when(use_src, F.col("psrc")).otherwise(F.col("pdst"))
+                .alias("pid"),
+                F.when(use_src, F.col("ssrc")).otherwise(F.col("sdst"))
+                .alias("side"),
+                F.when(use_src, F.col("dst")).otherwise(F.col("src"))
+                .alias("y"),
+            )
+            .join(pairs, "pid")
+            .withColumn(
+                "o",
+                F.when(F.col("side") == 0, F.col("v"))
+                .otherwise(F.col("u")),
+            )
+        )
+        ex = edges.select(
+            F.col("src").alias("xs"), F.col("dst").alias("xd"),
+            F.lit(1).alias("x"),
+        )
+        items = (
+            items.withColumn("ois", F.least("o", "y"))
+            .withColumn("oid", F.greatest("o", "y"))
+            .join(
+                ex,
+                (F.col("ois") == F.col("xs"))
+                & (F.col("oid") == F.col("xd")),
+                "left",
+            )
+            .withColumn("tr", F.col("x").isNull())
+            .drop("xs", "xd", "x", "ois", "oid")
+        )
+        items = ckpt.cut(items, 10 * r)
+        blocked = items.filter(~F.col("tr")).select("src", "dst")
+        trd = items.filter(F.col("tr")).withColumn(
+            "prnd",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(f"{seed}|pb|{r}"), F.col("pid"), F.col("y")
+                )
+            ),
+        )
+        cu = trd.groupBy("pid").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cu")
+        )
+        ranked = dense_ids(trd, ["pid", "prnd", "y"], "gr")
+        ranked = (
+            ranked.join(
+                ranked.groupBy("pid").agg(F.min("gr").alias("m")), "pid"
+            )
+            .withColumn("rk", F.col("gr") - F.col("m"))
+            .join(cu, "pid")
+        )
+        created = ranked.withColumn(
+            "w2",
+            F.when(F.col("rk") < F.col("cu"), F.col("u"))
+            .otherwise(F.col("v")),
+        ).select(
+            "pid", "src", "dst",
+            F.least("w2", "y").alias("ns"),
+            F.greatest("w2", "y").alias("nd"),
+        )
+        dup = (
+            created.groupBy("ns", "nd")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        badp = (
+            created.join(dup.select("ns", "nd"), ["ns", "nd"])
+            .select("pid")
+            .distinct()
+        )
+        good = created.join(badp, "pid", "left_anti").select(
+            F.col("ns").alias("src"), F.col("nd").alias("dst")
+        )
+        reverted = created.join(badp, "pid", "left_semi").select(
+            "src", "dst"
+        )
+        edges = ckpt.cut(
+            fixed.unionByName(blocked)
+            .unionByName(good)
+            .unionByName(reverted),
+            100 + r,
+        )
+    return Graph(
+        edges.withColumn("weight", F.lit(1.0)),
+        vertices=g.vertices,
+        directed=False,
+        weighted=False,
+    )
