@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_matching_coarsen": e.q_matching_coarsen,
         "graph_curveball_trade_gen": e.q_curveball_trade_gen,
         "graph_curveball_run": e.q_curveball_run,
+        "graph_spectral_coloring": e.q_spectral_coloring,
         # rows-only: sequential growth recurrences (see contract_ext
         # comment) — invariant-proven in tests/test_dyngen.py
         "graph_dyn_generators": e.q_dyn_generators,

@@ -11696,3 +11696,19 @@ SQL_CURVEBALL_RUN = f"""
 WITH {GRAPH_CTES}
 SELECT id, degree FROM deg ORDER BY id
 """
+
+# ---------------------------------------------------------------------------
+# SpectralColoring (networkit/coloring.py:6-140 + algebraic.py:139-330)
+# — rows-only gate (an eigendecomposition is not SQL-expressible; the
+# validity invariant — no monochromatic edge — and the dense/power
+# parity are pinned by tests/test_spectral.py).  The driver row checks
+# one (id, color) row per contract-graph node.
+# ---------------------------------------------------------------------------
+
+
+def q_spectral_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.spectral import spectral_coloring
+
+    g = load_graph(spark, sf_dir)
+    col, _nc = spectral_coloring(g)
+    return col.orderBy("id")
