@@ -110,7 +110,7 @@ def adjacency_eigenvector_power(
     sorted).  Fixed
     ``iters`` and md5-derandomized init keep runs reproducible;
     accuracy is (|lambda_{k+1}|/|lambda_k|)^iters like any power
-    method (pytest pins 1e-6 on a gapped fixture vs the dense path).
+    method (pytest pins 1e-4 on a gapped fixture vs the dense path).
     """
     import numpy as np
 
@@ -272,3 +272,35 @@ def spectral_coloring(
     out = spark.createDataFrame(rows, "id long, color long")
     used = {c for c, vs in colors.items() if vs}
     return out, len(used)
+
+
+def laplacian_eigenvectors(
+    g: Graph, cutoff: int = -1, reverse: bool = False
+) -> tuple[list, list]:
+    """laplacianEigenvector(s) (algebraic.py:272-298) — the same
+    spectrum contract over L = D - A (degrees counting edge weights,
+    self-loops contributing like networkit's laplacianMatrix: diagonal
+    degree minus the loop weight)."""
+    import numpy as np
+
+    if g.directed:
+        raise ValueError(
+            "directed spectra are not supported; symmetrize first"
+        )
+    a, _ids = _dense_adjacency(g)
+    n = a.shape[0]
+    lap = np.diag(a.sum(axis=1)) - a
+    if cutoff == -1:
+        cutoff = n - 3
+    k = max(1, min(n, cutoff + 1))
+    w, v = np.linalg.eigh(lap)
+    take = list(range(k)) if reverse else list(range(n - k, n))
+    vals = [float(w[i]) for i in take]
+    vecs = []
+    for i in take:
+        col = v[:, i].copy()
+        j = int(np.argmax(np.abs(col)))
+        if col[j] < 0:
+            col = -col
+        vecs.append([float(x) for x in col])
+    return vals, vecs

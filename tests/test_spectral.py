@@ -80,3 +80,19 @@ def test_power_iteration_matches_dense_top2(spark):
     for r in rows:
         b[int(r["id"]), int(r["j"])] = float(r["x"])
     assert np.allclose(b.T @ b, np.eye(2), atol=1e-8)
+
+
+def test_laplacian_eigenvectors_bottom_of_spectrum(spark):
+    from networkit_spark.operators.spectral import laplacian_eigenvectors
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2), (3, 4)]
+    g = Graph.from_pandas(spark, pairs, n=5)
+    vals, vecs = laplacian_eigenvectors(g, cutoff=1, reverse=True)
+    a = _dense(5, pairs)
+    lap = np.diag(a.sum(axis=1)) - a
+    w = np.linalg.eigvalsh(lap)
+    assert vals == pytest.approx([w[0], w[1]], abs=1e-9)
+    assert abs(vals[0]) < 1e-9  # connected graph: lambda_1 = 0
+    for lam, vec in zip(vals, vecs):
+        v = np.array(vec)
+        assert np.linalg.norm(lap @ v - lam * v) < 1e-9
