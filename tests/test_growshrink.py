@@ -141,7 +141,7 @@ def test_grow_shrink_validates(spark):
 # GroupClosenessLocalSearch (GroupClosenessLocalSearch.cpp)
 # ---------------------------------------------------------------------------
 
-def _farness(edges, n, group):
+def _ls_farness(edges, n, group):
     """Driver-side exact group farness (BFS from the member set)."""
     from collections import deque
 
@@ -171,20 +171,20 @@ def _local_search_replica(edges, n, group, max_iterations=100):
     group = sorted(group)
     it = 0
     while it < max_iterations:
-        f_s = _farness(edges, n, group)
-        inc = {u: _farness(edges, n, [x for x in group if x != u]) - f_s
+        f_s = _ls_farness(edges, n, group)
+        inc = {u: _ls_farness(edges, n, [x for x in group if x != u]) - f_s
                for u in group}
         swapped = False
         for u in sorted(group, key=lambda x: (inc[x], x)):
             rest = [x for x in group if x != u]
             if not rest:
                 continue
-            f_rest = _farness(edges, n, rest)
+            f_rest = _ls_farness(edges, n, rest)
             best = None
             for v in range(n):
                 if v in rest or v == u:
                     continue
-                dec = f_rest - _farness(edges, n, rest + [v])
+                dec = f_rest - _ls_farness(edges, n, rest + [v])
                 if best is None or dec > best[1] or (dec == best[1] and v < best[0]):
                     best = (v, dec)
             if best and best[1] > inc[u]:
@@ -240,14 +240,14 @@ def test_local_search_reaches_local_optimum(spark):
     g = Graph.from_pandas(spark, edges, n=n)
     got, _, _ = group_closeness_local_search(g, [0, 17],
                                              run_grow_shrink=False)
-    f_got = _farness(edges, n, got)
+    f_got = _ls_farness(edges, n, got)
     # no single swap improves the final group
     for u in got:
         rest = [x for x in got if x != u]
         for v in range(n):
             if v in got:
                 continue
-            assert _farness(edges, n, rest + [v]) >= f_got
+            assert _ls_farness(edges, n, rest + [v]) >= f_got
 
 
 def test_local_search_with_grow_shrink_composes(spark):
