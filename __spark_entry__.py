@@ -272,6 +272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: sequential growth recurrences (see contract_ext
         # comment) — invariant-proven in tests/test_dyngen.py
         "graph_dyn_generators": e.q_dyn_generators,
+        # --- round-5l: algebraic module (COO matrices: construction,
+        # add/scale/transpose, SpMV, SpMM — full oracle) -----------------
+        "graph_algebra": e.q_algebra,
     }
 
 
@@ -441,4 +444,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching_coarsen": e.SQL_MATCHING_COARSEN,
         "graph_curveball_trade_gen": e.SQL_CURVEBALL_TRADE_GEN,
         "graph_curveball_run": e.SQL_CURVEBALL_RUN,
+        "graph_algebra": e.SQL_ALGEBRA,
     }

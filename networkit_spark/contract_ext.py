@@ -11712,3 +11712,125 @@ def q_spectral_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     col, _nc = spectral_coloring(g)
     return col.orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Algebraic module (networkit/algebraic.py:40-137 adjacencyMatrix /
+# laplacianMatrix / PageRankMatrix; networkit/cpp/algebraic/ matrix
+# arithmetic) — one gate exercising every COO op: construction,
+# mat_add/mat_scale (inside pagerank_matrix), mat_transpose, spmv, spmm.
+# Deterministic symmetric weight overlay w(e) = ((lo*13 + hi*7) % 19
+# + 1)/4 and probe vector x_j = ((j*37 + 11) % 97)/97 make every
+# column a full-value check:
+#   lap_x = (L x)_i        a2x = ((A A) x)_i
+#   px    = (P x)_i        ptx = (P^T x)_i
+# ---------------------------------------------------------------------------
+
+ALGEBRA_DAMP = 0.85
+
+
+def q_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.algebra import (
+        adjacency_matrix,
+        laplacian_matrix,
+        mat_transpose,
+        pagerank_matrix,
+        spmm,
+        spmv,
+    )
+
+    g = load_graph(spark, sf_dir)
+    wedges = g.edges.select(
+        "src", "dst",
+        (((F.col("src") * 13 + F.col("dst") * 7) % 19 + 1).cast("double")
+         / 4.0).alias("weight"),
+    )
+    gw = Graph(edges=wedges, vertices=None, directed=False, weighted=True)
+    x = g.nodes().select(
+        F.col("id").cast("long").alias("j"),
+        (((F.col("id") * 37 + 11) % 97).cast("double") / 97.0).alias("v"),
+    )
+    a = adjacency_matrix(gw).localCheckpoint(eager=True)
+    lap_x = spmv(laplacian_matrix(gw), x)
+    a2x = spmv(spmm(a, a), x)
+    p = pagerank_matrix(gw, damp=ALGEBRA_DAMP).localCheckpoint(eager=True)
+    px = spmv(p, x)
+    ptx = spmv(mat_transpose(p), x)
+
+    def col(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.col("i").alias("id"), F.col("v").alias(name))
+
+    out = g.nodes().select(F.col("id").cast("long").alias("id"))
+    for df, name in ((lap_x, "lap_x"), (a2x, "a2x"), (px, "px"),
+                     (ptx, "ptx")):
+        out = out.join(col(df, name), "id", "left")
+    return out.select(
+        "id",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 6).alias(c)
+          for c in ("lap_x", "a2x", "px", "ptx")],
+    ).orderBy("id")
+
+
+SQL_ALGEBRA = f"""
+WITH {GRAPH_CTES},
+wadj AS (
+  SELECT src AS i, dst AS j,
+         CAST((LEAST(src, dst) * 13 + GREATEST(src, dst) * 7) % 19 + 1
+              AS DOUBLE) / 4 AS v
+  FROM adj
+),
+xv AS (
+  SELECT id AS j, CAST((id * 37 + 11) % 97 AS DOUBLE) / 97.0 AS v
+  FROM nodes
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+wdeg AS (SELECT i, SUM(v) AS wd FROM wadj GROUP BY i),
+lapx AS (
+  SELECT w.i,
+         MAX(d.wd) * MAX(x0.v) - SUM(w.v * x.v) AS v
+  FROM wadj w
+  JOIN wdeg d ON d.i = w.i
+  JOIN xv x ON x.j = w.j
+  JOIN xv x0 ON x0.j = w.i
+  GROUP BY w.i
+),
+a2x AS (
+  SELECT a.i, SUM(a.v * b.v * x.v) AS v
+  FROM wadj a JOIN wadj b ON b.i = a.j JOIN xv x ON x.j = b.j
+  GROUP BY a.i
+),
+px AS (
+  SELECT w.i,
+         {ALGEBRA_DAMP} * SUM(w.v * x.v / d.degree)
+           + (1 - {ALGEBRA_DAMP}) / MAX(n.n) * MAX(x0.v) AS v
+  FROM wadj w
+  JOIN deg d ON d.id = w.j
+  JOIN xv x ON x.j = w.j
+  JOIN xv x0 ON x0.j = w.i
+  CROSS JOIN nn n
+  GROUP BY w.i
+),
+ptx AS (
+  SELECT w.i,
+         {ALGEBRA_DAMP} / MAX(d.degree) * SUM(w.v * x.v)
+           + (1 - {ALGEBRA_DAMP}) / MAX(n.n) * MAX(x0.v) AS v
+  FROM wadj w
+  JOIN deg d ON d.id = w.i
+  JOIN xv x ON x.j = w.j
+  JOIN xv x0 ON x0.j = w.i
+  CROSS JOIN nn n
+  GROUP BY w.i
+)
+SELECT n0.id,
+       ROUND(COALESCE(l.v, 0), 6) AS lap_x,
+       ROUND(COALESCE(a.v, 0), 6) AS a2x,
+       ROUND(COALESCE(p.v, 0), 6) AS px,
+       ROUND(COALESCE(t.v, 0), 6) AS ptx
+FROM nodes n0
+LEFT JOIN lapx l ON l.i = n0.id
+LEFT JOIN a2x a ON a.i = n0.id
+LEFT JOIN px p ON p.i = n0.id
+LEFT JOIN ptx t ON t.i = n0.id
+ORDER BY n0.id
+"""

@@ -355,3 +355,35 @@ def union_maximum_spanning_forest(
         Graph(out, g.vertices, directed=False, weighted=g.weighted),
         SuperstepResult(iterations=len(levels)),
     )
+
+
+def kruskal_msf(
+    g: Graph, checkpointer: Checkpointer | None = None
+) -> tuple[Graph, float, SuperstepResult]:
+    """KruskalMSF (/root/reference/networkit/cpp/graph/KruskalMSF.cpp
+    :20-60): MINIMUM spanning forest by non-decreasing weight scan +
+    union-find, plus the total forest weight.
+
+    Under this module's total order (weight asc, src asc, dst asc) the
+    minimum forest is UNIQUE (it is the MSF of the perturbed weights),
+    so Kruskal, Prim and Boruvka all return the same edge set — the
+    distributed Boruvka plan (O(log n) rounds of one argmin aggregation
+    each) is the execution strategy for all three reference entry
+    points; a sequential sorted scan with a driver-side union-find does
+    not distribute."""
+    forest, info = spanning_forest(g, checkpointer)
+    wcol = F.col("weight") if g.weighted else F.lit(1.0)
+    row = forest.edges.agg(
+        F.coalesce(F.sum(wcol), F.lit(0.0)).alias("tw")
+    ).collect()[0]
+    return forest, float(row["tw"]), info
+
+
+def prim_msf(
+    g: Graph, checkpointer: Checkpointer | None = None
+) -> tuple[Graph, float, SuperstepResult]:
+    """PrimMSF (/root/reference/networkit/cpp/graph/PrimMSF.cpp:20-70):
+    grow-from-a-node minimum spanning forest with a binary heap.  Same
+    unique-MSF argument as kruskal_msf — identical output, same
+    Boruvka plan."""
+    return kruskal_msf(g, checkpointer)

@@ -312,3 +312,34 @@ def graph_difference(g1: Graph, g2: Graph) -> DataFrame:
         .unionByName(weight_updates)
         .unionByName(edge_adds)
     )
+
+
+class GraphUpdater:
+    """GraphUpdater (/root/reference/networkit/cpp/dynamics/
+    GraphUpdater.cpp:15-62): apply event batches to a graph and record
+    the (n, m) size timeline after each batch.
+
+    The reference applies events one at a time inside update() and
+    records size once per call; the Spark analogue applies each CALL's
+    batch set-wise via :func:`apply_events` (same end state for
+    non-conflicting batches, the documented apply_events contract) and
+    appends one (n, m) pair per call — the same timeline the reference
+    records.  Counts are two scalar aggregations; nothing else is
+    collected."""
+
+    def __init__(self, g: Graph) -> None:
+        self.graph = g
+        self._timeline: list[tuple[int, int]] = []
+
+    def update(self, events: DataFrame) -> Graph:
+        self.graph = apply_events(self.graph, events)
+        # one pass: count nodes and edges of the updated graph
+        self.graph.edges = self.graph.edges.localCheckpoint(eager=True)
+        self._timeline.append(
+            (self.graph.number_of_nodes(), self.graph.number_of_edges())
+        )
+        return self.graph
+
+    def size_timeline(self) -> list[tuple[int, int]]:
+        """getSizeTimeline (GraphUpdater.cpp:60-62)."""
+        return list(self._timeline)

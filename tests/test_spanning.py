@@ -135,3 +135,20 @@ def test_union_maximum_spanning_forest_directed_raises(spark):
     g = Graph.from_pandas(spark, [(0, 1)], directed=True, n=2)
     with pytest.raises(ValueError, match="undirected"):
         union_maximum_spanning_forest(g)
+
+
+def test_kruskal_prim_named_msf(spark):
+    """KruskalMSF/PrimMSF wrappers: same unique minimum forest as the
+    replica, total weight matches the sorted-scan union-find sum."""
+    from networkit_spark.operators.spanning import kruskal_msf, prim_msf
+
+    g = Graph.from_pandas(spark, EDGES, weighted=True, n=8)
+    replica = _kruskal(EDGES, 8, maximum=False)
+    want = {(u, v) for u, v, _w in replica}
+    want_w = sum(w for _u, _v, w in replica)
+    for fn in (kruskal_msf, prim_msf):
+        forest, tw, _info = fn(g)
+        got = {(r["src"], r["dst"])
+               for r in forest.edges.select("src", "dst").collect()}
+        assert got == want
+        assert tw == pytest.approx(want_w)

@@ -190,3 +190,25 @@ SELECT id, MIN(lbl) AS label FROM reach GROUP BY id ORDER BY id
         """
     ).fetchall()
     assert got == [(int(i), int(l)) for i, l in want]
+
+
+def test_graph_updater_timeline(spark):
+    """GraphUpdater: per-update (n, m) size timeline matches the
+    reference's record-after-each-batch contract
+    (GraphUpdater.cpp:15-62)."""
+    from networkit_spark.streaming.dynamics import GraphUpdater
+
+    g = Graph.from_pandas(spark, [(0, 1), (2, 3, 2.0)], weighted=True, n=4)
+    up = GraphUpdater(g)
+    b1 = spark.createDataFrame(
+        [("EDGE_ADDITION", 1, 2, 1.0)], EVENT_SCHEMA
+    )
+    up.update(b1)
+    b2 = spark.createDataFrame(
+        [("EDGE_REMOVAL", 0, 1, None), ("NODE_ADDITION", 4, None, None)],
+        EVENT_SCHEMA,
+    )
+    g2 = up.update(b2)
+    assert up.size_timeline() == [(4, 3), (5, 2)]
+    got = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert got == {(1, 2), (2, 3)}
