@@ -275,6 +275,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5l: algebraic module (COO matrices: construction,
         # add/scale/transpose, SpMV, SpMM — full oracle) -----------------
         "graph_algebra": e.q_algebra,
+        # --- round-5l: profiling module (properties + degree-measure
+        # stats + component partition stats, full oracle) ----------------
+        "graph_profile": e.q_profile,
+        # --- round-5l: traversal module (BFS visit order + tree; DFS is
+        # pytest-replica-only, see contract comment) ---------------------
+        "graph_traversal": e.q_traversal,
     }
 
 
@@ -445,4 +451,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_curveball_trade_gen": e.SQL_CURVEBALL_TRADE_GEN,
         "graph_curveball_run": e.SQL_CURVEBALL_RUN,
         "graph_algebra": e.SQL_ALGEBRA,
+        "graph_profile": e.SQL_PROFILE,
+        "graph_traversal": e.SQL_TRAVERSAL,
     }

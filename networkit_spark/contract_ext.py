@@ -11834,3 +11834,167 @@ LEFT JOIN px p ON p.i = n0.id
 LEFT JOIN ptx t ON t.i = n0.id
 ORDER BY n0.id
 """
+
+
+# ---------------------------------------------------------------------------
+# Profiling module (networkit/profiling/profiling.py Profile:
+# __loadProperties :1039-1097 + per-measure stat rows) — the gate runs
+# the degree measure + connected-components partition and checks every
+# scalar the profile reports: size/density properties, the stat.py
+# location/dispersion set, Freeman centralization, score assortativity,
+# and the partition subset-size stats.
+# ---------------------------------------------------------------------------
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.profiling import profile
+
+    g = load_graph(spark, sf_dir)
+    p = profile(g, measures=("degree",), with_components=True)
+    props, deg, comp = p["properties"], p["measures"][0], p["partitions"][0]
+    row = (
+        int(props["nodes"]), int(props["edges"]),
+        round(props["density"], 6),
+        round(deg["min"], 6), round(deg["max"], 6),
+        round(deg["mean"], 6), round(deg["median"], 6),
+        round(deg["stddev"], 6), round(deg["centralization"], 6),
+        round(deg["assortativity"], 6),
+        int(comp["count"]), int(comp["max_size"]),
+        round(comp["mean_size"], 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "nodes long, edges long, density double, deg_min double, "
+        "deg_max double, deg_mean double, deg_median double, "
+        "deg_std double, deg_centralization double, deg_assort double, "
+        "ncomp long, largest_comp long, mean_comp double",
+    )
+
+
+SQL_PROFILE = f"""
+WITH RECURSIVE {GRAPH_CTES},
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT a.dst AS id, r.lbl
+  FROM reach r JOIN adj a ON a.src = r.id
+  WHERE r.lbl < a.dst
+),
+comp AS (SELECT id, MIN(lbl) AS label FROM reach GROUP BY id),
+csz AS (SELECT label, COUNT(*) AS sz FROM comp GROUP BY label),
+dstats AS (
+  SELECT COUNT(*) AS n, MIN(degree) AS mn, MAX(degree) AS mx,
+         AVG(degree) AS mean, quantile_cont(degree, 0.5) AS med,
+         stddev_pop(degree) AS sd,
+         CAST(SUM(degree) AS DOUBLE) AS s
+  FROM deg
+),
+ea AS (
+  SELECT CAST(du.degree AS DOUBLE) AS x, CAST(dv.degree AS DOUBLE) AS y
+  FROM edges e
+  JOIN deg du ON du.id = e.src
+  JOIN deg dv ON dv.id = e.dst
+),
+ast AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM ea
+)
+SELECT
+  d.n AS nodes,
+  (SELECT COUNT(*) FROM edges) AS edges,
+  ROUND((SELECT COUNT(*) FROM edges) / (d.n * (d.n - 1) / 2.0), 6)
+    AS density,
+  ROUND(CAST(d.mn AS DOUBLE), 6) AS deg_min,
+  ROUND(CAST(d.mx AS DOUBLE), 6) AS deg_max,
+  ROUND(d.mean, 6) AS deg_mean,
+  ROUND(d.med, 6) AS deg_median,
+  ROUND(d.sd, 6) AS deg_std,
+  ROUND((d.n * d.mx - d.s) / ((d.n - 1) * CAST(d.mx AS DOUBLE)), 6)
+    AS deg_centralization,
+  ROUND((a.sxy - a.sx * a.sy / a.m)
+        / SQRT((a.sxx - a.sx * a.sx / a.m) * (a.syy - a.sy * a.sy / a.m)),
+        6) AS deg_assort,
+  (SELECT COUNT(*) FROM csz) AS ncomp,
+  (SELECT MAX(sz) FROM csz) AS largest_comp,
+  ROUND((SELECT AVG(sz) FROM csz), 6) AS mean_comp
+FROM dstats d CROSS JOIN ast a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Traversal module (traversal.pyx BFSfrom/BFSEdgesFrom wrapping
+# graph/BFS.hpp:20-77) — single-source BFS visit relation: dist, the
+# 0-indexed visit rank under the canonical (dist, id) order, and the
+# min-discoverer tree parent (source gets parent -1).  DFSfrom /
+# DFSEdgesFrom are the driver-side stack replay (operators/traversal);
+# a data-dependent-length stack automaton is not SQL-expressible, so
+# DFS is pinned by the python-replica pytest instead of a gate.
+# ---------------------------------------------------------------------------
+
+TRAVERSAL_SOURCE = 0
+TRAVERSAL_HOPS = 24
+
+
+def q_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.traversal import bfs_edges_from, bfs_from
+
+    g = load_graph(spark, sf_dir)
+    order = bfs_from(g, TRAVERSAL_SOURCE, max_hops=TRAVERSAL_HOPS)
+    tree = bfs_edges_from(g, TRAVERSAL_SOURCE, max_hops=TRAVERSAL_HOPS)
+    return (
+        order.join(
+            tree.select(F.col("dst").alias("id"),
+                        F.col("src").alias("parent")),
+            "id", "left",
+        )
+        .select(
+            "id", "dist", "ord",
+            F.coalesce("parent", F.lit(-1)).alias("parent"),
+        )
+        .orderBy("id")
+    )
+
+
+def _traversal_sql(hops: int = TRAVERSAL_HOPS,
+                   source: int = TRAVERSAL_SOURCE) -> str:
+    steps = [
+        f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, "
+        f"CAST(0 AS BIGINT) AS dist)"
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(p.id, m.id) AS id,
+         CAST(LEAST(COALESCE(p.dist, 9223372036854775807),
+                    COALESCE(m.nd, 9223372036854775807)) AS BIGINT) AS dist
+  FROM d{i - 1} p FULL OUTER JOIN (
+    SELECT a.dst AS id, MIN(q.dist + 1) AS nd
+    FROM adj a JOIN d{i - 1} q ON q.id = a.src GROUP BY a.dst
+  ) m ON m.id = p.id
+)"""
+        )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        + ",\n".join(steps)
+        + f""",
+dd AS (SELECT id, dist FROM d{hops}),
+ranked AS (
+  SELECT id, dist,
+         ROW_NUMBER() OVER (ORDER BY dist, id) - 1 AS ord
+  FROM dd
+),
+par AS (
+  SELECT c.id, MIN(a.src) AS parent
+  FROM dd c
+  JOIN adj a ON a.dst = c.id
+  JOIN dd p ON p.id = a.src AND p.dist + 1 = c.dist
+  GROUP BY c.id
+)
+SELECT r.id, r.dist, r.ord, COALESCE(p.parent, -1) AS parent
+FROM ranked r LEFT JOIN par p ON p.id = r.id
+ORDER BY r.id"""
+    )
+
+
+SQL_TRAVERSAL = _traversal_sql()
