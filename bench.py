@@ -91,6 +91,8 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "graph_bmatching", "graph_group_closeness", "graph_luby",
         "graph_partition_quality", "graph_algebraic_distance",
         "graph_sfigality", "graph_spsp",
+        # round 5l
+        "graph_profile", "graph_traversal",
     ]:
         sec, _ = timed(lambda: qs[name](spark, sf_dir).collect())
         queries[name] = round(sec, 3)
