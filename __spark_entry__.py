@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5l: traversal module (BFS visit order + tree; DFS is
         # pytest-replica-only, see contract comment) ---------------------
         "graph_traversal": e.q_traversal,
+        # --- round-5l: stats module (gini, full oracle) -----------------
+        "graph_gini": e.q_gini,
     }
 
 
@@ -453,4 +455,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_algebra": e.SQL_ALGEBRA,
         "graph_profile": e.SQL_PROFILE,
         "graph_traversal": e.SQL_TRAVERSAL,
+        "graph_gini": e.SQL_GINI,
     }

@@ -11998,3 +11998,35 @@ ORDER BY r.id"""
 
 
 SQL_TRAVERSAL = _traversal_sql()
+
+
+# ---------------------------------------------------------------------------
+# Stats module (networkit/stats.pyx gini :16-38) — Gini coefficient of
+# the degree distribution; rank-sum formula is tie-order invariant, so
+# the distributed bucketed rank and the oracle's ROW_NUMBER agree
+# exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.stats import gini
+
+    g = load_graph(spark, sf_dir)
+    val = gini(g.degrees().select(F.col("degree").alias("value")))
+    return spark.createDataFrame(
+        [(round(val, 6),)], "gini double"
+    )
+
+
+SQL_GINI = f"""
+WITH {GRAPH_CTES},
+r AS (
+  SELECT CAST(degree AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (ORDER BY degree) AS i
+  FROM deg
+)
+SELECT ROUND(
+  (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) / (COUNT(*) * SUM(x)), 6
+) AS gini
+FROM r
+"""
