@@ -164,3 +164,56 @@ def profile(g: Graph, measures=("degree", "coredecomposition", "lcc",
         labels, _ = plm(g)
         out["partitions"].append(partition_stats(labels, "communities"))
     return out
+
+
+def overview(g: Graph) -> str:
+    """networkit/__init__.py overview (:149-207): the printed network
+    summary, returned as the formatted string (print it yourself).
+    Same property set: size, flags, isolated nodes, self-loops,
+    density, clustering coefficient (undirected simple graphs), degree
+    extremes/mean, degree assortativity, component count + sizes."""
+    from networkit_spark.operators.assortativity import degree_assortativity
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    props = properties(g)
+    n = props["nodes"]
+    self_loops = g.edges.filter(F.col("src") == F.col("dst")).count()
+    degs = g.degrees().select(F.col("degree").cast("double").alias("score"))
+    drow = degs.agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx"),
+        F.avg("score").alias("mean"),
+        F.sum((F.col("score") == 0).cast("long")).alias("iso"),
+    ).collect()[0]
+    if g.directed:
+        labels, _ = strongly_connected_components(g)
+    else:
+        labels, _ = connected_components(g)
+    comp = partition_stats(labels, "components")
+    lines = [
+        "Network Properties:",
+        f"nodes, edges\t\t\t{n}, {props['edges']}",
+        f"directed?\t\t\t{props['directed']}",
+        f"weighted?\t\t\t{props['weighted']}",
+        f"isolated nodes\t\t\t{int(drow['iso'])}",
+        f"self-loops\t\t\t{self_loops}",
+        f"density\t\t\t\t{props['density']:.6f}",
+    ]
+    if self_loops == 0 and not g.directed:
+        from networkit_spark.operators.triangles import (
+            avg_local_clustering_coefficient,
+        )
+
+        lines.append(
+            "clustering coefficient\t\t"
+            f"{avg_local_clustering_coefficient(g):.6f}"
+        )
+    lines += [
+        "min/max/avg degree\t\t"
+        f"{int(drow['mn'])}, {int(drow['mx'])}, {float(drow['mean']):.6f}",
+        f"degree assortativity\t\t{degree_assortativity(g):.6f}",
+        f"number of connected components\t{comp['count']}",
+        "size of largest component\t"
+        f"{comp['max_size']} ({100.0 * comp['max_size'] / n:.2f} %)",
+    ]
+    return "\n".join(lines)

@@ -1342,3 +1342,71 @@ def write_dgs(events: DataFrame, path: str, order_by=("step", "cls", "u", "v")) 
                 out.write("st\n")
             else:
                 raise ValueError(f"unknown event type: {t}")
+
+
+# ---------------------------------------------------------------------------
+# Format dispatcher (networkit/graphio.pyx readGraph :1319-1366 /
+# writeGraph): one entry point keyed on a format name, resolving to the
+# per-format readers/writers above.  Format names mirror the
+# reference's graphio.Format enum members.
+# ---------------------------------------------------------------------------
+
+READ_FORMATS = {
+    "EdgeList": read_edge_list,
+    "METIS": read_metis,
+    "SNAP": read_snap,
+    "KONECT": read_konect,
+    "GML": read_gml,
+    "MTX": read_mtx,
+    "MatrixMarket": read_mtx,
+    "GraphML": read_graphml,
+    "NetworkitBinary": read_networkit_binary,
+    "ThrillBinary": read_thrill_binary,
+    "GraphToolBinary": read_graphtool_binary,
+    "RB": read_rb,
+    "Dibap": read_dibap,
+    "Raster": read_raster,
+}
+
+WRITE_FORMATS = {
+    "EdgeList": write_edge_list,
+    "METIS": write_metis,
+    "GML": write_gml,
+    "DOT": write_dot,
+    "GraphViz": write_dot,
+    "SNAP": write_snap,
+    "MTX": write_mtx,
+    "MatrixMarket": write_mtx,
+    "GraphML": write_graphml,
+    "NetworkitBinary": write_networkit_binary,
+    "ThrillBinary": write_thrill_binary,
+    "GraphToolBinary": write_graphtool_binary,
+}
+
+
+def read_graph(spark: SparkSession, path: str, fileformat: str = "EdgeList",
+               **kwargs) -> Graph:
+    """readGraph (graphio.pyx:1319-1366): dispatch on the format name.
+    Unknown formats raise ValueError listing the supported set, like
+    the reference's unknown-format error."""
+    try:
+        reader = READ_FORMATS[fileformat]
+    except KeyError:
+        raise ValueError(
+            f"unknown graph format {fileformat!r}; supported: "
+            f"{sorted(READ_FORMATS)}"
+        ) from None
+    return reader(spark, path, **kwargs)
+
+
+def write_graph(g: Graph, path: str, fileformat: str = "EdgeList",
+                **kwargs) -> None:
+    """writeGraph: format-name dispatch over the writers above."""
+    try:
+        writer = WRITE_FORMATS[fileformat]
+    except KeyError:
+        raise ValueError(
+            f"unknown graph format {fileformat!r}; supported: "
+            f"{sorted(WRITE_FORMATS)}"
+        ) from None
+    writer(g, path, **kwargs)

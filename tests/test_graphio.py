@@ -398,3 +398,20 @@ def test_graphtool_binary_width2(spark, tmp_path):
     g2 = read_graphtool_binary(spark, p)
     assert g2.number_of_nodes() == 300
     assert g2.number_of_edges() == 299
+
+
+def test_read_write_graph_dispatch(spark, tmp_path):
+    """readGraph/writeGraph format dispatchers (graphio.pyx:1319-1366)."""
+    from networkit_spark.sources.graphio import read_graph, write_graph
+
+    g = Graph.from_pandas(spark, [(0, 1), (1, 2), (0, 2)], n=3)
+    p = str(tmp_path / "g.metis")
+    write_graph(g, p, "METIS")
+    back = read_graph(spark, p, "METIS")
+    assert back.number_of_edges() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown graph format"):
+        read_graph(spark, p, "NopeFormat")
+    with _pytest.raises(ValueError, match="unknown graph format"):
+        write_graph(g, p, "NopeFormat")

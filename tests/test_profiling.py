@@ -85,3 +85,28 @@ def test_partition_stats_direct(spark):
     st = partition_stats(labels, "toy")
     assert st == {"partition": "toy", "count": 3, "min_size": 1,
                   "max_size": 3, "mean_size": 2.0}
+
+
+def test_overview_string(spark):
+    from networkit_spark.profiling import overview
+
+    g = _graph(spark)
+    text = overview(g)
+    assert "Network Properties:" in text
+    assert f"nodes, edges\t\t\t{N}, {len(PAIRS)}" in text
+    assert "number of connected components\t2" in text
+    assert "size of largest component\t8 (80.00 %)" in text
+    assert "clustering coefficient" in text
+    assert "isolated nodes\t\t\t0" in text
+
+
+def test_overview_directed(spark):
+    from networkit_spark.profiling import overview
+
+    g = Graph.from_pandas(spark, [(0, 1), (1, 0), (1, 2)],
+                          directed=True, n=3)
+    text = overview(g)
+    assert "directed?\t\t\tTrue" in text
+    # SCCs: {0,1}, {2}
+    assert "number of connected components\t2" in text
+    assert "clustering coefficient" not in text
