@@ -154,3 +154,45 @@ def eccentricity(g: Graph, source: int) -> tuple[int, int]:
     dist, _ = bfs_distances(g, [source])
     row = dist.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
     return int(row["id"]), int(row["dist"])
+
+
+def incomplete_dijkstra(
+    g: Graph,
+    sources,
+    explored=None,
+    max_dist: float | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """IncompleteDijkstra (/root/reference/networkit/cpp/distance/
+    IncompleteDijkstra.cpp:15-59): multi-source non-negative distances
+    that never enter the ``explored`` node set (the reference skips
+    explored sources and explored relaxation targets — equivalent to
+    Dijkstra on the induced subgraph V \\ explored).  The reference is
+    a lazy nearest-first ITERATOR the consumer stops early; the
+    relational analogue of stopping is ``max_dist`` — only rows with
+    dist < max_dist are returned.  Same Bellman-Ford superstep plan as
+    sssp_distances (fixpoint equals Dijkstra for non-negative
+    weights)."""
+    if explored is not None:
+        spark = g.edges.sparkSession
+        ex = spark.createDataFrame(
+            [(int(x),) for x in explored], "id long"
+        )
+        edges = (
+            g.edges.join(ex.withColumnRenamed("id", "src"), "src",
+                         "left_anti")
+            .join(ex.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        )
+        verts = (
+            g.nodes().join(ex, "id", "left_anti")
+            if g.vertices is not None else None
+        )
+        g = Graph(edges.select(*g.edges.columns), verts, g.directed,
+                  g.weighted)
+        src_df = _sources_df(g, sources).join(ex, "id", "left_anti")
+    else:
+        src_df = _sources_df(g, sources)
+    dist, info = sssp_distances(g, src_df, checkpointer=checkpointer)
+    if max_dist is not None:
+        dist = dist.filter(F.col("dist") < float(max_dist))
+    return dist, info
