@@ -1410,3 +1410,27 @@ def write_graph(g: Graph, path: str, fileformat: str = "EdgeList",
             f"{sorted(WRITE_FORMATS)}"
         ) from None
     writer(g, path, **kwargs)
+
+
+def read_graphs(spark: SparkSession, dir_path: str, pattern: str,
+                fileformat: str = "EdgeList", some: int | None = None,
+                exclude: str | None = None, **kwargs) -> dict[str, Graph]:
+    """readGraphs (graphio.pyx:1368-1404): read every file under
+    ``dir_path`` whose name fnmatches ``pattern`` (minus ``exclude``),
+    keyed by filename; ``some`` caps the count like the reference."""
+    import fnmatch
+    import os
+
+    graphs: dict[str, Graph] = {}
+    for root, _dirs, files in os.walk(dir_path):
+        for fname in sorted(files):
+            if not fnmatch.fnmatch(fname, pattern):
+                continue
+            if exclude is not None and fnmatch.fnmatch(fname, exclude):
+                continue
+            graphs[fname] = read_graph(
+                spark, os.path.join(root, fname), fileformat, **kwargs
+            )
+            if some is not None and len(graphs) >= some:
+                return graphs
+    return graphs

@@ -415,3 +415,19 @@ def test_read_write_graph_dispatch(spark, tmp_path):
         read_graph(spark, p, "NopeFormat")
     with _pytest.raises(ValueError, match="unknown graph format"):
         write_graph(g, p, "NopeFormat")
+
+
+def test_read_graphs_directory(spark, tmp_path):
+    """readGraphs (graphio.pyx:1368): pattern/exclude/some selection."""
+    from networkit_spark.sources.graphio import read_graphs, write_graph
+
+    for name, pairs in [("a.metis", [(0, 1)]), ("b.metis", [(0, 1), (1, 2)]),
+                        ("skip.metis", [(0, 1)]), ("c.txt", [(0, 1)])]:
+        write_graph(Graph.from_pandas(spark, pairs, n=3),
+                    str(tmp_path / name), "METIS")
+    got = read_graphs(spark, str(tmp_path), "*.metis", "METIS",
+                      exclude="skip*")
+    assert sorted(got) == ["a.metis", "b.metis"]
+    assert got["b.metis"].number_of_edges() == 2
+    capped = read_graphs(spark, str(tmp_path), "*.metis", "METIS", some=1)
+    assert len(capped) == 1
